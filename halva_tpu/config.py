@@ -1,0 +1,168 @@
+"""Model/architecture configuration dataclasses and presets.
+
+One config system for the whole framework (replaces the reference's scatter
+of HF config.json mutations, e.g. llava/train/train_halva.py:1139-1160).
+Configs are frozen dataclasses so they are hashable and can be closed over by
+jitted functions as static values.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Decoder-only LLM (Llama family) architecture.
+
+    Reference architecture parity: llava/model/language_model/modelling_llama.py
+    (vendored HF Llama). GQA-ready via num_kv_heads.
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: Optional[int] = None  # None => MHA
+    head_dim: Optional[int] = None  # None => hidden_size // num_heads
+    max_position_embeddings: int = 4096
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[float] = None  # linear scaling factor (VILA ctx ext)
+    rms_norm_eps: float = 1e-5
+    tie_word_embeddings: bool = False
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_kv_heads or self.num_heads
+
+    @property
+    def head_size(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_heads
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Vision transformer (CLIP/SigLIP tower) architecture."""
+
+    image_size: int = 336
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    layer_norm_eps: float = 1e-5
+    use_cls_token: bool = True  # CLIP has a class embedding; SigLIP doesn't
+    use_pre_layernorm: bool = True  # CLIP pre_layrnorm; SigLIP doesn't
+    hidden_act: str = "quick_gelu"  # CLIP: quick_gelu; SigLIP: gelu_tanh
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+    @property
+    def num_positions(self) -> int:
+        return self.num_patches + (1 if self.use_cls_token else 0)
+
+
+@dataclasses.dataclass(frozen=True)
+class LlavaConfig:
+    """Full multimodal VLM: vision tower + projector + LLM.
+
+    mm_vision_select_layer=-2 and select_feature="patch" match the LLaVA-1.5
+    recipe (reference llava/model/multimodal_encoder/clip_encoder.py:27-35).
+    """
+
+    llm: LlamaConfig = dataclasses.field(default_factory=LlamaConfig)
+    vision: ViTConfig = dataclasses.field(default_factory=ViTConfig)
+    mm_projector_type: str = "mlp2x_gelu"  # linear | mlpNx_gelu | mlp_downsample | identity
+    mm_vision_select_layer: int = -2
+    mm_vision_select_feature: str = "patch"  # patch | cls_patch
+    image_aspect_ratio: str = "pad"
+    downsample_factor: int = 2  # for mlp_downsample (VILA 2x2 fold)
+
+    @property
+    def num_image_tokens(self) -> int:
+        n = self.vision.num_patches
+        if self.mm_vision_select_feature == "cls_patch":
+            n += 1
+        if self.mm_projector_type == "mlp_downsample":
+            n //= self.downsample_factor**2
+        return n
+
+
+# --------------------------------------------------------------------------
+# Presets
+# --------------------------------------------------------------------------
+
+LLAMA_7B = LlamaConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=11008,
+    num_layers=32,
+    num_heads=32,
+    max_position_embeddings=4096,
+)
+
+LLAMA_13B = LlamaConfig(
+    vocab_size=32000,
+    hidden_size=5120,
+    intermediate_size=13824,
+    num_layers=40,
+    num_heads=40,
+    max_position_embeddings=4096,
+)
+
+CLIP_VIT_L_336 = ViTConfig()
+
+SIGLIP_SO400M_384 = ViTConfig(
+    image_size=384,
+    patch_size=14,
+    hidden_size=1152,
+    intermediate_size=4304,
+    num_layers=27,
+    num_heads=16,
+    layer_norm_eps=1e-6,
+    use_cls_token=False,
+    use_pre_layernorm=False,
+    hidden_act="gelu_tanh",
+)
+
+LLAVA_V15_7B = LlavaConfig(llm=LLAMA_7B, vision=CLIP_VIT_L_336)
+LLAVA_V15_13B = LlavaConfig(llm=LLAMA_13B, vision=CLIP_VIT_L_336)
+VILA_13B_384 = LlavaConfig(
+    llm=LLAMA_13B,
+    vision=SIGLIP_SO400M_384,
+    mm_projector_type="mlp_downsample",
+)
+
+# Tiny configs for tests / CI (CPU-mesh runnable).
+LLAMA_TINY = LlamaConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_layers=2,
+    num_heads=4,
+    max_position_embeddings=512,
+)
+
+VIT_TINY = ViTConfig(
+    image_size=28,
+    patch_size=14,
+    hidden_size=32,
+    intermediate_size=64,
+    num_layers=2,
+    num_heads=2,
+)
+
+LLAVA_TINY = LlavaConfig(llm=LLAMA_TINY, vision=VIT_TINY)
+
+PRESETS = {
+    "llama-7b": LLAMA_7B,
+    "llama-13b": LLAMA_13B,
+    "llava-v1.5-7b": LLAVA_V15_7B,
+    "llava-v1.5-13b": LLAVA_V15_13B,
+    "vila-13b-384": VILA_13B_384,
+    "llava-tiny": LLAVA_TINY,
+}

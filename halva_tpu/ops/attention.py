@@ -1,0 +1,120 @@
+"""Attention ops: XLA reference path + dispatch to the Pallas flash kernel.
+
+This replaces the reference's external CUDA flash-attn + Triton kernels
+(llava/train/llama_flash_attn_monkey_patch.py, vila/.../flash_attn_triton.py)
+with a single attention contract built around *segment ids*:
+
+- causal masking,
+- padding (padding tokens carry segment id 0... actually any id; invalid
+  query/key pairs are those with differing segment ids),
+- sequence packing (multiple documents in one row, different segment ids),
+
+which together cover everything the reference gets from varlen flash-attn
+(`seqlens_in_batch` packing in vila/train/transformers_replace).
+
+Segment-id convention: `segment_ids[b, t] == 0` marks padding; tokens attend
+only to keys with the *same nonzero* segment id. Single-document rows just
+use all-ones.
+
+The XLA path is the numerics oracle (tests) and the CPU fallback; on TPU the
+dispatcher uses the Pallas flash kernel (ops/flash_attention.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30  # finite big-negative: avoids NaN rows for fully-masked queries
+
+
+def make_attention_mask(
+    q_segment_ids: jnp.ndarray,  # (B, Sq) int32
+    kv_segment_ids: jnp.ndarray,  # (B, Skv) int32
+    causal: bool = True,
+    q_offset: Optional[jnp.ndarray] = None,  # (B,) position of q block start
+) -> jnp.ndarray:
+    """Boolean (B, 1, Sq, Skv) mask: True = attend.
+
+    `q_offset` supports decode: queries at absolute positions offset+i.
+    """
+    same = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
+        q_segment_ids[:, :, None] != 0
+    )
+    if causal:
+        sq = q_segment_ids.shape[1]
+        skv = kv_segment_ids.shape[1]
+        q_pos = jnp.arange(sq, dtype=jnp.int32)[None, :]
+        if q_offset is not None:
+            q_pos = q_pos + q_offset[:, None]
+        k_pos = jnp.arange(skv, dtype=jnp.int32)[None, :]
+        causal_m = q_pos[:, :, None] >= k_pos[:, None, :]
+        same = same & causal_m
+    return same[:, None, :, :]
+
+
+def attention_reference(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Skv, KVH, D)
+    v: jnp.ndarray,  # (B, Skv, KVH, D)
+    mask: Optional[jnp.ndarray] = None,  # (B, 1|H, Sq, Skv) bool
+    bias: Optional[jnp.ndarray] = None,  # additive bias, e.g. ALiBi
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Pure-XLA attention. fp32 softmax accumulation, output in q dtype.
+
+    GQA: KVH may divide H; KV heads are broadcast over the query-head groups.
+    """
+    b, sq, h, d = q.shape
+    kvh = k.shape[2]
+    if scale is None:
+        scale = d**-0.5
+    if kvh != h:
+        assert h % kvh == 0
+        rep = h // kvh
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32
+    )
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "impl"))
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    q_segment_ids: jnp.ndarray,
+    kv_segment_ids: jnp.ndarray,
+    causal: bool = True,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Segment-id attention entry point. Shapes as attention_reference."""
+    if impl == "auto":
+        impl = (
+            "flash"
+            if jax.default_backend() == "tpu" and q.shape[1] >= 128
+            else "xla"
+        )
+    if impl == "flash":
+        from halva_tpu.ops.flash_attention import flash_attention
+
+        return flash_attention(
+            q, k, v, q_segment_ids, kv_segment_ids, causal=causal
+        )
+    mask = make_attention_mask(q_segment_ids, kv_segment_ids, causal=causal)
+    return attention_reference(q, k, v, mask=mask)
