@@ -153,7 +153,13 @@ def clip_vit_from_hf(
             # HF conv (out, in, kh, kw) -> (kh, kw, in, out)
             "kernel": _np(
                 sd[p + "embeddings.patch_embedding.weight"]
-            ).transpose(2, 3, 1, 0)
+            ).transpose(2, 3, 1, 0),
+            # CLIP conv has no bias; SigLIP does
+            **(
+                {"bias": _np(sd[p + "embeddings.patch_embedding.bias"])}
+                if p + "embeddings.patch_embedding.bias" in sd
+                else {}
+            ),
         },
         "pos_embed": {
             "embedding": _np(sd[p + "embeddings.position_embedding.weight"])

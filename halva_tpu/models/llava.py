@@ -1,0 +1,168 @@
+"""LLaVA-class multimodal model: vision tower + projector + Llama, with a
+static-shape image-token splice.
+
+TPU-first redesign of the reference's python-loop splice
+(llava/model/llava_arch.py:85-394, `prepare_inputs_labels_for_multimodal`
+and `..._signed`): the reference de-pads each row, splits it at the -200
+sentinel, and concatenates ragged pieces — all dynamic shapes, hostile to
+XLA. Here the splice is a fixed-shape *gather*: every output position
+computes its source (text index or image-patch index) arithmetically, so the
+whole batch splices in one fused kernel with zero host sync. HALVA data is
+single-image single-turn (asserted by the reference, train_halva.py:341), so
+one sentinel per row is faithful; rows with no image keep their text and get
+a masked (segment-id 0) image block, which is numerically equivalent to the
+reference's "append empty features" branch.
+
+Output length is static: S_out = S_in + num_image_tokens - 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import LlavaConfig
+from halva_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from halva_tpu.models import llama, projector, vit
+
+Params = Dict[str, Any]
+
+
+def init_params(
+    key: jax.Array, cfg: LlavaConfig, dtype=jnp.float32
+) -> Params:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "llm": llama.init_params(k1, cfg.llm, dtype),
+        "vision": vit.init_params(k2, cfg.vision, dtype),
+        "projector": projector.init_params(k3, cfg, dtype),
+    }
+
+
+def encode_images(
+    params: Params, cfg: LlavaConfig, images: jnp.ndarray
+) -> jnp.ndarray:
+    """(B, 3, H, W) -> (B, T, D_llm). The tower is frozen (reference
+    clip_encoder.py:37 @no_grad); the projector is trainable."""
+    feats = jax.lax.stop_gradient(
+        vit.encode(
+            params["vision"],
+            cfg.vision,
+            images,
+            select_layer=cfg.mm_vision_select_layer,
+            select_feature=cfg.mm_vision_select_feature,
+        )
+    )
+    return projector.apply(params["projector"], cfg, feats)
+
+
+class Spliced(NamedTuple):
+    embeds: jnp.ndarray  # (B, S_out, D)
+    labels: jnp.ndarray  # (B, S_out)
+    signs: jnp.ndarray  # (B, S_out)
+    segment_ids: jnp.ndarray  # (B, S_out) 0 = padding/invalid
+    positions: jnp.ndarray  # (B, S_out)
+
+
+def splice_image_tokens(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,  # (B, S) with one IMAGE_TOKEN_INDEX or none
+    image_features: jnp.ndarray,  # (B, T, D)
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, S) 0 = padding
+    labels: Optional[jnp.ndarray] = None,  # (B, S)
+    signs: Optional[jnp.ndarray] = None,  # (B, S)
+) -> Spliced:
+    """Static-shape gather splice. See module docstring.
+
+    For output position j with image anchored at p (T patches):
+      j <  p      -> text token j
+      p <= j < p+T -> image patch j-p
+      j >= p+T    -> text token j-T+1
+    """
+    b, s = input_ids.shape
+    t = image_features.shape[1]
+    s_out = s + t - 1
+
+    if segment_ids is None:
+        segment_ids = jnp.ones((b, s), jnp.int32)
+    if labels is None:
+        labels = jnp.full((b, s), IGNORE_INDEX, jnp.int32)
+    if signs is None:
+        signs = jnp.zeros((b, s), jnp.int32)
+
+    is_sentinel = input_ids == IMAGE_TOKEN_INDEX
+    has_img = jnp.any(is_sentinel, axis=1)  # (B,)
+    row_len = jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
+    img_pos = jnp.where(
+        has_img, jnp.argmax(is_sentinel, axis=1).astype(jnp.int32), row_len
+    )  # (B,)
+
+    j = jnp.arange(s_out, dtype=jnp.int32)[None, :]  # (1, S_out)
+    p = img_pos[:, None]  # (B, 1)
+    in_img = (j >= p) & (j < p + t)
+    after = j >= p + t
+    text_idx = jnp.clip(jnp.where(after, j - (t - 1), j), 0, s - 1)
+    patch_idx = jnp.clip(j - p, 0, t - 1)
+
+    text_embeds = llama.embed(params["llm"], input_ids)  # (B, S, D)
+    gathered_text = jnp.take_along_axis(
+        text_embeds, text_idx[:, :, None], axis=1
+    )
+    gathered_img = jnp.take_along_axis(
+        image_features.astype(gathered_text.dtype),
+        patch_idx[:, :, None],
+        axis=1,
+    )
+    embeds = jnp.where(in_img[:, :, None], gathered_img, gathered_text)
+
+    def gather_i32(x, fill_in_img):
+        g = jnp.take_along_axis(x, text_idx, axis=1)
+        return jnp.where(in_img, fill_in_img, g)
+
+    out_labels = gather_i32(labels, jnp.int32(IGNORE_INDEX))
+    out_signs = gather_i32(signs, jnp.int32(0))
+    # image block is valid only when the row really has an image
+    img_seg = jnp.where(has_img[:, None], 1, 0).astype(segment_ids.dtype)
+    out_seg = gather_i32(segment_ids.astype(jnp.int32), img_seg)
+    # out-of-range tail for no-image rows: positions j in [row_len+T-1 ...)
+    # gather padding (segment 0) already; nothing else needed.
+
+    positions = jnp.broadcast_to(jnp.arange(s_out, dtype=jnp.int32), (b, s_out))
+    return Spliced(embeds, out_labels, out_signs, out_seg, positions)
+
+
+def forward(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,
+    images: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    signs: Optional[jnp.ndarray] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> Tuple[jnp.ndarray, Spliced]:
+    """Full training-style forward: splice then decode stack.
+
+    Returns (fp32 logits (B, S_out, V), spliced batch — whose labels/signs
+    align with the logits for loss computation).
+    """
+    feats = encode_images(params, cfg, images)
+    sp = splice_image_tokens(
+        params, cfg, input_ids, feats, segment_ids, labels, signs
+    )
+    hidden = llama.forward_embeds(
+        params["llm"],
+        cfg.llm,
+        sp.embeds,
+        sp.segment_ids,
+        sp.positions,
+        attn_impl=attn_impl,
+        remat=remat,
+    )
+    logits = llama.lm_logits(params["llm"], cfg.llm, hidden)
+    return logits, sp

@@ -1,0 +1,217 @@
+"""Vision transformer tower (CLIP ViT-L/14-336 and SigLIP-so400m-384).
+
+One functional ViT covers both tower families the reference uses
+(llava/model/multimodal_encoder/clip_encoder.py and
+vila/model/multimodal_encoder/siglip_encoder.py) via ViTConfig flags:
+CLIP = cls token + pre-layernorm + quick_gelu; SigLIP = no cls token, no
+pre-LN, gelu_tanh. The tower is frozen in HALVA training, so the whole
+encode runs under stop_gradient at the call site.
+
+`hidden_states(select_layer)` reproduces the reference's feature_select
+(clip_encoder.py:27-35): LLaVA-1.5 takes hidden_states[-2] and drops the
+cls token ("patch" feature).
+
+Patch embedding is a single MXU matmul (patches are unfolded host-free with
+reshape/transpose) rather than a conv — identical math, better TPU mapping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import ViTConfig
+from halva_tpu.models.llama import dense
+from halva_tpu.ops.attention import attention_reference
+
+Params = Dict[str, Any]
+
+
+def layer_norm(
+    x: jnp.ndarray, p: Params, eps: float
+) -> jnp.ndarray:
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    out = x * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    return out.astype(dtype)
+
+
+def _act(name: str):
+    if name == "quick_gelu":
+        return lambda x: x * jax.nn.sigmoid(1.702 * x)
+    if name == "gelu_tanh":
+        return functools.partial(jax.nn.gelu, approximate=True)
+    if name == "gelu":
+        return functools.partial(jax.nn.gelu, approximate=False)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, C, H, W) -> (B, num_patches, C*patch*patch), row-major patches.
+
+    Channel-last inside each patch vector matches conv-kernel layout
+    (kh, kw, in, out) flattened as (kh*kw*in) when kernel is reshaped —
+    see init/convert: kernel.reshape(-1, hidden).
+    """
+    b, c, h, w = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 3, 5, 1)  # (B, gh, gw, ph, pw, C)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
+    d = cfg.hidden_size
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    keys = jax.random.split(key, 12)
+
+    def lin(k, i, o):
+        return {
+            "kernel": jax.random.normal(k, (i, o), dtype) * (i**-0.5),
+            "bias": jnp.zeros((o,), dtype),
+        }
+
+    def stack(init_fn, k):
+        ks = jax.random.split(k, cfg.num_layers)
+        return jax.vmap(init_fn)(ks)
+
+    def ln_stack():
+        return {
+            "scale": jnp.ones((cfg.num_layers, d), dtype),
+            "bias": jnp.zeros((cfg.num_layers, d), dtype),
+        }
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": jax.random.normal(keys[0], (cfg.patch_size, cfg.patch_size, 3, d), dtype)
+            * (patch_dim**-0.5)
+        },
+        "pos_embed": {
+            "embedding": jax.random.normal(
+                keys[1], (cfg.num_positions, d), dtype
+            )
+            * 0.02
+        },
+        "layers": {
+            "ln1": ln_stack(),
+            "ln2": ln_stack(),
+            "attn": {
+                "wq": stack(lambda k: lin(k, d, d), keys[2]),
+                "wk": stack(lambda k: lin(k, d, d), keys[3]),
+                "wv": stack(lambda k: lin(k, d, d), keys[4]),
+                "wo": stack(lambda k: lin(k, d, d), keys[5]),
+            },
+            "mlp": {
+                "fc1": stack(
+                    lambda k: lin(k, d, cfg.intermediate_size), keys[6]
+                ),
+                "fc2": stack(
+                    lambda k: lin(k, cfg.intermediate_size, d), keys[7]
+                ),
+            },
+        },
+        "post_ln": {
+            "scale": jnp.ones((d,), dtype),
+            "bias": jnp.zeros((d,), dtype),
+        },
+    }
+    if cfg.use_cls_token:
+        params["cls_token"] = {
+            "embedding": jax.random.normal(keys[8], (d,), dtype) * 0.02
+        }
+    if cfg.use_pre_layernorm:
+        params["pre_ln"] = {
+            "scale": jnp.ones((d,), dtype),
+            "bias": jnp.zeros((d,), dtype),
+        }
+    return params
+
+
+def _vit_layer(
+    cfg: ViTConfig,
+    x: jnp.ndarray,  # (B, N, D)
+    p: Params,
+) -> jnp.ndarray:
+    b, n, d = x.shape
+    h = cfg.num_heads
+    dh = d // h
+    act = _act(cfg.hidden_act)
+
+    y = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
+    q = dense(y, p["attn"]["wq"]).reshape(b, n, h, dh)
+    k = dense(y, p["attn"]["wk"]).reshape(b, n, h, dh)
+    v = dense(y, p["attn"]["wv"]).reshape(b, n, h, dh)
+    attn = attention_reference(q, k, v, mask=None)  # bidirectional, no mask
+    x = x + dense(attn.reshape(b, n, d), p["attn"]["wo"])
+
+    y = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
+    x = x + dense(act(dense(y, p["mlp"]["fc1"])), p["mlp"]["fc2"])
+    return x
+
+
+def encode(
+    params: Params,
+    cfg: ViTConfig,
+    images: jnp.ndarray,  # (B, 3, H, W)
+    select_layer: int = -2,
+    select_feature: str = "patch",
+) -> jnp.ndarray:
+    """Run the tower; return the selected hidden state (B, N, D).
+
+    select_layer indexes HF `hidden_states` (embeddings output = index 0,
+    layer i output = index i+1); -2 = output of the second-to-last layer.
+    select_feature "patch" drops the cls token (if the tower has one).
+    """
+    b = images.shape[0]
+    d = cfg.hidden_size
+    patches = patchify(images, cfg.patch_size)
+    kernel = params["patch_embed"]["kernel"].reshape(-1, d)
+    # conv kernel layout is (kh, kw, in, out) but patch vectors are
+    # (ph, pw, C); both flatten consistently — see patchify docstring.
+    x = jnp.dot(patches, kernel.astype(patches.dtype))
+    if "bias" in params["patch_embed"]:
+        x = x + params["patch_embed"]["bias"].astype(x.dtype)
+
+    if cfg.use_cls_token:
+        cls = jnp.broadcast_to(
+            params["cls_token"]["embedding"].astype(x.dtype), (b, 1, d)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"]["embedding"].astype(x.dtype)[None]
+
+    if cfg.use_pre_layernorm:
+        x = layer_norm(x, params["pre_ln"], cfg.layer_norm_eps)
+
+    # run layers via scan, capturing each layer's output so select_layer
+    # semantics match HF output_hidden_states exactly
+    num_out = cfg.num_layers + 1  # embeddings + each layer
+    idx = select_layer % num_out  # e.g. -2 -> num_layers - 1
+    if idx == 0:
+        return _select(x, cfg, select_feature)
+
+    # scan until idx (static), discard the rest — XLA DCEs unused layers
+    layers_upto = jax.tree.map(lambda a: a[:idx], params["layers"])
+
+    def scan_fn(carry, layer_params):
+        return _vit_layer(cfg, carry, layer_params), None
+
+    x, _ = jax.lax.scan(scan_fn, x, layers_upto)
+    if idx == cfg.num_layers and "post_ln" in params and select_layer != -2:
+        # HF hidden_states are pre-post_layernorm; post_ln applies only to
+        # last_hidden_state, which feature_select never uses. Keep raw.
+        pass
+    return _select(x, cfg, select_feature)
+
+
+def _select(x: jnp.ndarray, cfg: ViTConfig, feature: str) -> jnp.ndarray:
+    if feature == "patch":
+        return x[:, 1:] if cfg.use_cls_token else x
+    if feature == "cls_patch":
+        return x
+    raise ValueError(f"unexpected select feature {feature!r}")
