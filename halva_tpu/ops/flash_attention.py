@@ -1,0 +1,456 @@
+"""Pallas TPU flash attention with segment ids (causal, padding, packing).
+
+TPU-native replacement for the reference's CUDA flash-attn and Triton
+kernels (llava/train/llama_flash_attn_monkey_patch.py:16-93,
+vila/model/language_model/mpt/flash_attn_triton.py): one kernel covers
+causal masking, right-padding, and packed sequences via segment ids —
+the same capability surface as `flash_attn_varlen_func` with
+`seqlens_in_batch` (vila/train/transformers_replace/.../modeling_llama.py).
+
+FlashAttention-2 style:
+- forward: online softmax over KV blocks; saves per-row logsumexp (LSE).
+- backward: recompute probabilities blockwise; dq kernel loops KV blocks,
+  dkv kernel loops Q blocks; fp32 accumulation throughout.
+- causal block skipping: KV blocks entirely above the diagonal are never
+  visited (loop bound depends on the q-block index).
+
+Layout: kernels run on (B, H, S, D) with grid (B, H, blocks); the public
+wrapper takes (B, S, H, D) like the rest of the framework. GQA is handled
+by broadcasting KV heads through the BlockSpec index maps (no materialized
+repeat).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _block_mask(
+    q_seg,  # (bq, 1) int32
+    kv_seg,  # (1, bk) int32
+    q_start,  # scalar absolute index of q block start
+    kv_start,
+    bq: int,
+    bk: int,
+    causal: bool,
+):
+    mask = (q_seg == kv_seg) & (q_seg != 0)
+    if causal:
+        rows = q_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        cols = kv_start + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        mask = mask & (rows >= cols)
+    return mask
+
+
+def _fwd_kernel(
+    q_ref,  # (1, 1, bq, D)
+    k_ref,  # (1, 1, Skv, D)
+    v_ref,
+    qseg_ref,  # (1, 1, bq)
+    kvseg_ref,  # (1, 1, Skv)
+    o_ref,  # (1, 1, bq, D)
+    lse_ref,  # (1, 1, 1, bq)
+    *,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    kv_len: int,
+):
+    bq = q_ref.shape[2]
+    d = q_ref.shape[3]
+    qi = pl.program_id(2)
+    q_start = qi * bq
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    q_seg = qseg_ref[0, 0][:, None]
+
+    num_kv_blocks = pl.cdiv(kv_len, block_k)
+    if causal:
+        # only blocks whose start is <= q block end
+        num_kv_blocks = jnp.minimum(
+            num_kv_blocks, (q_start + bq + block_k - 1) // block_k
+        )
+
+    def body(ki, carry):
+        o_acc, m, l = carry
+        kv_start = ki * block_k
+        k = k_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        mask = _block_mask(
+            q_seg, kv_seg, q_start, kv_start, bq, block_k, causal
+        )
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_new = l * alpha + jnp.sum(p, axis=1)
+        o_new = o_acc * alpha[:, None] + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return o_new, m_new, l_new
+
+    o0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq,), jnp.float32)
+    o_acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (o0, m0, l0))
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = m + jnp.log(l_safe)
+
+
+def _bwd_dq_kernel(
+    q_ref,  # (1, 1, bq, D)
+    k_ref,  # (1, 1, Skv, D)
+    v_ref,
+    qseg_ref,
+    kvseg_ref,
+    do_ref,  # (1, 1, bq, D)
+    lse_ref,  # (1, 1, 1, bq)
+    delta_ref,  # (1, 1, 1, bq)
+    dq_ref,  # (1, 1, bq, D)
+    *,
+    scale: float,
+    causal: bool,
+    block_k: int,
+    kv_len: int,
+):
+    bq = q_ref.shape[2]
+    d = q_ref.shape[3]
+    qi = pl.program_id(2)
+    q_start = qi * bq
+
+    q = q_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0][:, None]
+    delta = delta_ref[0, 0, 0][:, None]
+    q_seg = qseg_ref[0, 0][:, None]
+
+    num_kv_blocks = pl.cdiv(kv_len, block_k)
+    if causal:
+        num_kv_blocks = jnp.minimum(
+            num_kv_blocks, (q_start + bq + block_k - 1) // block_k
+        )
+
+    def body(ki, dq):
+        kv_start = ki * block_k
+        k = k_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        v = v_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        mask = _block_mask(
+            q_seg, kv_seg, q_start, kv_start, bq, block_k, causal
+        )
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
+
+    dq0 = jnp.zeros((bq, d), jnp.float32)
+    dq = jax.lax.fori_loop(0, num_kv_blocks, body, dq0)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref,  # (1, 1, Sq, D)
+    k_ref,  # (1, 1, bk, D)
+    v_ref,  # (1, 1, bk, D)
+    qseg_ref,  # (1, 1, Sq)
+    kvseg_ref,  # (1, 1, bk)
+    do_ref,  # (1, 1, Sq, D)
+    lse_ref,  # (1, 1, 1, Sq)
+    delta_ref,  # (1, 1, 1, Sq)
+    dk_ref,  # (1, 1, bk, D)
+    dv_ref,
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    q_len: int,
+):
+    bk = k_ref.shape[2]
+    d = k_ref.shape[3]
+    ki = pl.program_id(2)
+    kv_start = ki * bk
+
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    kv_seg = kvseg_ref[0, 0][None, :]
+
+    num_q_blocks = pl.cdiv(q_len, block_q)
+    q_block_lo = 0
+    if causal:
+        # first q block that can see this kv block
+        q_block_lo = kv_start // block_q
+
+    def body(qi, carry):
+        dk, dv = carry
+        q_start = qi * block_q
+        q = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        do = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0, pl.ds(q_start, block_q)][:, None]
+        delta = delta_ref[0, 0, 0, pl.ds(q_start, block_q)][:, None]
+        q_seg = qseg_ref[0, 0, pl.ds(q_start, block_q)][:, None]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        mask = _block_mask(
+            q_seg, kv_seg, q_start, kv_start, block_q, bk, causal
+        )
+        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        dv_new = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_new = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk0 = jnp.zeros((bk, d), jnp.float32)
+    dv0 = jnp.zeros((bk, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(q_block_lo, num_q_blocks, body, (dk0, dv0))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+)
+def _flash(
+    q,  # (B, H, Sq, D)
+    k,  # (B, KVH, Skv, D)
+    v,
+    q_seg,  # (B, Sq)
+    kv_seg,  # (B, Skv)
+    causal: bool,
+    scale: float,
+    block_q: int,
+    block_k: int,
+):
+    o, _ = _flash_fwd_impl(
+        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k
+    )
+    return o
+
+
+def _specs_fwd(b, h, kvh, sq, skv, d, bq, interp):
+    group = h // kvh
+    return dict(
+        grid=(b, h, sq // bq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, skv, d),
+                lambda bi, hi, qi: (bi, hi // group, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, skv, d),
+                lambda bi, hi, qi: (bi, hi // group, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
+        ],
+        interpret=interp,
+    )
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _flash_fwd_impl(q, k, v, q_seg, kv_seg, causal, scale, bq, bk):
+    b, h, sq, d = q.shape
+    kvh, skv = k.shape[1], k.shape[2]
+    sq_p = sq + (-sq) % bq
+    skv_p = skv + (-skv) % bk
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    qsp = _pad_to(q_seg.astype(jnp.int32), 1, bq)[:, None, :]
+    kvsp = _pad_to(kv_seg.astype(jnp.int32), 1, bk)[:, None, :]
+
+    specs = _specs_fwd(b, h, kvh, sq_p, skv_p, d, bq, _interp())
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, block_k=bk, kv_len=skv_p
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, sq_p), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
+        ),
+        **specs,
+    )(qp, kp, vp, qsp, kvsp)
+    lse = lse[:, :, 0, :sq]
+    return o[:, :, :sq], (q, k, v, q_seg, kv_seg, o[:, :, :sq], lse)
+
+
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, bq, bk):
+    o, res = _flash_fwd_impl(
+        q, k, v, q_seg, kv_seg, causal, scale, bq, bk
+    )
+    return o, res
+
+
+def _flash_bwd(causal, scale, bq, bk, res, do):
+    q, k, v, q_seg, kv_seg, o, lse = res
+    b, h, sq, d = q.shape
+    kvh, skv = k.shape[1], k.shape[2]
+    group = h // kvh
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    )  # (B, H, Sq)
+
+    sq_p = sq + (-sq) % bq
+    skv_p = skv + (-skv) % bk
+    qp = _pad_to(q, 2, bq)
+    kp = _pad_to(k, 2, bk)
+    vp = _pad_to(v, 2, bk)
+    dop = _pad_to(do, 2, bq)
+    lsep = _pad_to(lse, 2, bq)[:, :, None, :]
+    deltap = _pad_to(delta, 2, bq)[:, :, None, :]
+    qsp = _pad_to(q_seg.astype(jnp.int32), 1, bq)[:, None, :]
+    kvsp = _pad_to(kv_seg.astype(jnp.int32), 1, bk)[:, None, :]
+    interp = _interp()
+
+    # ---- dq ----
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, scale=scale, causal=causal, block_k=bk, kv_len=skv_p
+    )
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, sq_p // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec(
+                (1, 1, skv_p, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, skv_p, d), lambda bi, hi, qi: (bi, hi // group, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, bq), lambda bi, hi, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, skv_p), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
+        ],
+        out_shape=jax.ShapeDtypeStruct((b, h, sq_p, d), q.dtype),
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)
+        ),
+        interpret=interp,
+    )(qp, kp, vp, qsp, kvsp, dop, lsep, deltap)[:, :, :sq]
+
+    # ---- dk, dv ---- (accumulated per query-head, summed over groups after)
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, scale=scale, causal=causal, block_q=bq, q_len=sq_p
+    )
+    dk_h, dv_h = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, h, skv_p // bk),
+        in_specs=[
+            pl.BlockSpec((1, 1, sq_p, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, bk, d), lambda bi, hi, ki: (bi, hi // group, ki, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, d), lambda bi, hi, ki: (bi, hi // group, ki, 0)
+            ),
+            pl.BlockSpec((1, 1, sq_p), lambda bi, hi, ki: (bi, 0, 0)),
+            pl.BlockSpec((1, 1, bk), lambda bi, hi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, sq_p, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, sq_p), lambda bi, hi, ki: (bi, hi, 0, 0)),
+            pl.BlockSpec((1, 1, 1, sq_p), lambda bi, hi, ki: (bi, hi, 0, 0)),
+        ],
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, skv_p, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, skv_p, d), jnp.float32),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
+        ),
+        interpret=interp,
+    )(qp, kp, vp, qsp, kvsp, dop, lsep, deltap)
+
+    dk_h = dk_h[:, :, :skv]
+    dv_h = dv_h[:, :, :skv]
+    if group > 1:
+        dk = dk_h.reshape(b, kvh, group, skv, d).sum(axis=2)
+        dv = dv_h.reshape(b, kvh, group, skv, d).sum(axis=2)
+    else:
+        dk, dv = dk_h, dv_h
+
+    return (
+        dq.astype(q.dtype),
+        dk.astype(k.dtype),
+        dv.astype(v.dtype),
+        None,
+        None,
+    )
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Skv, KVH, D)
+    v: jnp.ndarray,
+    q_segment_ids: jnp.ndarray,  # (B, Sq)
+    kv_segment_ids: jnp.ndarray,  # (B, Skv)
+    causal: bool = True,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Public entry; layout matches halva_tpu.ops.attention."""
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    sq = q.shape[1]
+    block_q = min(block_q, max(sq, 8))
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    o = _flash(
+        qt,
+        kt,
+        vt,
+        q_segment_ids,
+        kv_segment_ids,
+        causal,
+        float(scale),
+        block_q,
+        block_k,
+    )
+    return o.transpose(0, 2, 1, 3)

@@ -1,0 +1,179 @@
+"""Batched KV-cached greedy decoding.
+
+Replaces the reference's batch-size-1 HF `generate` eval loop
+(eval_hall/model_vqa_loader.py:67 asserts bs==1; one process per GPU) with a
+single batched, jit-compiled decode: bucketed prefill fills the cache for
+the whole batch, then a `lax.while_loop` emits tokens until every row hit
+EOS or the token budget. This is the designed source of the >=2x A100
+imgs/sec eval target (BASELINE.md).
+
+All shapes are static: prompts are right-padded to a bucket length, the
+cache is sized prompt_bucket + max_new_tokens. Per-row prompt lengths drive
+positions and cache segment ids.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import LlavaConfig
+from halva_tpu.constants import IMAGE_TOKEN_INDEX
+from halva_tpu.models import llama, llava
+
+Params = Dict[str, Any]
+
+
+class GenState(NamedTuple):
+    step: jnp.ndarray  # () int32 — decode step counter
+    tokens: jnp.ndarray  # (B, max_new) emitted tokens
+    cur: jnp.ndarray  # (B,) last emitted token
+    lengths: jnp.ndarray  # (B,) prompt lengths (cache write positions)
+    done: jnp.ndarray  # (B,) bool
+    cache: Params
+    cache_seg: jnp.ndarray  # (B, Smax)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "attn_impl"),
+)
+def generate_greedy(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,  # (B, S) right-padded, -200 image sentinel
+    images: jnp.ndarray,  # (B, 3, H, W)
+    prompt_lengths: jnp.ndarray,  # (B,) valid token counts (pre-splice)
+    max_new_tokens: int,
+    eos_id: int,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens (B, max_new), num_generated (B,)).
+
+    Rows stop at EOS; finished rows keep emitting eos_id (callers trim).
+    """
+    b, s = input_ids.shape
+    t = cfg.num_image_tokens
+    seg = (
+        jnp.arange(s, dtype=jnp.int32)[None, :] < prompt_lengths[:, None]
+    ).astype(jnp.int32)
+
+    feats = llava.encode_images(params, cfg, images)
+    sp = llava.splice_image_tokens(params, cfg, input_ids, feats, seg)
+    s_prompt = sp.embeds.shape[1]  # S + T - 1
+    max_len = s_prompt + max_new_tokens
+
+    cache = llama.init_kv_cache(
+        cfg.llm, b, max_len, dtype=sp.embeds.dtype
+    )
+    hidden, cache = llama.prefill(
+        params["llm"],
+        cfg.llm,
+        sp.embeds,
+        sp.segment_ids,
+        sp.positions,
+        _pad_cache(cache, s_prompt),
+        attn_impl=attn_impl,
+    )
+
+    has_img = jnp.any(input_ids == IMAGE_TOKEN_INDEX, axis=1)
+    spliced_len = prompt_lengths + jnp.where(has_img, t - 1, 0)
+
+    # logits at the last valid prompt token
+    last_idx = jnp.clip(spliced_len - 1, 0, s_prompt - 1)
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None], axis=1
+    )
+    first_logits = llama.lm_logits(params["llm"], cfg.llm, last_hidden)[:, 0]
+    first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
+
+    cache_seg0 = (
+        jnp.arange(max_len, dtype=jnp.int32)[None, :] < spliced_len[:, None]
+    ).astype(jnp.int32)
+
+    init = GenState(
+        step=jnp.int32(0),
+        tokens=jnp.zeros((b, max_new_tokens), jnp.int32),
+        cur=first_tok,
+        lengths=spliced_len,
+        done=jnp.zeros((b,), bool),
+        cache=cache,
+        cache_seg=cache_seg0,
+    )
+
+    def cond(st: GenState):
+        return (st.step < max_new_tokens) & ~jnp.all(st.done)
+
+    def body(st: GenState):
+        tok = jnp.where(st.done, jnp.int32(eos_id), st.cur)
+        tokens = jax.lax.dynamic_update_slice(
+            st.tokens, tok[:, None], (0, st.step)
+        )
+        done = st.done | (tok == eos_id)
+
+        pos = st.lengths + st.step  # absolute position of this token
+        slot = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+        cache_seg = jnp.where(
+            slot == pos[:, None], 1, st.cache_seg
+        ).astype(jnp.int32)
+
+        embeds = llama.embed(params["llm"], tok[:, None])
+        logits, cache = llama.decode_step(
+            params["llm"],
+            cfg.llm,
+            embeds,
+            pos,
+            st.cache,
+            cache_seg,
+        )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return GenState(
+            st.step + 1, tokens, nxt, st.lengths, done, cache, cache_seg
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    num = jnp.sum(
+        (final.tokens != eos_id)
+        & (
+            jnp.arange(max_new_tokens, dtype=jnp.int32)[None, :]
+            < final.step
+        ),
+        axis=1,
+    )
+    return final.tokens, num
+
+
+def _pad_cache(cache: Params, upto: int) -> Params:
+    """Cache is already allocated at full length; prefill writes [0, S)."""
+    return cache
+
+
+def decode_tokens(
+    tokens,  # (B, max_new) numpy
+    num_generated,
+    tokenizer,
+    eos_id: int,
+    stop_strs=(),
+):
+    """Host-side detokenize + stop-string trim (reference
+    KeywordsStoppingCriteria semantics, llava/mm_utils.py:73-104)."""
+    import numpy as np
+
+    outs = []
+    tokens = np.asarray(tokens)
+    for row in tokens:
+        ids = []
+        for tid in row.tolist():
+            if tid == eos_id:
+                break
+            ids.append(tid)
+        text = tokenizer.decode(ids, skip_special_tokens=True)
+        for sstr in stop_strs:
+            idx = text.find(sstr)
+            if idx != -1:
+                text = text[:idx]
+        outs.append(text.strip())
+    return outs

@@ -1,0 +1,143 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU):
+forward and gradients, causal/padding/packing/GQA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.ops.attention import attention_reference, make_attention_mask
+from halva_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(shape, seed):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+
+
+def _ref(q, k, v, q_seg, kv_seg, causal):
+    mask = make_attention_mask(q_seg, kv_seg, causal=causal)
+    return attention_reference(q, k, v, mask=mask)
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_forward_matches_reference(causal):
+    b, s, h, d = 2, 256, 4, 32
+    q, k, v = _rand((b, s, h, d), 0), _rand((b, s, h, d), 1), _rand(
+        (b, s, h, d), 2
+    )
+    seg = jnp.ones((b, s), jnp.int32)
+    got = flash_attention(q, k, v, seg, seg, causal=causal)
+    want = _ref(q, k, v, seg, seg, causal)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_forward_padding():
+    b, s, h, d = 2, 192, 2, 32
+    q, k, v = _rand((b, s, h, d), 3), _rand((b, s, h, d), 4), _rand(
+        (b, s, h, d), 5
+    )
+    seg = np.ones((b, s), np.int32)
+    seg[0, 100:] = 0
+    seg[1, 50:] = 0
+    seg = jnp.asarray(seg)
+    got = flash_attention(q, k, v, seg, seg, causal=True)
+    want = _ref(q, k, v, seg, seg, True)
+    m = np.asarray(seg) != 0
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(want)[m], atol=2e-5, rtol=2e-5
+    )
+
+
+def test_forward_packed_segments():
+    """Two documents packed in one row must not attend across the border."""
+    b, s, h, d = 1, 256, 2, 32
+    q, k, v = _rand((b, s, h, d), 6), _rand((b, s, h, d), 7), _rand(
+        (b, s, h, d), 8
+    )
+    seg = np.ones((b, s), np.int32)
+    seg[0, 130:] = 2
+    seg = jnp.asarray(seg)
+    got = flash_attention(q, k, v, seg, seg, causal=True)
+    want = _ref(q, k, v, seg, seg, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_forward_gqa():
+    b, s, h, kvh, d = 1, 128, 8, 2, 32
+    q = _rand((b, s, h, d), 9)
+    k = _rand((b, s, kvh, d), 10)
+    v = _rand((b, s, kvh, d), 11)
+    seg = jnp.ones((b, s), jnp.int32)
+    got = flash_attention(q, k, v, seg, seg, causal=True)
+    want = _ref(q, k, v, seg, seg, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_forward_non_multiple_length():
+    b, s, h, d = 1, 200, 2, 32  # not a multiple of 128
+    q, k, v = _rand((b, s, h, d), 12), _rand((b, s, h, d), 13), _rand(
+        (b, s, h, d), 14
+    )
+    seg = jnp.ones((b, s), jnp.int32)
+    got = flash_attention(q, k, v, seg, seg, causal=True)
+    want = _ref(q, k, v, seg, seg, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+@pytest.mark.parametrize("causal", [True, False])
+def test_grads_match_reference(causal):
+    b, s, h, d = 1, 256, 2, 32
+    q, k, v = _rand((b, s, h, d), 15), _rand((b, s, h, d), 16), _rand(
+        (b, s, h, d), 17
+    )
+    seg = np.ones((b, s), np.int32)
+    seg[0, 220:] = 0
+    # random cotangent, zeroed at padded rows: the reference path emits
+    # uniform-softmax garbage for fully-masked rows while flash emits 0,
+    # so only valid positions are comparable (callers mask them anyway).
+    w = _rand((b, s, h, d), 18) * (seg != 0)[..., None, None]
+    seg = jnp.asarray(seg)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, seg, seg, causal=causal) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, seg, seg, causal) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4
+        )
+
+
+def test_grads_gqa():
+    b, s, h, kvh, d = 1, 128, 4, 2, 32
+    q = _rand((b, s, h, d), 19)
+    k = _rand((b, s, kvh, d), 20)
+    v = _rand((b, s, kvh, d), 21)
+    seg = jnp.ones((b, s), jnp.int32)
+    w = _rand((b, s, h, d), 22)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, seg, seg, causal=True) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_ref(q, k, v, seg, seg, True) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4
+        )

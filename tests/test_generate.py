@@ -1,0 +1,89 @@
+"""Batched KV-cache greedy decode vs naive full-recompute decode."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import LLAVA_TINY
+from halva_tpu.constants import IMAGE_TOKEN_INDEX
+from halva_tpu.models import llama, llava
+from halva_tpu.ops.generate import generate_greedy
+
+CFG = LLAVA_TINY
+EOS = 2
+
+
+def _naive_greedy(params, cfg, input_ids, images, prompt_lengths, max_new):
+    """Re-splice and run the full forward each step; argmax next token."""
+    b, s = input_ids.shape
+    t = cfg.num_image_tokens
+    ids = [list(row[:n]) for row, n in zip(input_ids, prompt_lengths)]
+    out = [[] for _ in range(b)]
+    done = [False] * b
+    for _ in range(max_new):
+        maxlen = max(len(r) for r in ids)
+        batch = np.zeros((b, maxlen), np.int32)
+        seg = np.zeros((b, maxlen), np.int32)
+        for i, r in enumerate(ids):
+            batch[i, : len(r)] = r
+            seg[i, : len(r)] = 1
+        logits, sp = llava.forward(
+            params,
+            cfg,
+            jnp.asarray(batch),
+            jnp.asarray(images),
+            segment_ids=jnp.asarray(seg),
+            attn_impl="xla",
+        )
+        logits = np.asarray(logits)
+        for i in range(b):
+            if done[i]:
+                continue
+            n_spliced = len(ids[i]) + (
+                t - 1 if IMAGE_TOKEN_INDEX in ids[i] else 0
+            )
+            nxt = int(np.argmax(logits[i, n_spliced - 1]))
+            if nxt == EOS:
+                done[i] = True
+            else:
+                out[i].append(nxt)
+                ids[i].append(nxt)
+        if all(done):
+            break
+    return out
+
+
+def test_generate_matches_naive():
+    params = llava.init_params(jax.random.PRNGKey(0), CFG)
+    b, s = 2, 7
+    rng = np.random.RandomState(0)
+    input_ids = rng.randint(5, 50, (b, s)).astype(np.int32)
+    input_ids[0, 1] = IMAGE_TOKEN_INDEX
+    input_ids[1, 0] = IMAGE_TOKEN_INDEX
+    prompt_lengths = np.array([7, 5], np.int32)
+    input_ids[1, 5:] = 0
+    images = rng.randn(
+        b, 3, CFG.vision.image_size, CFG.vision.image_size
+    ).astype(np.float32)
+
+    max_new = 8
+    tokens, num = generate_greedy(
+        params,
+        CFG,
+        jnp.asarray(input_ids),
+        jnp.asarray(images),
+        jnp.asarray(prompt_lengths),
+        max_new_tokens=max_new,
+        eos_id=EOS,
+        attn_impl="xla",
+    )
+    tokens = np.asarray(tokens)
+    num = np.asarray(num)
+
+    want = _naive_greedy(
+        params, CFG, input_ids, images, prompt_lengths, max_new
+    )
+    for i in range(b):
+        got = [t for t in tokens[i].tolist() if t != EOS][: int(num[i])]
+        assert got == want[i], (i, got, want[i])
