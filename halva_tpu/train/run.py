@@ -1,0 +1,248 @@
+"""HALVA DPA training entry point (the reference's train_halva.py train()).
+
+Orchestration only — all device math lives in trainer.py. The flow
+(reference llava/train/train_halva.py:1179-1243):
+  build policy (base + LoRA) and frozen reference model -> dataset ->
+  train loop (grad-accum, cosine lr, checkpoint/resume) -> adapter save.
+
+Differences by design:
+- one process drives the whole slice (jit over Mesh), not one rank/GPU;
+- the frozen ref model is just a second param tree (no 2nd engine);
+- resume is an orbax step restore, not HF checkpoint dirs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from halva_tpu.config import LlavaConfig, PRESETS
+from halva_tpu.mm_utils import clip_vit_l_336_processor
+from halva_tpu.models import llava
+from halva_tpu.parallel import mesh as mesh_lib
+from halva_tpu.parallel import partition
+from halva_tpu.train import checkpoint as ckpt_lib
+from halva_tpu.train import lora as lora_lib
+from halva_tpu.train import sampler as sampler_lib
+from halva_tpu.train import trainer as trainer_lib
+from halva_tpu.train.data import HallDataset, collate
+from halva_tpu.utils.logging import MetricsLogger, StepTimer, log0
+
+
+@dataclasses.dataclass
+class RunConfig:
+    model: str = "llava-v1.5-7b"  # preset name
+    model_path: Optional[str] = None  # orbax dir of converted base params
+    output_dir: str = "out/halva"
+    data_path: str = "data/data.json"
+    ref_data_path: Optional[str] = "data/ref_data.json"
+    image_folder: str = ""
+    # recipe (src/hallava_7b.sh)
+    epochs: float = 1.0
+    per_device_batch: int = 4
+    grad_accum_steps: int = 4
+    learning_rate: float = 5e-6
+    mm_projector_lr: Optional[float] = None
+    loss_alpha: float = 0.4
+    lora_r: int = 128
+    lora_alpha: float = 256.0
+    warmup_ratio: float = 0.03
+    weight_decay: float = 0.0
+    max_length: int = 2048
+    seed: int = 42
+    save_steps: int = 50000
+    log_every: int = 1
+    dtype: str = "bfloat16"
+    mesh_data: Optional[int] = None
+    mesh_model: int = 1
+    resume: bool = True
+    metrics_path: Optional[str] = None
+
+
+def build_models(rcfg: RunConfig, cfg: LlavaConfig):
+    """Base params (from a converted checkpoint dir, else random init for
+    smoke runs) + LoRA policy + frozen reference copy."""
+    dtype = jnp.bfloat16 if rcfg.dtype == "bfloat16" else jnp.float32
+    if rcfg.model_path:
+        like = jax.eval_shape(
+            lambda: llava.init_params(jax.random.PRNGKey(0), cfg, dtype)
+        )
+        base = ckpt_lib.load_params(rcfg.model_path, like)
+    else:
+        log0("no model_path given — random init (smoke mode)")
+        base = llava.init_params(jax.random.PRNGKey(0), cfg, dtype)
+    policy = lora_lib.add_lora(
+        base,
+        jax.random.PRNGKey(rcfg.seed),
+        rank=rcfg.lora_r,
+        alpha=rcfg.lora_alpha,
+    )
+    return policy, base  # ref model shares the base tree (frozen)
+
+
+def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
+    cfg: LlavaConfig = PRESETS[rcfg.model] if isinstance(
+        PRESETS.get(rcfg.model), LlavaConfig
+    ) else PRESETS["llava-tiny"]
+
+    mesh = mesh_lib.make_mesh(data=rcfg.mesh_data, model=rcfg.mesh_model)
+    log0("mesh: %s", dict(mesh.shape))
+
+    if dataset is None:
+        dataset = HallDataset(
+            rcfg.data_path,
+            rcfg.ref_data_path,
+            tokenizer,
+            clip_vit_l_336_processor(),
+            image_folder=rcfg.image_folder,
+            max_length=rcfg.max_length,
+            seed=rcfg.seed,
+        )
+
+    n_data = mesh.shape[mesh_lib.DATA_AXIS]
+    global_batch = rcfg.per_device_batch * n_data
+    steps_per_epoch = len(dataset) // global_batch
+    num_opt_steps = int(rcfg.epochs * steps_per_epoch / rcfg.grad_accum_steps)
+    num_micro_steps = num_opt_steps * rcfg.grad_accum_steps
+
+    tcfg = trainer_lib.TrainConfig(
+        learning_rate=rcfg.learning_rate,
+        mm_projector_lr=rcfg.mm_projector_lr,
+        warmup_ratio=rcfg.warmup_ratio,
+        weight_decay=rcfg.weight_decay,
+        loss_alpha=rcfg.loss_alpha,
+        grad_accum_steps=rcfg.grad_accum_steps,
+        num_train_steps=num_opt_steps,
+    )
+
+    policy, ref_params = build_models(rcfg, cfg)
+    trainable, frozen, optimizer, opt_state = trainer_lib.init_train_state(
+        policy, tcfg
+    )
+    # place on mesh
+    shard = lambda t: jax.tree.map(
+        jax.device_put, t, partition.param_shardings(t, mesh)
+    )
+    trainable, frozen, ref_params = (
+        shard(trainable),
+        shard(frozen),
+        shard(ref_params),
+    )
+    opt_state = shard(opt_state)
+
+    step_fn, _ = trainer_lib.dpa_step_fns(cfg, tcfg, optimizer)
+    step_fn = jax.jit(step_fn, donate_argnums=(0, 3))
+
+    mgr = ckpt_lib.CheckpointManager(
+        os.path.join(rcfg.output_dir, "checkpoints")
+    )
+    start_step = 0
+    if rcfg.resume and mgr.latest_step() is not None:
+        trainable, opt_state, start_step = mgr.restore(
+            jax.eval_shape(lambda: trainable),
+            jax.eval_shape(lambda: opt_state),
+        )
+        log0("resumed from step %d", start_step)
+
+    metrics = MetricsLogger(
+        rcfg.metrics_path
+        or os.path.join(rcfg.output_dir, "metrics.jsonl")
+    )
+    timer = StepTimer()
+
+    # index stream: modality length grouping, host-sharded
+    order = sampler_lib.modality_length_grouped_indices(
+        dataset.modality_lengths,
+        rcfg.per_device_batch,
+        n_data,
+        seed=rcfg.seed,
+    )
+    host_batches = sampler_lib.host_shard_batches(
+        order * max(1, int(np.ceil(rcfg.epochs))),
+        global_batch,
+        jax.process_index(),
+        jax.process_count(),
+    )
+
+    micro = start_step
+    t_train0 = time.time()
+    for batch_idx in host_batches:
+        if micro >= num_micro_steps:
+            break
+        samples = [dataset[i] for i in batch_idx]
+        samples = [s for s in samples if s is not None]
+        if not samples:
+            continue
+        batch = collate(samples, pad_token_id=0)
+        batch = partition.shard_batch(batch, mesh)
+        trainable, opt_state, m = step_fn(
+            trainable, frozen, ref_params, opt_state, batch
+        )
+        micro += 1
+        timer.tick()
+        if micro % rcfg.log_every == 0:
+            metrics.log(
+                micro,
+                {
+                    "loss": m.loss,
+                    "alignment": m.alignment,
+                    "kl": m.divergence,
+                    "grad_norm": m.grad_norm,
+                    "step_time": timer.avg or 0.0,
+                },
+            )
+        if micro % rcfg.save_steps == 0:
+            mgr.save(micro, trainable, opt_state)
+
+    log0("training done in %.1f min", (time.time() - t_train0) / 60)
+    mgr.save(micro, trainable, opt_state)
+
+    # adapter-only export (reference adapter + non_lora_trainables save)
+    final = trainer_lib.combine_params(trainable, frozen)
+    adapter = lora_lib.lora_state_dict(final)
+    ckpt_lib.save_adapter(
+        os.path.join(rcfg.output_dir, "adapter.npz"), adapter
+    )
+    log0("saved adapter with %d tensors", len(adapter))
+    metrics.close()
+    mgr.close()
+    return final
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="HALVA DPA training (TPU)")
+    for f in dataclasses.fields(RunConfig):
+        name = "--" + f.name.replace("_", "-")
+        if f.type is bool or isinstance(f.default, bool):
+            p.add_argument(name, type=lambda x: x.lower() == "true",
+                           default=f.default)
+        else:
+            p.add_argument(name, default=f.default)
+    args = p.parse_args(argv)
+    rcfg = RunConfig(**vars(args))
+    # numeric coercion for CLI strings
+    for f in dataclasses.fields(RunConfig):
+        v = getattr(rcfg, f.name)
+        if isinstance(f.default, (int, float)) and isinstance(v, str):
+            setattr(rcfg, f.name, type(f.default)(v))
+
+    from transformers import AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(
+        os.environ.get("HALVA_TOKENIZER", "lmsys/vicuna-7b-v1.5"),
+        use_fast=False,
+    )
+    tok.pad_token = tok.unk_token
+    train(rcfg, tok)
+
+
+if __name__ == "__main__":
+    main()

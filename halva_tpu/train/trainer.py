@@ -1,0 +1,319 @@
+"""DPA trainer: optimizer, schedules, and the sharded train step.
+
+Replaces the reference HalvaTrainer (llava/train/halva_trainer.py:155-592)
++ DeepSpeed engine pair with one jitted function over a Mesh:
+
+- policy params split into (trainable, frozen) sub-trees — grads and
+  optimizer state exist only for the trainable leaves (LoRA factors, and
+  the projector when mm_projector_lr > 0), the rest is closed over. This
+  replaces PEFT's requires_grad bookkeeping and the optimizer param groups
+  (halva_trainer.py:276-363).
+- the frozen reference model is a second param tree; its forward runs
+  inside the same jit under stop_gradient (no second engine, no
+  _prepare_deepspeed).
+- AdamW + linear-warmup cosine schedule (recipe of src/hallava_7b.sh:
+  lr 5e-6, warmup 3%, cosine, wd 0) with optional separate projector lr.
+- gradient accumulation via optax.MultiSteps (grad-acc 4 upstream).
+- FSDP/TP sharding comes from halva_tpu.parallel.partition; XLA inserts
+  all collectives.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from halva_tpu.config import LlavaConfig
+from halva_tpu.models import llava
+from halva_tpu.train import dpa
+from halva_tpu.train.lora import trainable_mask
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 5e-6
+    mm_projector_lr: Optional[float] = None  # None/0 -> projector frozen
+    warmup_ratio: float = 0.03
+    weight_decay: float = 0.0
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0
+    lr_schedule: str = "cosine"  # cosine | linear | constant
+    loss_alpha: float = 0.4
+    grad_accum_steps: int = 4
+    num_train_steps: int = 1000
+    max_phrases: int = dpa.MAX_PHRASES
+    attn_impl: str = "auto"
+    remat: bool = True
+
+
+# --------------------------------------------------------------------------
+# trainable/frozen partition (eqx-style, None placeholders)
+# --------------------------------------------------------------------------
+
+
+def split_params(params: Params, mask: Params) -> Tuple[Params, Params]:
+    train = jax.tree.map(
+        lambda p, m: p if m else None, params, mask
+    )
+    frozen = jax.tree.map(
+        lambda p, m: None if m else p, params, mask
+    )
+    return train, frozen
+
+
+def combine_params(train: Params, frozen: Params) -> Params:
+    return jax.tree.map(
+        lambda a, b: a if a is not None else b,
+        train,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
+
+
+# --------------------------------------------------------------------------
+# Optimizer
+# --------------------------------------------------------------------------
+
+
+def lr_schedule(tcfg: TrainConfig, base_lr: float) -> optax.Schedule:
+    warmup = max(int(tcfg.warmup_ratio * tcfg.num_train_steps), 1)
+    total = max(tcfg.num_train_steps, warmup + 1)
+    if tcfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            0.0, base_lr, warmup, total, end_value=0.0
+        )
+    if tcfg.lr_schedule == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, base_lr, warmup),
+                optax.linear_schedule(
+                    base_lr, 0.0, tcfg.num_train_steps - warmup
+                ),
+            ],
+            [warmup],
+        )
+    return optax.constant_schedule(base_lr)
+
+
+def make_optimizer(
+    tcfg: TrainConfig, trainable: Params
+) -> optax.GradientTransformation:
+    """AdamW over the trainable sub-tree; projector params get their own
+    lr when mm_projector_lr is set (reference create_optimizer param
+    groups, halva_trainer.py:276-363)."""
+
+    def adamw(lr):
+        return optax.chain(
+            optax.clip_by_global_norm(tcfg.max_grad_norm),
+            optax.scale_by_adam(
+                b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps
+            ),
+            optax.add_decayed_weights(tcfg.weight_decay),
+            optax.scale_by_schedule(lr_schedule(tcfg, lr)),
+            optax.scale(-1.0),
+        )
+
+    if tcfg.mm_projector_lr:
+        def label(tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)
+
+            def lab(kp):
+                parts = [
+                    str(k.key) for k in kp if hasattr(k, "key")
+                ]
+                return (
+                    "projector" if "projector" in parts else "base"
+                )
+
+            leaves = [lab(kp) for kp, _ in flat[0]]
+            return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+        tx = optax.multi_transform(
+            {
+                "base": adamw(tcfg.learning_rate),
+                "projector": adamw(tcfg.mm_projector_lr),
+            },
+            label,
+        )
+    else:
+        tx = adamw(tcfg.learning_rate)
+
+    if tcfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum_steps)
+    return tx
+
+
+# --------------------------------------------------------------------------
+# Train step
+# --------------------------------------------------------------------------
+
+
+class TrainMetrics(NamedTuple):
+    loss: jnp.ndarray
+    alignment: jnp.ndarray
+    divergence: jnp.ndarray
+    grad_norm: jnp.ndarray
+
+
+def dpa_step_fns(
+    cfg: LlavaConfig,
+    tcfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+):
+    """Build (train_step, eval_loss) jittable closures.
+
+    train_step(trainable, frozen, ref_params, opt_state, batch)
+      -> (new_trainable, new_opt_state, TrainMetrics)
+    """
+
+    def forwards(params: Params, batch: Dict[str, jnp.ndarray]):
+        # one 2B-row batched forward for pos+neg (reference
+        # concatenated_forward, halva_trainer.py:421-489)
+        input_ids = jnp.concatenate(
+            [batch["input_ids"], batch["neg_input_ids"]], axis=0
+        )
+        seg = jnp.concatenate(
+            [batch["segment_ids"], batch["neg_segment_ids"]], axis=0
+        )
+        labels = jnp.concatenate(
+            [batch["labels"], batch["neg_labels"]], axis=0
+        )
+        signs = jnp.concatenate(
+            [batch["pos_signs"], batch["neg_signs"]], axis=0
+        )
+        images = jnp.concatenate(
+            [batch["images"], batch["images"]], axis=0
+        )
+        logits, sp = llava.forward(
+            params,
+            cfg,
+            input_ids,
+            images,
+            segment_ids=seg,
+            labels=labels,
+            signs=signs,
+            attn_impl=tcfg.attn_impl,
+            remat=tcfg.remat,
+        )
+        b = batch["input_ids"].shape[0]
+        return (
+            logits[:b],
+            logits[b:],
+            sp.labels[:b],
+            sp.labels[b:],
+            sp.signs[:b],
+            sp.signs[b:],
+        )
+
+    def ref_forward(params: Params, batch: Dict[str, jnp.ndarray]):
+        logits, sp = llava.forward(
+            params,
+            cfg,
+            batch["ref_input_ids"],
+            batch["ref_images"],
+            segment_ids=batch["ref_segment_ids"],
+            labels=batch["ref_labels"],
+            attn_impl=tcfg.attn_impl,
+            remat=tcfg.remat,
+        )
+        return logits, sp.labels
+
+    def loss_fn(
+        trainable: Params,
+        frozen: Params,
+        frozen_ref_logits: jnp.ndarray,
+        ref_labels_spliced: jnp.ndarray,
+        batch: Dict[str, jnp.ndarray],
+    ):
+        params = combine_params(trainable, frozen)
+        (
+            pos_logits,
+            neg_logits,
+            pos_labels,
+            neg_labels,
+            pos_signs,
+            neg_signs,
+        ) = forwards(params, batch)
+        policy_ref_logits, _ = ref_forward(params, batch)
+        parts = dpa.dpa_loss(
+            pos_logits,
+            neg_logits,
+            pos_labels,
+            neg_labels,
+            pos_signs,
+            neg_signs,
+            policy_ref_logits,
+            frozen_ref_logits,
+            ref_labels_spliced,
+            alpha=tcfg.loss_alpha,
+            max_phrases=tcfg.max_phrases,
+        )
+        return parts.total, parts
+
+    def train_step(trainable, frozen, ref_params, opt_state, batch):
+        # frozen reference model forward — independent of the trainable
+        # leaves, computed once outside the grad
+        frozen_ref_logits, ref_labels_spliced = ref_forward(
+            ref_params, batch
+        )
+        frozen_ref_logits = jax.lax.stop_gradient(frozen_ref_logits)
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable,
+            frozen,
+            frozen_ref_logits,
+            ref_labels_spliced,
+            batch,
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, opt_state, trainable
+        )
+        new_trainable = optax.apply_updates(trainable, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            new_trainable,
+            new_opt_state,
+            TrainMetrics(loss, parts.alignment, parts.divergence, gnorm),
+        )
+
+    def eval_loss(trainable, frozen, ref_params, batch):
+        frozen_ref_logits, ref_labels_spliced = ref_forward(
+            ref_params, batch
+        )
+        loss, parts = loss_fn(
+            trainable,
+            frozen,
+            jax.lax.stop_gradient(frozen_ref_logits),
+            ref_labels_spliced,
+            batch,
+        )
+        return TrainMetrics(
+            loss, parts.alignment, parts.divergence, jnp.zeros(())
+        )
+
+    return train_step, eval_loss
+
+
+def init_train_state(
+    params: Params,
+    tcfg: TrainConfig,
+    extra_trainable: Tuple[str, ...] = (),
+):
+    """Split params, build optimizer + state. Returns
+    (trainable, frozen, optimizer, opt_state)."""
+    if tcfg.mm_projector_lr:
+        extra_trainable = extra_trainable + (r"^projector/",)
+    mask = trainable_mask(params, extra_trainable=extra_trainable)
+    trainable, frozen = split_params(params, mask)
+    optimizer = make_optimizer(tcfg, trainable)
+    opt_state = optimizer.init(trainable)
+    return trainable, frozen, optimizer, opt_state
