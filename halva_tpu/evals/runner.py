@@ -1,0 +1,249 @@
+"""Batched evaluation generation driver.
+
+Replaces the reference's one-process-per-GPU bs=1 loaders
+(eval_hall/model_vqa_loader.py:31-130, model_chair_loader.py,
+model_amber_loader.py, model_vqa_mmhal.py) with a single driver that
+buckets prompts by length and runs batched KV-cached greedy decode on the
+whole TPU slice — the designed >=2x A100 imgs/sec path (BASELINE.md).
+
+Answers are written as flushed JSONL rows with the reference's schema
+(question_id/prompt/text/answer_id/model_id) so every metric computer and
+the original scoring scripts consume them unchanged. `--num-chunks /
+--chunk-idx` splitting is kept for multi-slice fanout parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+import uuid
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from halva_tpu.config import LlavaConfig
+from halva_tpu.constants import DEFAULT_IMAGE_TOKEN
+from halva_tpu.conversation import get_template
+from halva_tpu.mm_utils import (
+    ImageProcessor,
+    process_images,
+    tokenizer_image_token,
+)
+from halva_tpu.ops.generate import decode_tokens, generate_greedy
+from halva_tpu.utils.logging import log0
+
+CHAIR_PROMPT = "Describe the image in detail."
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+
+
+def chair500_image_list() -> List[str]:
+    with open(os.path.join(_DATA_DIR, "chair500.json")) as f:
+        return json.load(f)
+
+
+def split_chunk(lst: Sequence, num_chunks: int, chunk_idx: int) -> List:
+    """Reference get_chunk (model_vqa_loader.py:19-27)."""
+    import math
+
+    size = math.ceil(len(lst) / num_chunks)
+    chunks = [
+        list(lst[i : i + size]) for i in range(0, len(lst), size)
+    ]
+    while len(chunks) < num_chunks:
+        chunks.append([])
+    return chunks[chunk_idx]
+
+
+@dataclasses.dataclass
+class EvalRequest:
+    question_id: Any
+    text: str  # raw question text (no image marker)
+    image_path: str
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+
+def build_prompt(
+    text: str, template_name: str = "v1", mm_use_im_start_end: bool = False
+) -> str:
+    qs = text
+    if mm_use_im_start_end:
+        qs = "<im_start>" + DEFAULT_IMAGE_TOKEN + "<im_end>" + "\n" + qs
+    else:
+        qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+    return get_template(template_name).prompt(qs)
+
+
+class BatchedGenerator:
+    """Length-bucketed batched greedy decode over a prepared model."""
+
+    def __init__(
+        self,
+        params: Dict,
+        cfg: LlavaConfig,
+        tokenizer,
+        image_processor: ImageProcessor,
+        image_aspect_ratio: str = "pad",
+        template_name: str = "v1",
+        batch_size: int = 8,
+        max_new_tokens: int = 1024,
+        prompt_bucket: int = 64,
+        attn_impl: str = "auto",
+    ):
+        self.params = params
+        self.cfg = cfg
+        self.tok = tokenizer
+        self.proc = image_processor
+        self.aspect = image_aspect_ratio
+        self.template = template_name
+        self.batch_size = batch_size
+        self.max_new_tokens = max_new_tokens
+        self.bucket = prompt_bucket
+        self.attn_impl = attn_impl
+        self.eos_id = tokenizer.eos_token_id
+
+    def _encode(self, req: EvalRequest):
+        prompt = build_prompt(req.text, self.template)
+        ids = tokenizer_image_token(prompt, self.tok)
+        img = Image.open(req.image_path).convert("RGB")
+        pixels = process_images([img], self.proc, self.aspect)[0]
+        return ids, pixels
+
+    def run(
+        self,
+        requests: Sequence[EvalRequest],
+        on_result: Optional[Callable[[EvalRequest, str], None]] = None,
+    ) -> List[str]:
+        """Greedy-decode all requests; returns text per request (input
+        order). Batches are filled in length-sorted order so each compiled
+        (bucket, batch) program is reused maximally."""
+        encoded = [self._encode(r) for r in requests]
+        order = sorted(
+            range(len(requests)), key=lambda i: len(encoded[i][0])
+        )
+        results: List[Optional[str]] = [None] * len(requests)
+
+        stop = get_template(self.template).stop_str()
+        for start in range(0, len(order), self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            ids_list = [encoded[i][0] for i in idxs]
+            imgs = np.stack([encoded[i][1] for i in idxs])
+            lens = np.array([len(x) for x in ids_list], np.int32)
+            tgt = -(-int(lens.max()) // self.bucket) * self.bucket
+            batch_ids = np.zeros((len(idxs), tgt), np.int32)
+            for j, ids in enumerate(ids_list):
+                batch_ids[j, : len(ids)] = ids
+            # pad the batch to full batch_size so one program serves all
+            nb = self.batch_size
+            if len(idxs) < nb:
+                pad = nb - len(idxs)
+                batch_ids = np.concatenate(
+                    [batch_ids, np.tile(batch_ids[-1:], (pad, 1))]
+                )
+                imgs = np.concatenate([imgs, np.tile(imgs[-1:], (pad, 1, 1, 1))])
+                lens = np.concatenate([lens, np.tile(lens[-1:], pad)])
+
+            tokens, num = generate_greedy(
+                self.params,
+                self.cfg,
+                jnp.asarray(batch_ids),
+                jnp.asarray(imgs.astype(np.float32)),
+                jnp.asarray(lens),
+                max_new_tokens=self.max_new_tokens,
+                eos_id=self.eos_id,
+                attn_impl=self.attn_impl,
+            )
+            texts = decode_tokens(
+                np.asarray(tokens),
+                np.asarray(num),
+                self.tok,
+                self.eos_id,
+                stop_strs=(stop,),
+            )
+            for j, i in enumerate(idxs):
+                results[i] = texts[j]
+                if on_result:
+                    on_result(requests[i], texts[j])
+        return [r if r is not None else "" for r in results]
+
+
+def write_answers_jsonl(
+    path: str,
+    requests: Sequence[EvalRequest],
+    texts: Sequence[str],
+    model_id: str,
+) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        for req, text in zip(requests, texts):
+            row = {
+                "question_id": req.question_id,
+                "prompt": req.text,
+                "text": text,
+                "answer_id": uuid.uuid4().hex[:22],
+                "model_id": model_id,
+                "metadata": {},
+            }
+            row.update(req.extra)
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+
+
+# ---- request builders (the reference's loader scripts) -------------------
+
+
+def vqa_requests(
+    question_file: str,
+    image_folder: str,
+    num_chunks: int = 1,
+    chunk_idx: int = 0,
+    additional_input_prompt: str = "",
+) -> List[EvalRequest]:
+    """model_vqa_loader (POPE/MME/generic VQA question JSONL)."""
+    questions = [json.loads(l) for l in open(question_file)]
+    questions = split_chunk(questions, num_chunks, chunk_idx)
+    return [
+        EvalRequest(
+            question_id=q["question_id"],
+            text=q["text"] + additional_input_prompt,
+            image_path=os.path.join(image_folder, q["image"]),
+        )
+        for q in questions
+    ]
+
+
+def chair_requests(
+    image_folder: str, num_chunks: int = 1, chunk_idx: int = 0
+) -> List[EvalRequest]:
+    """model_chair_loader: fixed 500 COCO val2014 images, detail prompt."""
+    images = split_chunk(chair500_image_list(), num_chunks, chunk_idx)
+    return [
+        EvalRequest(
+            question_id=int(name.split("_")[-1].split(".")[0]),
+            text=CHAIR_PROMPT,
+            image_path=os.path.join(image_folder, name),
+            extra={"image_id": int(name.split("_")[-1].split(".")[0])},
+        )
+        for name in images
+    ]
+
+
+def amber_requests(
+    query_file: str, image_folder: str
+) -> List[EvalRequest]:
+    """model_amber_loader: AMBER query json (id/image/query)."""
+    with open(query_file) as f:
+        queries = json.load(f)
+    return [
+        EvalRequest(
+            question_id=q["id"],
+            text=q["query"],
+            image_path=os.path.join(image_folder, q["image"]),
+            extra={"id": q["id"]},
+        )
+        for q in queries
+    ]

@@ -73,7 +73,7 @@ class SPTok:
 
     def decode(self, ids, skip_special_tokens=True):
         pieces = [
-            self.id_to_piece[i]
+            self.id_to_piece.get(i, f"<{i}>")
             for i in ids
             if not (skip_special_tokens and i in (1, 2))
         ]
