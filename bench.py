@@ -1,0 +1,147 @@
+"""Benchmark: CHAIR-500-style eval decode throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: llava-v1.5-7b architecture (random bf16 weights — no weights are
+downloadable in this environment; throughput is weight-value independent),
+CHAIR-style prompts (576 spliced image tokens + short text), batched
+KV-cached greedy decode of DECODE_TOKENS new tokens per image.
+
+Baseline: the reference evaluates CHAIR with HF generate at batch size 1,
+one process per A100 (eval_hall/model_vqa_loader.py:67, BASELINE.md). A
+bs=1 fp16 llava-7b on A100 decodes ~35 tok/s => ~0.25 imgs/sec at this
+token budget including prefill. vs_baseline = our imgs/sec / 0.25.
+
+Env knobs: HALVA_BENCH_PRESET (llava-v1.5-7b | llava-small),
+HALVA_BENCH_BATCH (override adaptive batch), HALVA_BENCH_TOKENS.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+# persistent compilation cache: the remote-compile path in this image is
+# slow for large programs; cache hits make reruns cheap
+os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
+
+import jax.numpy as jnp
+
+from halva_tpu.config import LLAVA_V15_7B, LlamaConfig, LlavaConfig, ViTConfig
+from halva_tpu.constants import IMAGE_TOKEN_INDEX
+from halva_tpu.models import llava
+from halva_tpu.ops.generate import generate_greedy
+
+DECODE_TOKENS = int(os.environ.get("HALVA_BENCH_TOKENS", "128"))
+A100_BASELINE_IMGS_PER_SEC = 0.25
+
+SMALL = LlavaConfig(
+    llm=LlamaConfig(
+        vocab_size=32000, hidden_size=1024, intermediate_size=2816,
+        num_layers=8, num_heads=16, max_position_embeddings=4096,
+    ),
+    vision=ViTConfig(
+        image_size=336, patch_size=14, hidden_size=512,
+        intermediate_size=2048, num_layers=6, num_heads=8,
+    ),
+)
+
+
+def pick_cfg():
+    name = os.environ.get("HALVA_BENCH_PRESET", "llava-v1.5-7b")
+    return SMALL if name == "llava-small" else LLAVA_V15_7B
+
+
+def make_inputs(cfg, batch):
+    rng = np.random.RandomState(0)
+    prompt_len = 48  # text part; splice adds 575
+    ids = rng.randint(5, 30000, (batch, prompt_len)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((batch,), prompt_len, np.int32)
+    images = rng.randn(
+        batch, 3, cfg.vision.image_size, cfg.vision.image_size
+    ).astype(np.float32)
+    return jnp.asarray(ids), jnp.asarray(images), jnp.asarray(lens)
+
+
+def run_once(cfg, params, batch):
+    ids, images, lens = make_inputs(cfg, batch)
+    # eos_id=-1 can never be generated (ids are non-negative), so every
+    # row decodes the full token budget
+    tokens, num = generate_greedy(
+        params, cfg, ids, images, lens,
+        max_new_tokens=DECODE_TOKENS, eos_id=-1,
+    )
+    jax.block_until_ready(tokens)
+    return tokens
+
+
+def main():
+    cfg = pick_cfg()
+    params = llava.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    jax.block_until_ready(params)
+
+    batches = (
+        [int(os.environ.get("HALVA_BENCH_BATCH"))]
+        if os.environ.get("HALVA_BENCH_BATCH")
+        else [8, 4, 2, 1]
+    )
+    last_err = None
+    for batch in batches:
+        try:
+            run_once(cfg, params, batch)  # compile + warmup
+            iters = 3 if batch >= 4 else 4
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                run_once(cfg, params, batch)
+            dt = (time.perf_counter() - t0) / iters
+            imgs_per_sec = batch / dt
+            toks_per_sec = batch * DECODE_TOKENS / dt
+            print(
+                json.dumps(
+                    {
+                        "metric": "chair500_eval_throughput",
+                        "value": round(imgs_per_sec, 4),
+                        "unit": "imgs/sec",
+                        "vs_baseline": round(
+                            imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3
+                        ),
+                        "detail": {
+                            "batch": batch,
+                            "decode_tokens": DECODE_TOKENS,
+                            "tokens_per_sec": round(toks_per_sec, 1),
+                            "step_time_s": round(dt, 3),
+                            "backend": jax.default_backend(),
+                        },
+                    }
+                )
+            )
+            return
+        except Exception as e:  # OOM at this batch -> try smaller
+            last_err = e
+            continue
+    print(
+        json.dumps(
+            {
+                "metric": "chair500_eval_throughput",
+                "value": 0.0,
+                "unit": "imgs/sec",
+                "vs_baseline": 0.0,
+                "error": str(last_err)[:500],
+            }
+        )
+    )
+    sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
