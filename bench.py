@@ -81,8 +81,10 @@ def run_once(cfg, params, batch):
         params, cfg, ids, images, lens,
         max_new_tokens=DECODE_TOKENS, eos_id=-1,
     )
-    jax.block_until_ready(tokens)
-    return tokens
+    # NOTE: on the axon relay platform block_until_ready does not actually
+    # synchronize; a host readback is the only reliable fence, and it's
+    # what a real eval loop does with the tokens anyway.
+    return np.asarray(tokens)
 
 
 def main():

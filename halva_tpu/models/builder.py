@@ -1,0 +1,275 @@
+"""Model loading for training/eval: HF checkpoints, adapters, merging.
+
+Replaces the reference eval builder (llava/model/builder.py:11-109):
+  base model -> non_lora_trainables -> PEFT adapter -> merge_and_unload
+with pure tree ops over our param format. Two sources are supported:
+
+- HF-format LLaVA checkpoint dirs (pytorch_model*.bin / *.safetensors,
+  the released liuhaotian/llava-v1.5-* and pritamqu/halva*-lora layouts),
+  converted through models/convert_hf.py;
+- native orbax dirs written by halva_tpu.train.checkpoint.save_params.
+
+PEFT adapter weights (adapter_model.bin with base_model.model.* keys,
+lora_A/lora_B) are translated into our lora_a/lora_b factors so released
+HALVA adapters load directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import (
+    CLIP_VIT_L_336,
+    LLAVA_V15_13B,
+    LLAVA_V15_7B,
+    LlavaConfig,
+)
+from halva_tpu.models import convert_hf, llava
+from halva_tpu.train import lora as lora_lib
+
+Params = Dict[str, Any]
+
+
+def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read all weight shards in an HF checkpoint dir into one flat dict
+    of numpy arrays (host RAM; 7B fp16 ~= 13GB — fine on this host)."""
+    sd: Dict[str, np.ndarray] = {}
+    sts = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    bins = sorted(glob.glob(os.path.join(model_dir, "pytorch_model*.bin")))
+    if sts:
+        from safetensors.numpy import load_file
+
+        for p in sts:
+            sd.update(load_file(p))
+    elif bins:
+        import torch
+
+        for p in bins:
+            shard = torch.load(p, map_location="cpu", weights_only=True)
+            for k, v in shard.items():
+                sd[k] = v.float().numpy()
+    else:
+        raise FileNotFoundError(f"no weight shards in {model_dir}")
+    return sd
+
+
+def config_from_hf(model_dir: str) -> LlavaConfig:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    if hf.get("hidden_size") == 5120:
+        return LLAVA_V15_13B
+    return LLAVA_V15_7B
+
+
+def llava_params_from_hf(
+    sd: Dict[str, np.ndarray], cfg: LlavaConfig
+) -> Params:
+    """Full LLaVA checkpoint (LLM + vision tower + projector) -> tree.
+
+    The released llava-v1.5 checkpoints store the CLIP tower under
+    model.vision_tower.vision_tower.vision_model.*; some exports omit it
+    (tower loaded from the CLIP repo) — in that case the vision entry is
+    initialized empty and must be filled via `attach_vision_tower`.
+    """
+    params: Params = {
+        "llm": convert_hf.llama_from_hf(sd, cfg.llm),
+        "projector": convert_hf.projector_from_hf(
+            sd, cfg.mm_projector_type
+        ),
+    }
+    tower_prefix = "model.vision_tower.vision_tower.vision_model."
+    if any(k.startswith(tower_prefix) for k in sd):
+        params["vision"] = convert_hf.clip_vit_from_hf(
+            sd, cfg.vision, prefix=tower_prefix
+        )
+    return params
+
+
+def attach_vision_tower(
+    params: Params, tower_dir: str, cfg: LlavaConfig
+) -> Params:
+    """Load a standalone CLIP/SigLIP tower checkpoint dir (HF format)."""
+    sd = load_hf_state_dict(tower_dir)
+    params = dict(params)
+    params["vision"] = convert_hf.clip_vit_from_hf(
+        sd, cfg.vision, prefix="vision_model."
+    )
+    return params
+
+
+# ---- PEFT adapter translation --------------------------------------------
+
+_PEFT_NAME_MAP = {
+    "q_proj": ("attn", "wq"),
+    "k_proj": ("attn", "wk"),
+    "v_proj": ("attn", "wv"),
+    "o_proj": ("attn", "wo"),
+    "gate_proj": ("mlp", "gate"),
+    "up_proj": ("mlp", "up"),
+    "down_proj": ("mlp", "down"),
+}
+
+_PEFT_KEY_RE = re.compile(
+    r"model\.layers\.(\d+)\.(self_attn|mlp)\.(\w+)\.lora_([AB])\.weight$"
+)
+
+
+def peft_adapter_to_lora(
+    adapter_sd: Dict[str, np.ndarray],
+    num_layers: int,
+    lora_alpha: float,
+    lora_r: int,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """PEFT adapter_model dict -> {module_path: {lora_a, lora_b, scale}}
+    with per-layer stacking. PEFT stores lora_A (r, in) and lora_B
+    (out, r); ours are (in, r) and (r, out)."""
+    per_module: Dict[Tuple[str, str], Dict[str, Dict[int, np.ndarray]]] = {}
+    for key, val in adapter_sd.items():
+        m = _PEFT_KEY_RE.search(key)
+        if not m:
+            continue
+        layer, _, proj, ab = m.groups()
+        if proj not in _PEFT_NAME_MAP:
+            continue
+        group, name = _PEFT_NAME_MAP[proj]
+        slot = per_module.setdefault(
+            (group, name), {"A": {}, "B": {}}
+        )
+        slot[ab][int(layer)] = np.asarray(val, np.float32)
+
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    scale = np.asarray(lora_alpha / lora_r, np.float32)
+    for (group, name), slot in per_module.items():
+        a = np.stack(
+            [slot["A"][i].T for i in range(num_layers)], axis=0
+        )  # (L, in, r)
+        b = np.stack(
+            [slot["B"][i].T for i in range(num_layers)], axis=0
+        )  # (L, r, out)
+        out[f"layers/{group}/{name}"] = {
+            "lora_a": a,
+            "lora_b": b,
+            "lora_scale": np.full((num_layers,), scale, np.float32),
+        }
+    return out
+
+
+def apply_peft_adapter(
+    params: Params, adapter_dir: str, cfg: LlavaConfig
+) -> Params:
+    """Load PEFT adapter_model.bin + adapter_config.json into the tree."""
+    with open(os.path.join(adapter_dir, "adapter_config.json")) as f:
+        acfg = json.load(f)
+    bin_path = os.path.join(adapter_dir, "adapter_model.bin")
+    st_path = os.path.join(adapter_dir, "adapter_model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        sd = load_file(st_path)
+    else:
+        import torch
+
+        sd = {
+            k: v.float().numpy()
+            for k, v in torch.load(
+                bin_path, map_location="cpu", weights_only=True
+            ).items()
+        }
+    modules = peft_adapter_to_lora(
+        sd, cfg.llm.num_layers, acfg["lora_alpha"], acfg["r"]
+    )
+    params = jax.tree.map(lambda x: x, params)
+    llm = params["llm"]
+    for path, factors in modules.items():
+        node = llm
+        for part in path.split("/")[:-1]:
+            node = node[part]
+        node = node[path.split("/")[-1]]
+        node.update(
+            {k: jnp.asarray(v) for k, v in factors.items()}
+        )
+    return params
+
+
+def apply_non_lora_trainables(
+    params: Params, sd: Dict[str, np.ndarray], cfg: LlavaConfig
+) -> Params:
+    """non_lora_trainables.bin: extra full weights trained alongside LoRA
+    (reference builder.py:50-65) — typically mm_projector and/or embeds."""
+    params = jax.tree.map(lambda x: x, params)
+    proj_keys = {
+        k: v for k, v in sd.items() if "mm_projector" in k
+    }
+    if proj_keys:
+        # normalize "base_model.model.model.mm_projector.0.weight" etc.
+        norm = {}
+        for k, v in proj_keys.items():
+            idx = k.index("mm_projector")
+            norm["model." + k[idx:]] = v
+        params["projector"] = convert_hf.projector_from_hf(
+            norm, cfg.mm_projector_type
+        )
+    return params
+
+
+def load_pretrained_model(
+    model_path: str,
+    model_base: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    vision_tower_path: Optional[str] = None,
+) -> Tuple[Params, LlavaConfig]:
+    """The reference's eval loader contract (builder.py:11):
+
+    - model_base given (LoRA checkpoint): load base, apply
+      non_lora_trainables + PEFT adapter (or our adapter.npz), merge.
+    - else: plain full checkpoint.
+    """
+    if model_base is not None:
+        cfg = config_from_hf(model_base)
+        params = llava_params_from_hf(load_hf_state_dict(model_base), cfg)
+        nlt = os.path.join(model_path, "non_lora_trainables.bin")
+        if os.path.exists(nlt):
+            import torch
+
+            sd = {
+                k: v.float().numpy()
+                for k, v in torch.load(
+                    nlt, map_location="cpu", weights_only=True
+                ).items()
+            }
+            params = apply_non_lora_trainables(params, sd, cfg)
+        ours = os.path.join(model_path, "adapter.npz")
+        if os.path.exists(ours):
+            from halva_tpu.train.checkpoint import load_adapter
+
+            base_with_slots = lora_lib.add_lora(
+                params, jax.random.PRNGKey(0), rank=1, alpha=1.0
+            )
+            params = lora_lib.load_lora_state_dict(
+                base_with_slots, load_adapter(ours)
+            )
+        else:
+            params = apply_peft_adapter(params, model_path, cfg)
+        params = lora_lib.merge_lora(params)
+    else:
+        cfg = config_from_hf(model_path)
+        params = llava_params_from_hf(
+            load_hf_state_dict(model_path), cfg
+        )
+    if "vision" not in params:
+        if vision_tower_path is None:
+            raise FileNotFoundError(
+                "checkpoint has no vision tower; pass vision_tower_path"
+            )
+        params = attach_vision_tower(params, vision_tower_path, cfg)
+    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    return params, cfg
