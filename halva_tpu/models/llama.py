@@ -313,8 +313,11 @@ def prefill(
         positions, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
 
-    def scan_fn(x, inputs):
-        layer_params, k_cache, v_cache = inputs
+    # the full stacked cache rides the scan CARRY so XLA updates it in
+    # place (one HBM buffer) instead of materializing input+output copies
+    def scan_fn(carry, inputs):
+        x, k_full, v_full, li = carry
+        layer_params = inputs
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
         q = dense(y, ap["wq"]).reshape(b, s, h_, dh)
@@ -322,11 +325,11 @@ def prefill(
         v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        new_k = jax.lax.dynamic_update_slice(
-            k_cache, k.astype(k_cache.dtype), (0, 0, 0, 0)
+        k_full = jax.lax.dynamic_update_slice(
+            k_full, k.astype(k_full.dtype)[None], (li, 0, 0, 0, 0)
         )
-        new_v = jax.lax.dynamic_update_slice(
-            v_cache, v.astype(v_cache.dtype), (0, 0, 0, 0)
+        v_full = jax.lax.dynamic_update_slice(
+            v_full, v.astype(v_full.dtype)[None], (li, 0, 0, 0, 0)
         )
         attn_out = attention(
             q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
@@ -337,10 +340,12 @@ def prefill(
         )
         gated = jax.nn.silu(dense(y, mp["gate"])) * dense(y, mp["up"])
         x = x + dense(gated, mp["down"])
-        return x, (new_k, new_v)
+        return (x, k_full, v_full, li + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        scan_fn, inputs_embeds, (params["layers"], cache["k"], cache["v"])
+    (x, new_k, new_v, _), _ = jax.lax.scan(
+        scan_fn,
+        (inputs_embeds, cache["k"], cache["v"], jnp.int32(0)),
+        params["layers"],
     )
     hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     return hidden, {"k": new_k, "v": new_v}
@@ -367,8 +372,8 @@ def decode_step(
         positions[:, None], cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
 
-    def scan_fn(x, inputs):
-        layer_params, k_cache, v_cache = inputs
+    def scan_fn(carry, layer_params):
+        x, k_full, v_full, li = carry
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
@@ -377,12 +382,20 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # scatter new k/v at per-row positions (broadcasted select — XLA
-        # fuses this into an in-place dynamic-update on TPU)
+        # scatter new k/v at per-row positions into the carried cache —
+        # carry aliasing keeps a single HBM buffer
+        k_cache = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
+        v_cache = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
         slot = jnp.arange(k_cache.shape[1], dtype=jnp.int32)[None, :]
         is_slot = (slot == positions[:, None])[:, :, None, None]
         new_k = jnp.where(is_slot, k.astype(k_cache.dtype), k_cache)
         new_v = jnp.where(is_slot, v.astype(v_cache.dtype), v_cache)
+        k_full = jax.lax.dynamic_update_slice(
+            k_full, new_k[None], (li, 0, 0, 0, 0)
+        )
+        v_full = jax.lax.dynamic_update_slice(
+            v_full, new_v[None], (li, 0, 0, 0, 0)
+        )
 
         q_seg = jnp.ones((b, 1), jnp.int32)
         attn_out = attention(
@@ -400,10 +413,12 @@ def decode_step(
         )
         gated = jax.nn.silu(dense(y, mp["gate"])) * dense(y, mp["up"])
         x = x + dense(gated, mp["down"])
-        return x, (new_k, new_v)
+        return (x, k_full, v_full, li + 1), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        scan_fn, token_embeds, (params["layers"], cache["k"], cache["v"])
+    (x, new_k, new_v, _), _ = jax.lax.scan(
+        scan_fn,
+        (token_embeds, cache["k"], cache["v"], jnp.int32(0)),
+        params["layers"],
     )
     hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
     logits = lm_logits(params, cfg, hidden)[:, 0]
