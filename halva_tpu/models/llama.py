@@ -41,8 +41,19 @@ Params = Dict[str, Any]
 
 
 def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
-    """y = x @ kernel [+ bias] [+ lora_scale * (x @ lora_a) @ lora_b]."""
-    y = jnp.dot(x, p["kernel"].astype(x.dtype))
+    """y = x @ kernel [+ bias] [+ lora_scale * (x @ lora_a) @ lora_b].
+
+    Kernels may be weight-only int8 (kernel_q + kernel_scale, see
+    halva_tpu.ops.quant) — dequantized on the fly, one layer at a time.
+    """
+    if "kernel_q" in p:
+        w = (
+            p["kernel_q"].astype(x.dtype)
+            * p["kernel_scale"].astype(x.dtype)
+        )
+        y = jnp.dot(x, w)
+    else:
+        y = jnp.dot(x, p["kernel"].astype(x.dtype))
     if "bias" in p:
         y = y + p["bias"].astype(x.dtype)
     if "lora_a" in p:
@@ -179,8 +190,14 @@ def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     """Token embedding lookup. Out-of-range ids (e.g. the -200 image
     sentinel or -100 ignore) are clamped to 0 — callers overwrite those
     positions in the splice."""
-    ids = jnp.clip(input_ids, 0, params["embed"]["embedding"].shape[0] - 1)
-    return jnp.take(params["embed"]["embedding"], ids, axis=0)
+    p = params["embed"]
+    table = p.get("embedding", p.get("embedding_q"))
+    ids = jnp.clip(input_ids, 0, table.shape[0] - 1)
+    if "embedding_q" in p:
+        from halva_tpu.ops.quant import embed_lookup
+
+        return embed_lookup(p, ids)
+    return jnp.take(p["embedding"], ids, axis=0)
 
 
 def _layer(
@@ -249,8 +266,14 @@ def lm_logits(
     """fp32 logits (the reference always casts logits to fp32 for the loss,
     llava/train/halva_trainer.py:473)."""
     if cfg.tie_word_embeddings:
-        w = params["embed"]["embedding"].T
-        out = jnp.dot(hidden, w.astype(hidden.dtype))
+        ep = params["embed"]
+        if "embedding_q" in ep:
+            w = ep["embedding_q"].astype(jnp.float32) * ep[
+                "embedding_scale"
+            ].astype(jnp.float32)
+        else:
+            w = ep["embedding"]
+        out = jnp.dot(hidden, w.T.astype(hidden.dtype))
     else:
         out = dense(hidden, params["lm_head"])
     return out.astype(jnp.float32)

@@ -1,0 +1,85 @@
+"""Weight-only int8 quantization for serving.
+
+TPU-native replacement for the capability the reference gets from
+bitsandbytes (4/8-bit QLoRA path, llava/train/train_halva.py:1036-1052):
+per-output-channel symmetric absmax int8 on every dense kernel (and
+per-row on the embedding table). Halves weight HBM traffic (the decode
+bottleneck) and fits llava-7b + large decode batches on one 16GB v5e chip.
+
+Runtime dequantization happens inside halva_tpu.models.llama.dense: one
+layer's weights are expanded at a time (scan), so peak memory is
+int8 params + a single layer in bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def quantize_kernel(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., in, out) -> int8 kernel + (..., 1, out) bf16 scales."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"kernel_q": q, "kernel_scale": scale.astype(jnp.bfloat16)}
+
+
+def quantize_embedding(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(V, D) -> int8 rows + (V, 1) scales."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(w32 / scale), -127, 127).astype(jnp.int8)
+    return {"embedding_q": q, "embedding_scale": scale.astype(jnp.bfloat16)}
+
+
+def quantize_params(params: Params, quantize_embed: bool = True) -> Params:
+    """Rewrite every dense kernel (and optionally the embed table) into
+    int8 form. LoRA factors stay in their original dtype (they are tiny
+    and train in bf16/fp32)."""
+
+    def rewrite(node):
+        if not isinstance(node, dict):
+            if isinstance(node, (list, tuple)):
+                return type(node)(rewrite(x) for x in node)
+            return node
+        if "kernel" in node and node["kernel"].ndim in (2, 3):
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            out.update(quantize_kernel(node["kernel"]))
+            return out
+        if (
+            "embedding" in node
+            and quantize_embed
+            and node["embedding"].ndim == 2
+            and node["embedding"].shape[0] >= 4096  # vocab tables only
+        ):
+            out = {k: v for k, v in node.items() if k != "embedding"}
+            out.update(quantize_embedding(node["embedding"]))
+            return out
+        return {k: rewrite(v) for k, v in node.items()}
+
+    return rewrite(params)
+
+
+def dequantize_kernel(p: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (
+        p["kernel_q"].astype(jnp.float32)
+        * p["kernel_scale"].astype(jnp.float32)
+    ).astype(dtype)
+
+
+def embed_lookup(p: Params, ids: jnp.ndarray, dtype=jnp.bfloat16):
+    """Quantization-aware embedding lookup."""
+    if "embedding_q" in p:
+        rows = jnp.take(p["embedding_q"], ids, axis=0).astype(jnp.float32)
+        scale = jnp.take(p["embedding_scale"], ids, axis=0).astype(
+            jnp.float32
+        )
+        return (rows * scale).astype(dtype)
+    return jnp.take(p["embedding"], ids, axis=0)
