@@ -32,6 +32,9 @@ class LlamaConfig:
     rope_scaling: Optional[float] = None  # linear scaling factor (VILA ctx ext)
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
+    # alt-backend knobs (VILA's llava_mistral / llava_mpt wrappers):
+    sliding_window: Optional[int] = None  # Mistral local attention
+    position_embedding: str = "rope"  # rope | alibi (MPT)
 
     @property
     def kv_heads(self) -> int:
@@ -114,6 +117,18 @@ LLAMA_13B = LlamaConfig(
     max_position_embeddings=4096,
 )
 
+MISTRAL_7B = LlamaConfig(
+    vocab_size=32000,
+    hidden_size=4096,
+    intermediate_size=14336,
+    num_layers=32,
+    num_heads=32,
+    num_kv_heads=8,
+    max_position_embeddings=32768,
+    rope_theta=10000.0,
+    sliding_window=4096,
+)
+
 CLIP_VIT_L_336 = ViTConfig()
 
 SIGLIP_SO400M_384 = ViTConfig(
@@ -161,6 +176,7 @@ LLAVA_TINY = LlavaConfig(llm=LLAMA_TINY, vision=VIT_TINY)
 PRESETS = {
     "llama-7b": LLAMA_7B,
     "llama-13b": LLAMA_13B,
+    "mistral-7b": MISTRAL_7B,
     "llava-v1.5-7b": LLAVA_V15_7B,
     "llava-v1.5-13b": LLAVA_V15_13B,
     "vila-13b-384": VILA_13B_384,

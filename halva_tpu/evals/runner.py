@@ -63,18 +63,22 @@ def split_chunk(lst: Sequence, num_chunks: int, chunk_idx: int) -> List:
 class EvalRequest:
     question_id: Any
     text: str  # raw question text (no image marker)
-    image_path: str
+    image_path: Optional[str]  # None = text-only (HallusionBench VS rows)
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
 
 def build_prompt(
-    text: str, template_name: str = "v1", mm_use_im_start_end: bool = False
+    text: str,
+    template_name: str = "v1",
+    mm_use_im_start_end: bool = False,
+    with_image: bool = True,
 ) -> str:
     qs = text
-    if mm_use_im_start_end:
-        qs = "<im_start>" + DEFAULT_IMAGE_TOKEN + "<im_end>" + "\n" + qs
-    else:
-        qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
+    if with_image:
+        if mm_use_im_start_end:
+            qs = "<im_start>" + DEFAULT_IMAGE_TOKEN + "<im_end>" + "\n" + qs
+        else:
+            qs = DEFAULT_IMAGE_TOKEN + "\n" + qs
     return get_template(template_name).prompt(qs)
 
 
@@ -107,10 +111,19 @@ class BatchedGenerator:
         self.eos_id = tokenizer.eos_token_id
 
     def _encode(self, req: EvalRequest):
-        prompt = build_prompt(req.text, self.template)
+        with_image = req.image_path is not None
+        prompt = build_prompt(
+            req.text, self.template, with_image=with_image
+        )
         ids = tokenizer_image_token(prompt, self.tok)
-        img = Image.open(req.image_path).convert("RGB")
-        pixels = process_images([img], self.proc, self.aspect)[0]
+        if with_image:
+            img = Image.open(req.image_path).convert("RGB")
+            pixels = process_images([img], self.proc, self.aspect)[0]
+        else:
+            # text-only: zero image; the splice masks the image block for
+            # rows without the sentinel
+            sz = self.proc.crop_size
+            pixels = np.zeros((3, sz, sz), np.float32)
         return ids, pixels
 
     def run(
@@ -247,3 +260,62 @@ def amber_requests(
         )
         for q in queries
     ]
+
+
+def mmhal_requests(
+    data: Sequence[dict], image_folder: str
+) -> List[EvalRequest]:
+    """model_vqa_mmhal: MMHal-Bench records (96 questions). `data` is the
+    loaded dataset rows (HF datasets dict or the response_template json);
+    images must be pre-downloaded into image_folder keyed by the url
+    basename (the reference also uses pre-downloaded images)."""
+    reqs = []
+    for i, row in enumerate(data):
+        url = row.get("image_src") or row.get("image_path", "")
+        fname = row.get("image_id") or os.path.basename(url)
+        if not os.path.splitext(str(fname))[1]:
+            fname = f"{fname}.jpg"
+        reqs.append(
+            EvalRequest(
+                question_id=i,
+                text=row["question"],
+                image_path=os.path.join(image_folder, str(fname)),
+                extra={
+                    "question_type": row.get("question_type"),
+                    "image_content": row.get("image_content"),
+                    "gt_answer": row.get("gt_answer"),
+                },
+            )
+        )
+    return reqs
+
+
+def hallusion_requests(
+    data: Sequence[dict], image_folder: str
+) -> List[EvalRequest]:
+    """hallusion_bench/random_guess generate step: VD rows and VS rows
+    with visual_input>0 carry an image; visual_input==0 is text-only."""
+    reqs = []
+    for i, row in enumerate(data):
+        if int(row.get("visual_input", 0)) > 0:
+            image_path = os.path.join(
+                image_folder, row["filename"][2:]
+            )
+        else:
+            image_path = None
+        reqs.append(
+            EvalRequest(
+                question_id=i,
+                text=row["question"],
+                image_path=image_path,
+                extra={
+                    k: row.get(k)
+                    for k in (
+                        "category", "subcategory", "set_id",
+                        "figure_id", "question_id", "visual_input",
+                        "gt_answer", "gt_answer_details",
+                    )
+                },
+            )
+        )
+    return reqs

@@ -208,6 +208,7 @@ def _layer(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     segment_ids: jnp.ndarray,  # (B, S)
+    positions: Optional[jnp.ndarray] = None,  # needed for alibi/window
 ) -> jnp.ndarray:
     b, s, d = x.shape
     h, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
@@ -217,11 +218,34 @@ def _layer(
     q = dense(y, ap["wq"]).reshape(b, s, h, dh)
     k = dense(y, ap["wk"]).reshape(b, s, kvh, dh)
     v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    attn_out = attention(
-        q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
-    )
+    if cfg.position_embedding == "rope":
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+    if cfg.sliding_window is not None or cfg.position_embedding == "alibi":
+        # alt-backend path (Mistral local attention / MPT ALiBi): XLA
+        # masked attention with optional additive bias
+        from halva_tpu.ops.attention import (
+            alibi_bias,
+            attention_reference,
+            make_attention_mask,
+        )
+
+        mask = make_attention_mask(
+            segment_ids,
+            segment_ids,
+            causal=True,
+            sliding_window=cfg.sliding_window,
+        )
+        bias = None
+        if cfg.position_embedding == "alibi":
+            assert positions is not None
+            bias = alibi_bias(h, positions, positions)
+        attn_out = attention_reference(q, k, v, mask=mask, bias=bias)
+    else:
+        attn_out = attention(
+            q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
+        )
     x = x + dense(attn_out.reshape(b, s, h * dh), ap["wo"])
 
     y = rms_norm(x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps)
@@ -254,7 +278,7 @@ def forward_embeds(
         )
 
     def scan_fn(x, layer_params):
-        return body(x, layer_params, cos, sin, segment_ids), None
+        return body(x, layer_params, cos, sin, segment_ids, positions), None
 
     x, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
     return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)

@@ -209,6 +209,39 @@ def encode(
     return _select(x, cfg, select_feature)
 
 
+def interpolate_pos_embed(
+    params: Params, cfg: ViTConfig, new_image_size: int
+) -> Tuple[Params, ViTConfig]:
+    """Bicubic-resize the positional grid to a new input resolution
+    (VILA VisionTower._maybe_resize_pos_embeds,
+    vila/model/multimodal_encoder/vision_encoder.py:36, used by
+    vision_resolution_elevation). Returns (new params, new config)."""
+    import dataclasses
+    import math
+
+    old = params["pos_embed"]["embedding"]
+    n_cls = 1 if cfg.use_cls_token else 0
+    grid = old[n_cls:]
+    side = int(math.isqrt(grid.shape[0]))
+    assert side * side == grid.shape[0]
+    new_side = new_image_size // cfg.patch_size
+    d = grid.shape[-1]
+    resized = jax.image.resize(
+        grid.reshape(side, side, d).astype(jnp.float32),
+        (new_side, new_side, d),
+        method="bicubic",
+    ).reshape(new_side * new_side, d).astype(old.dtype)
+    new_embed = (
+        jnp.concatenate([old[:n_cls], resized], axis=0)
+        if n_cls
+        else resized
+    )
+    new_params = dict(params)
+    new_params["pos_embed"] = {"embedding": new_embed}
+    new_cfg = dataclasses.replace(cfg, image_size=new_image_size)
+    return new_params, new_cfg
+
+
 def _select(x: jnp.ndarray, cfg: ViTConfig, feature: str) -> jnp.ndarray:
     if feature == "patch":
         return x[:, 1:] if cfg.use_cls_token else x

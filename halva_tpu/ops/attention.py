@@ -36,24 +36,58 @@ def make_attention_mask(
     kv_segment_ids: jnp.ndarray,  # (B, Skv) int32
     causal: bool = True,
     q_offset: Optional[jnp.ndarray] = None,  # (B,) position of q block start
+    sliding_window: Optional[int] = None,  # Mistral-style local window
 ) -> jnp.ndarray:
     """Boolean (B, 1, Sq, Skv) mask: True = attend.
 
     `q_offset` supports decode: queries at absolute positions offset+i.
+    `sliding_window` keeps only keys within the last W positions.
     """
     same = (q_segment_ids[:, :, None] == kv_segment_ids[:, None, :]) & (
         q_segment_ids[:, :, None] != 0
     )
+    sq = q_segment_ids.shape[1]
+    skv = kv_segment_ids.shape[1]
+    q_pos = jnp.arange(sq, dtype=jnp.int32)[None, :]
+    if q_offset is not None:
+        q_pos = q_pos + q_offset[:, None]
+    k_pos = jnp.arange(skv, dtype=jnp.int32)[None, :]
     if causal:
-        sq = q_segment_ids.shape[1]
-        skv = kv_segment_ids.shape[1]
-        q_pos = jnp.arange(sq, dtype=jnp.int32)[None, :]
-        if q_offset is not None:
-            q_pos = q_pos + q_offset[:, None]
-        k_pos = jnp.arange(skv, dtype=jnp.int32)[None, :]
-        causal_m = q_pos[:, :, None] >= k_pos[:, None, :]
-        same = same & causal_m
+        same = same & (q_pos[:, :, None] >= k_pos[:, None, :])
+    if sliding_window is not None:
+        same = same & (
+            q_pos[:, :, None] - k_pos[:, None, :] < sliding_window
+        )
     return same[:, None, :, :]
+
+
+def alibi_bias(
+    num_heads: int,
+    q_positions: jnp.ndarray,  # (B, Sq)
+    k_positions: jnp.ndarray,  # (B, Skv)
+) -> jnp.ndarray:
+    """(B, H, Sq, Skv) ALiBi additive bias (MPT attention,
+    vila/model/language_model/mpt/attention.py:258): slope_h * -(q - k)
+    with slopes 2^(-8h/H) over a power-of-two head ladder."""
+    import math
+
+    def slopes(n: int):
+        def pow2slopes(k):
+            start = 2.0 ** (-(2.0 ** -(math.log2(k) - 3)))
+            return [start * (start**i) for i in range(k)]
+
+        if math.log2(n).is_integer():
+            return pow2slopes(n)
+        k = 2 ** math.floor(math.log2(n))
+        base = pow2slopes(k)
+        extra = pow2slopes(2 * k)[0::2][: n - k]
+        return base + extra
+
+    s = jnp.asarray(slopes(num_heads), jnp.float32)  # (H,)
+    dist = (
+        q_positions[:, :, None] - k_positions[:, None, :]
+    ).astype(jnp.float32)  # (B, Sq, Skv), >=0 under causal mask
+    return -jnp.abs(dist)[:, None, :, :] * s[None, :, None, None]
 
 
 def attention_reference(

@@ -67,6 +67,48 @@ def quantize_params(params: Params, quantize_embed: bool = True) -> Params:
     return rewrite(params)
 
 
+def quantize_params_inplace(
+    params: Params, quantize_embed: bool = True
+) -> Params:
+    """Like quantize_params, but frees each source array right after its
+    int8 replacement is computed — peak device memory stays at
+    original-params + one tensor instead of original + quantized."""
+
+    def rewrite(node):
+        if not isinstance(node, dict):
+            if isinstance(node, (list, tuple)):
+                return type(node)(rewrite(x) for x in node)
+            return node
+        if "kernel" in node and node["kernel"].ndim in (2, 3):
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            q = quantize_kernel(node["kernel"])
+            jax.block_until_ready(q)
+            src = node["kernel"]
+            node["kernel"] = None
+            if hasattr(src, "delete"):
+                src.delete()
+            out.update(q)
+            return out
+        if (
+            "embedding" in node
+            and quantize_embed
+            and node["embedding"].ndim == 2
+            and node["embedding"].shape[0] >= 4096
+        ):
+            out = {k: v for k, v in node.items() if k != "embedding"}
+            q = quantize_embedding(node["embedding"])
+            jax.block_until_ready(q)
+            src = node["embedding"]
+            node["embedding"] = None
+            if hasattr(src, "delete"):
+                src.delete()
+            out.update(q)
+            return out
+        return {k: rewrite(v) for k, v in node.items()}
+
+    return rewrite(params)
+
+
 def dequantize_kernel(p: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (
         p["kernel_q"].astype(jnp.float32)
