@@ -30,8 +30,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 128
-DEFAULT_BLOCK_K = 128
+# defaults tuned on v5e (b8 s2048 h32 d128: 128/128 -> 16 TF/s,
+# 512/256 -> 31 TF/s, 1024/512 -> 35 TF/s; bigger q blocks amortize
+# per-program overhead). Next lever (round 2): skip mask computation on
+# interior blocks (diagonal-only masking) — the kernel is VPU-bound.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 256
 NEG_INF = -1e30
 
 
@@ -71,7 +75,9 @@ def _fwd_kernel(
     qi = pl.program_id(2)
     q_start = qi * bq
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
+    # matmuls run in the input dtype (bf16 -> MXU native) with fp32
+    # accumulation; softmax statistics stay fp32
+    q = q_ref[0, 0]
     q_seg = qseg_ref[0, 0][:, None]
 
     num_kv_blocks = pl.cdiv(kv_len, block_k)
@@ -84,11 +90,11 @@ def _fwd_kernel(
     def body(ki, carry):
         o_acc, m, l = carry
         kv_start = ki * block_k
-        k = k_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(kv_start, block_k), :]
+        v = v_ref[0, 0, pl.ds(kv_start, block_k), :]
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         mask = _block_mask(
             q_seg, kv_seg, q_start, kv_start, bq, block_k, causal
         )
@@ -99,7 +105,7 @@ def _fwd_kernel(
         p = jnp.exp(s - m_new[:, None])
         l_new = l * alpha + jnp.sum(p, axis=1)
         o_new = o_acc * alpha[:, None] + jnp.dot(
-            p, v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         return o_new, m_new, l_new
 
@@ -134,8 +140,8 @@ def _bwd_dq_kernel(
     qi = pl.program_id(2)
     q_start = qi * bq
 
-    q = q_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    do = do_ref[0, 0]
     lse = lse_ref[0, 0, 0][:, None]
     delta = delta_ref[0, 0, 0][:, None]
     q_seg = qseg_ref[0, 0][:, None]
@@ -148,8 +154,8 @@ def _bwd_dq_kernel(
 
     def body(ki, dq):
         kv_start = ki * block_k
-        k = k_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
-        v = v_ref[0, 0, pl.ds(kv_start, block_k), :].astype(jnp.float32)
+        k = k_ref[0, 0, pl.ds(kv_start, block_k), :]
+        v = v_ref[0, 0, pl.ds(kv_start, block_k), :]
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
 
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -158,7 +164,7 @@ def _bwd_dq_kernel(
         )
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq0 = jnp.zeros((bq, d), jnp.float32)
@@ -188,8 +194,8 @@ def _bwd_dkv_kernel(
     ki = pl.program_id(2)
     kv_start = ki * bk
 
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     kv_seg = kvseg_ref[0, 0][None, :]
 
     num_q_blocks = pl.cdiv(q_len, block_q)
@@ -201,8 +207,8 @@ def _bwd_dkv_kernel(
     def body(qi, carry):
         dk, dv = carry
         q_start = qi * block_q
-        q = q_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
-        do = do_ref[0, 0, pl.ds(q_start, block_q), :].astype(jnp.float32)
+        q = q_ref[0, 0, pl.ds(q_start, block_q), :]
+        do = do_ref[0, 0, pl.ds(q_start, block_q), :]
         lse = lse_ref[0, 0, 0, pl.ds(q_start, block_q)][:, None]
         delta = delta_ref[0, 0, 0, pl.ds(q_start, block_q)][:, None]
         q_seg = qseg_ref[0, 0, pl.ds(q_start, block_q)][:, None]
@@ -212,9 +218,11 @@ def _bwd_dkv_kernel(
             q_seg, kv_seg, q_start, kv_start, block_q, bk, causal
         )
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
-        dv_new = dv + jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+        dv_new = dv + jnp.dot(
+            p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+        )
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
         dk_new = dk + jnp.dot(ds.T, q, preferred_element_type=jnp.float32)
         return dk_new, dv_new
 
