@@ -230,20 +230,26 @@ def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(description="HALVA DPA training (TPU)")
+    # argument types derived from annotations (Optional[float] etc.)
+    kinds = {
+        "epochs": float, "learning_rate": float, "loss_alpha": float,
+        "lora_alpha": float, "warmup_ratio": float, "weight_decay": float,
+        "mm_projector_lr": float,
+        "per_device_batch": int, "grad_accum_steps": int, "lora_r": int,
+        "max_length": int, "seed": int, "save_steps": int,
+        "log_every": int, "mesh_data": int, "mesh_model": int,
+    }
     for f in dataclasses.fields(RunConfig):
         name = "--" + f.name.replace("_", "-")
-        if f.type is bool or isinstance(f.default, bool):
+        if isinstance(f.default, bool):
             p.add_argument(name, type=lambda x: x.lower() == "true",
                            default=f.default)
+        elif f.name in kinds:
+            p.add_argument(name, type=kinds[f.name], default=f.default)
         else:
             p.add_argument(name, default=f.default)
     args = p.parse_args(argv)
     rcfg = RunConfig(**vars(args))
-    # numeric coercion for CLI strings
-    for f in dataclasses.fields(RunConfig):
-        v = getattr(rcfg, f.name)
-        if isinstance(f.default, (int, float)) and isinstance(v, str):
-            setattr(rcfg, f.name, type(f.default)(v))
 
     from transformers import AutoTokenizer
 
