@@ -32,9 +32,12 @@ class LlamaConfig:
     rope_scaling: Optional[float] = None  # linear scaling factor (VILA ctx ext)
     rms_norm_eps: float = 1e-5
     tie_word_embeddings: bool = False
-    # alt-backend knobs (VILA's llava_mistral / llava_mpt wrappers):
+    # alt-backend knobs (VILA's llava_mistral / llava_mpt / llava_gemma):
     sliding_window: Optional[int] = None  # Mistral local attention
     position_embedding: str = "rope"  # rope | alibi (MPT)
+    mlp_act: str = "silu"  # silu | gelu_tanh (Gemma)
+    rmsnorm_unit_offset: bool = False  # Gemma: scale is (1 + w)
+    embed_scale: bool = False  # Gemma: embeddings * sqrt(hidden)
 
     @property
     def kv_heads(self) -> int:
@@ -129,6 +132,22 @@ MISTRAL_7B = LlamaConfig(
     sliding_window=4096,
 )
 
+GEMMA_2B = LlamaConfig(
+    vocab_size=256000,
+    hidden_size=2048,
+    intermediate_size=16384,
+    num_layers=18,
+    num_heads=8,
+    num_kv_heads=1,
+    head_dim=256,
+    max_position_embeddings=8192,
+    rms_norm_eps=1e-6,
+    tie_word_embeddings=True,
+    mlp_act="gelu_tanh",
+    rmsnorm_unit_offset=True,
+    embed_scale=True,
+)
+
 CLIP_VIT_L_336 = ViTConfig()
 
 SIGLIP_SO400M_384 = ViTConfig(
@@ -177,6 +196,7 @@ PRESETS = {
     "llama-7b": LLAMA_7B,
     "llama-13b": LLAMA_13B,
     "mistral-7b": MISTRAL_7B,
+    "gemma-2b": GEMMA_2B,
     "llava-v1.5-7b": LLAVA_V15_7B,
     "llava-v1.5-13b": LLAVA_V15_13B,
     "vila-13b-384": VILA_13B_384,

@@ -35,6 +35,14 @@ from halva_tpu.ops.attention import attention
 Params = Dict[str, Any]
 
 
+def _mlp_act(cfg: "LlamaConfig"):
+    if cfg.mlp_act == "silu":
+        return jax.nn.silu
+    if cfg.mlp_act == "gelu_tanh":
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    raise ValueError(f"unknown mlp_act {cfg.mlp_act!r}")
+
+
 # --------------------------------------------------------------------------
 # Primitive layers
 # --------------------------------------------------------------------------
@@ -65,13 +73,22 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return y
 
 
-def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
-    """RMSNorm in fp32, result cast back to input dtype (HF parity)."""
+def rms_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    eps: float,
+    unit_offset: bool = False,
+) -> jnp.ndarray:
+    """RMSNorm in fp32, result cast back to input dtype (HF parity).
+    unit_offset: Gemma convention, effective scale = 1 + w."""
     dtype = x.dtype
     x = x.astype(jnp.float32)
     var = jnp.mean(x * x, axis=-1, keepdims=True)
     x = x * jax.lax.rsqrt(var + eps)
-    return (x * scale.astype(jnp.float32)).astype(dtype)
+    w = scale.astype(jnp.float32)
+    if unit_offset:
+        w = 1.0 + w
+    return (x * w).astype(dtype)
 
 
 def rope_cos_sin(
@@ -214,7 +231,7 @@ def _layer(
     h, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
     ap, mp = layer_params["attn"], layer_params["mlp"]
 
-    y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
+    y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
     q = dense(y, ap["wq"]).reshape(b, s, h, dh)
     k = dense(y, ap["wk"]).reshape(b, s, kvh, dh)
     v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
@@ -248,8 +265,11 @@ def _layer(
         )
     x = x + dense(attn_out.reshape(b, s, h * dh), ap["wo"])
 
-    y = rms_norm(x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(dense(y, mp["gate"])) * dense(y, mp["up"])
+    y = rms_norm(
+        x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps,
+        cfg.rmsnorm_unit_offset,
+    )
+    gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
     x = x + dense(gated, mp["down"])
     return x
 
@@ -281,7 +301,7 @@ def forward_embeds(
         return body(x, layer_params, cos, sin, segment_ids, positions), None
 
     x, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
-    return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
 
 
 def lm_logits(
@@ -319,6 +339,8 @@ def forward(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     x = embed(params, input_ids)
+    if cfg.embed_scale:  # Gemma: normalize embeddings by sqrt(hidden)
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
     h = forward_embeds(
         params, cfg, x, segment_ids, positions, attn_impl, remat
     )
@@ -366,7 +388,7 @@ def prefill(
         x, k_full, v_full, li = carry
         layer_params = inputs
         ap, mp = layer_params["attn"], layer_params["mlp"]
-        y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
+        y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
         q = dense(y, ap["wq"]).reshape(b, s, h_, dh)
         k = dense(y, ap["wk"]).reshape(b, s, kvh, dh)
         v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
@@ -383,9 +405,10 @@ def prefill(
         )
         x = x + dense(attn_out.reshape(b, s, h_ * dh), ap["wo"])
         y = rms_norm(
-            x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps
+            x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps,
+            cfg.rmsnorm_unit_offset,
         )
-        gated = jax.nn.silu(dense(y, mp["gate"])) * dense(y, mp["up"])
+        gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
         x = x + dense(gated, mp["down"])
         return (x, k_full, v_full, li + 1), None
 
@@ -394,7 +417,7 @@ def prefill(
         (inputs_embeds, cache["k"], cache["v"], jnp.int32(0)),
         params["layers"],
     )
-    hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
     return hidden, {"k": new_k, "v": new_v}
 
 
@@ -422,7 +445,7 @@ def decode_step(
     def scan_fn(carry, layer_params):
         x, k_full, v_full, li = carry
         ap, mp = layer_params["attn"], layer_params["mlp"]
-        y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps)
+        y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
         k = dense(y, ap["wk"]).reshape(b, 1, kvh, dh)
         v = dense(y, ap["wv"]).reshape(b, 1, kvh, dh)
@@ -456,9 +479,10 @@ def decode_step(
         )
         x = x + dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"])
         y = rms_norm(
-            x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps
+            x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps,
+            cfg.rmsnorm_unit_offset,
         )
-        gated = jax.nn.silu(dense(y, mp["gate"])) * dense(y, mp["up"])
+        gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
         x = x + dense(gated, mp["down"])
         return (x, k_full, v_full, li + 1), None
 
@@ -467,6 +491,6 @@ def decode_step(
         (token_embeds, cache["k"], cache["v"], jnp.int32(0)),
         params["layers"],
     )
-    hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps)
+    hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
     logits = lm_logits(params, cfg, hidden)[:, 0]
     return logits, {"k": new_k, "v": new_v}
