@@ -10,6 +10,11 @@ imgs/sec eval target (BASELINE.md).
 All shapes are static: prompts are right-padded to a bucket length, the
 cache is sized prompt_bucket + max_new_tokens. Per-row prompt lengths drive
 positions and cache segment ids.
+
+Memory layout: prefill and the decode loop are separate jits with the KV
+cache DONATED across the boundary — on a 16GB chip running llava-7b in
+bf16 the weights alone are 13.4GB, so keeping exactly one cache buffer
+alive (no prefill-out + loop-carry copies) is what makes batch > 1 fit.
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ class GenState(NamedTuple):
     step: jnp.ndarray  # () int32 — decode step counter
     tokens: jnp.ndarray  # (B, max_new) emitted tokens
     cur: jnp.ndarray  # (B,) last emitted token
-    lengths: jnp.ndarray  # (B,) prompt lengths (cache write positions)
+    lengths: jnp.ndarray  # (B,) spliced prompt lengths
     done: jnp.ndarray  # (B,) bool
     cache: Params
     cache_seg: jnp.ndarray  # (B, Smax)
@@ -39,22 +44,17 @@ class GenState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_id", "attn_impl"),
+    static_argnames=("cfg", "max_new_tokens", "attn_impl"),
 )
-def generate_greedy(
+def _prefill_phase(
     params: Params,
     cfg: LlavaConfig,
-    input_ids: jnp.ndarray,  # (B, S) right-padded, -200 image sentinel
-    images: jnp.ndarray,  # (B, 3, H, W)
-    prompt_lengths: jnp.ndarray,  # (B,) valid token counts (pre-splice)
+    input_ids: jnp.ndarray,
+    images: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
     max_new_tokens: int,
-    eos_id: int,
-    attn_impl: str = "auto",
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens (B, max_new), num_generated (B,)).
-
-    Rows stop at EOS; finished rows keep emitting eos_id (callers trim).
-    """
+    attn_impl: str,
+):
     b, s = input_ids.shape
     t = cfg.num_image_tokens
     seg = (
@@ -66,23 +66,20 @@ def generate_greedy(
     s_prompt = sp.embeds.shape[1]  # S + T - 1
     max_len = s_prompt + max_new_tokens
 
-    cache = llama.init_kv_cache(
-        cfg.llm, b, max_len, dtype=sp.embeds.dtype
-    )
+    cache = llama.init_kv_cache(cfg.llm, b, max_len, dtype=sp.embeds.dtype)
     hidden, cache = llama.prefill(
         params["llm"],
         cfg.llm,
         sp.embeds,
         sp.segment_ids,
         sp.positions,
-        _pad_cache(cache, s_prompt),
+        cache,
         attn_impl=attn_impl,
     )
 
     has_img = jnp.any(input_ids == IMAGE_TOKEN_INDEX, axis=1)
     spliced_len = prompt_lengths + jnp.where(has_img, t - 1, 0)
 
-    # logits at the last valid prompt token
     last_idx = jnp.clip(spliced_len - 1, 0, s_prompt - 1)
     last_hidden = jnp.take_along_axis(
         hidden, last_idx[:, None, None], axis=1
@@ -90,9 +87,29 @@ def generate_greedy(
     first_logits = llama.lm_logits(params["llm"], cfg.llm, last_hidden)[:, 0]
     first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
 
-    cache_seg0 = (
+    cache_seg = (
         jnp.arange(max_len, dtype=jnp.int32)[None, :] < spliced_len[:, None]
     ).astype(jnp.int32)
+    return first_tok, spliced_len, cache, cache_seg
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id"),
+    donate_argnums=(4, 5),  # cache, cache_seg
+)
+def _decode_phase(
+    params: Params,
+    cfg: LlavaConfig,
+    first_tok: jnp.ndarray,
+    spliced_len: jnp.ndarray,
+    cache: Params,
+    cache_seg: jnp.ndarray,
+    max_new_tokens: int,
+    eos_id: int,
+):
+    b = first_tok.shape[0]
+    max_len = cache_seg.shape[1]
 
     init = GenState(
         step=jnp.int32(0),
@@ -101,7 +118,7 @@ def generate_greedy(
         lengths=spliced_len,
         done=jnp.zeros((b,), bool),
         cache=cache,
-        cache_seg=cache_seg0,
+        cache_seg=cache_seg,
     )
 
     def cond(st: GenState):
@@ -114,24 +131,24 @@ def generate_greedy(
         )
         done = st.done | (tok == eos_id)
 
-        pos = st.lengths + st.step  # absolute position of this token
+        pos = st.lengths + st.step
         slot = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-        cache_seg = jnp.where(
+        new_seg = jnp.where(
             slot == pos[:, None], 1, st.cache_seg
         ).astype(jnp.int32)
 
         embeds = llama.embed(params["llm"], tok[:, None])
-        logits, cache = llama.decode_step(
+        logits, new_cache = llama.decode_step(
             params["llm"],
             cfg.llm,
             embeds,
             pos,
             st.cache,
-            cache_seg,
+            new_seg,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return GenState(
-            st.step + 1, tokens, nxt, st.lengths, done, cache, cache_seg
+            st.step + 1, tokens, nxt, st.lengths, done, new_cache, new_seg
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -146,9 +163,28 @@ def generate_greedy(
     return final.tokens, num
 
 
-def _pad_cache(cache: Params, upto: int) -> Params:
-    """Cache is already allocated at full length; prefill writes [0, S)."""
-    return cache
+def generate_greedy(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,  # (B, S) right-padded, -200 image sentinel
+    images: jnp.ndarray,  # (B, 3, H, W)
+    prompt_lengths: jnp.ndarray,  # (B,) valid token counts (pre-splice)
+    max_new_tokens: int,
+    eos_id: int,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens (B, max_new), num_generated (B,)).
+
+    Rows stop at EOS; finished rows keep emitting eos_id (callers trim).
+    """
+    first_tok, spliced_len, cache, cache_seg = _prefill_phase(
+        params, cfg, input_ids, images, prompt_lengths,
+        max_new_tokens, attn_impl,
+    )
+    return _decode_phase(
+        params, cfg, first_tok, spliced_len, cache, cache_seg,
+        max_new_tokens, eos_id,
+    )
 
 
 def decode_tokens(
