@@ -349,17 +349,20 @@ def forward(
 
 # --------------------------------------------------------------------------
 # KV-cache decode
+#
+# Cache layout: a read-only PROMPT cache (exact prompt length, produced as
+# prefill scan outputs) + a small GENERATED cache (max_new_tokens slots,
+# scan-carry updated in place). Splitting avoids ever allocating a
+# max_len-sized buffer twice — on a 16GB chip with 13.4GB of llava-7b
+# weights that head-room decides the decode batch size.
 # --------------------------------------------------------------------------
 
 
-def init_kv_cache(
-    cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+def init_gen_cache(
+    cfg: LlamaConfig, batch: int, max_new: int, dtype=jnp.bfloat16
 ) -> Params:
-    shape = (cfg.num_layers, batch, max_len, cfg.kv_heads, cfg.head_size)
-    return {
-        "k": jnp.zeros(shape, dtype),
-        "v": jnp.zeros(shape, dtype),
-    }
+    shape = (cfg.num_layers, batch, max_new, cfg.kv_heads, cfg.head_size)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def prefill(
@@ -368,13 +371,14 @@ def prefill(
     inputs_embeds: jnp.ndarray,  # (B, S, D)
     segment_ids: jnp.ndarray,  # (B, S)
     positions: jnp.ndarray,  # (B, S)
-    cache: Params,
+    cache_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
 ) -> Tuple[jnp.ndarray, Params]:
-    """Full-sequence forward that also fills the KV cache at [0, S).
+    """Full-sequence forward producing the prompt KV cache.
 
-    Returns (final hidden states, updated cache). Prompts are right-padded;
-    padding keys carry segment id 0 so decode steps never attend to them.
+    Returns (final hidden states, prompt cache {k,v}: (L, B, S, KVH, Dh)).
+    Prompts are right-padded; padding keys carry segment id 0 so decode
+    steps never attend to them.
     """
     b, s, d = inputs_embeds.shape
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
@@ -382,11 +386,7 @@ def prefill(
         positions, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
 
-    # the full stacked cache rides the scan CARRY so XLA updates it in
-    # place (one HBM buffer) instead of materializing input+output copies
-    def scan_fn(carry, inputs):
-        x, k_full, v_full, li = carry
-        layer_params = inputs
+    def scan_fn(x, layer_params):
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
         q = dense(y, ap["wq"]).reshape(b, s, h_, dh)
@@ -394,12 +394,6 @@ def prefill(
         v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-        k_full = jax.lax.dynamic_update_slice(
-            k_full, k.astype(k_full.dtype)[None], (li, 0, 0, 0, 0)
-        )
-        v_full = jax.lax.dynamic_update_slice(
-            v_full, v.astype(v_full.dtype)[None], (li, 0, 0, 0, 0)
-        )
         attn_out = attention(
             q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
         )
@@ -410,15 +404,50 @@ def prefill(
         )
         gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
         x = x + dense(gated, mp["down"])
-        return (x, k_full, v_full, li + 1), None
+        return x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
-    (x, new_k, new_v, _), _ = jax.lax.scan(
-        scan_fn,
-        (inputs_embeds, cache["k"], cache["v"], jnp.int32(0)),
-        params["layers"],
+    x, (k_all, v_all) = jax.lax.scan(
+        scan_fn, inputs_embeds, params["layers"]
     )
     hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
-    return hidden, {"k": new_k, "v": new_v}
+    return hidden, {"k": k_all, "v": v_all}
+
+
+def _decode_attend(
+    q: jnp.ndarray,  # (B, 1, H, Dh)
+    kp: jnp.ndarray,  # (B, Sp, KVH, Dh) prompt keys
+    vp: jnp.ndarray,
+    kg: jnp.ndarray,  # (B, Sg, KVH, Dh) generated keys
+    vg: jnp.ndarray,
+    prompt_seg: jnp.ndarray,  # (B, Sp) 0 = invalid
+    gen_valid: jnp.ndarray,  # (B, Sg) bool
+) -> jnp.ndarray:
+    """Single-query attention over split prompt/generated caches with one
+    softmax across both (logits are tiny; no KV concat is materialized)."""
+    b, _, h, dh = q.shape
+    kvh = kp.shape[2]
+    scale = dh**-0.5
+    if kvh != h:
+        rep = h // kvh
+        kp = jnp.repeat(kp, rep, axis=2)
+        vp = jnp.repeat(vp, rep, axis=2)
+        kg = jnp.repeat(kg, rep, axis=2)
+        vg = jnp.repeat(vg, rep, axis=2)
+    q2 = q[:, 0]  # (B, H, Dh)
+    lp = jnp.einsum("bhd,bkhd->bhk", q2, kp,
+                    preferred_element_type=jnp.float32) * scale
+    lg = jnp.einsum("bhd,bkhd->bhk", q2, kg,
+                    preferred_element_type=jnp.float32) * scale
+    lp = jnp.where(prompt_seg[:, None, :] != 0, lp, -1e30)
+    lg = jnp.where(gen_valid[:, None, :], lg, -1e30)
+    logits = jnp.concatenate([lp, lg], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pp, pg = probs[..., : kp.shape[1]], probs[..., kp.shape[1]:]
+    out = jnp.einsum("bhk,bkhd->bhd", pp, vp,
+                     preferred_element_type=jnp.float32)
+    out = out + jnp.einsum("bhk,bkhd->bhd", pg, vg,
+                           preferred_element_type=jnp.float32)
+    return out[:, None].astype(q.dtype)
 
 
 def decode_step(
@@ -426,24 +455,27 @@ def decode_step(
     cfg: LlamaConfig,
     token_embeds: jnp.ndarray,  # (B, 1, D)
     positions: jnp.ndarray,  # (B,) absolute position of this token
-    cache: Params,
-    cache_segment_ids: jnp.ndarray,  # (B, Smax) 0 = invalid slot
-    attn_impl: str = "xla",
+    prompt_cache: Params,  # read-only {k,v}: (L, B, Sp, KVH, Dh)
+    prompt_seg: jnp.ndarray,  # (B, Sp) 0 = padding
+    gen_cache: Params,  # carried {k,v}: (L, B, Sg, KVH, Dh)
+    step: jnp.ndarray,  # () int32 decode step (gen slot to write)
 ) -> Tuple[jnp.ndarray, Params]:
-    """One decode step: returns (fp32 logits (B, V), updated cache).
-
-    The new token is written at `positions` per row; cache_segment_ids must
-    already mark that slot valid. Decode attention is the XLA path — a
-    single-query gather/matvec is bandwidth-bound and XLA handles it well.
-    """
+    """One decode step over the split cache: returns (fp32 logits (B, V),
+    updated gen cache). The new token is written at gen slot `step`
+    (lockstep across rows); its RoPE position is per-row `positions`."""
     b = token_embeds.shape[0]
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    sg = gen_cache["k"].shape[2]
     cos, sin = rope_cos_sin(
         positions[:, None], cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
+    gen_valid = (
+        jnp.arange(sg, dtype=jnp.int32)[None, :] <= step
+    ) & jnp.ones((b, 1), bool)
 
-    def scan_fn(carry, layer_params):
-        x, k_full, v_full, li = carry
+    def scan_fn(carry, inputs):
+        x, kg_full, vg_full, li = carry
+        layer_params, kp, vp = inputs
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
@@ -452,30 +484,29 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # scatter new k/v at per-row positions into the carried cache —
-        # carry aliasing keeps a single HBM buffer
-        k_cache = jax.lax.dynamic_index_in_dim(k_full, li, 0, False)
-        v_cache = jax.lax.dynamic_index_in_dim(v_full, li, 0, False)
-        slot = jnp.arange(k_cache.shape[1], dtype=jnp.int32)[None, :]
-        is_slot = (slot == positions[:, None])[:, :, None, None]
-        new_k = jnp.where(is_slot, k.astype(k_cache.dtype), k_cache)
-        new_v = jnp.where(is_slot, v.astype(v_cache.dtype), v_cache)
-        k_full = jax.lax.dynamic_update_slice(
-            k_full, new_k[None], (li, 0, 0, 0, 0)
+        kg = jax.lax.dynamic_index_in_dim(kg_full, li, 0, False)
+        vg = jax.lax.dynamic_index_in_dim(vg_full, li, 0, False)
+        kg = jax.lax.dynamic_update_slice(
+            kg, k.astype(kg.dtype), (0, step, 0, 0)
         )
-        v_full = jax.lax.dynamic_update_slice(
-            v_full, new_v[None], (li, 0, 0, 0, 0)
+        vg = jax.lax.dynamic_update_slice(
+            vg, v.astype(vg.dtype), (0, step, 0, 0)
+        )
+        kg_full = jax.lax.dynamic_update_slice(
+            kg_full, kg[None], (li, 0, 0, 0, 0)
+        )
+        vg_full = jax.lax.dynamic_update_slice(
+            vg_full, vg[None], (li, 0, 0, 0, 0)
         )
 
-        q_seg = jnp.ones((b, 1), jnp.int32)
-        attn_out = attention(
+        attn_out = _decode_attend(
             q,
-            new_k.astype(q.dtype),
-            new_v.astype(q.dtype),
-            q_seg,
-            cache_segment_ids,
-            causal=False,  # validity handled via cache_segment_ids
-            impl=attn_impl,
+            kp.astype(q.dtype),
+            vp.astype(q.dtype),
+            kg.astype(q.dtype),
+            vg.astype(q.dtype),
+            prompt_seg,
+            gen_valid,
         )
         x = x + dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"])
         y = rms_norm(
@@ -484,13 +515,13 @@ def decode_step(
         )
         gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
         x = x + dense(gated, mp["down"])
-        return (x, k_full, v_full, li + 1), None
+        return (x, kg_full, vg_full, li + 1), None
 
-    (x, new_k, new_v, _), _ = jax.lax.scan(
+    (x, new_kg, new_vg, _), _ = jax.lax.scan(
         scan_fn,
-        (token_embeds, cache["k"], cache["v"], jnp.int32(0)),
-        params["layers"],
+        (token_embeds, gen_cache["k"], gen_cache["v"], jnp.int32(0)),
+        (params["layers"], prompt_cache["k"], prompt_cache["v"]),
     )
     hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
     logits = lm_logits(params, cfg, hidden)[:, 0]
-    return logits, {"k": new_k, "v": new_v}
+    return logits, {"k": new_kg, "v": new_vg}

@@ -11,10 +11,13 @@ All shapes are static: prompts are right-padded to a bucket length, the
 cache is sized prompt_bucket + max_new_tokens. Per-row prompt lengths drive
 positions and cache segment ids.
 
-Memory layout: prefill and the decode loop are separate jits with the KV
-cache DONATED across the boundary — on a 16GB chip running llava-7b in
-bf16 the weights alone are 13.4GB, so keeping exactly one cache buffer
-alive (no prefill-out + loop-carry copies) is what makes batch > 1 fit.
+Memory layout: the KV cache is split into a read-only PROMPT cache
+(produced as prefill scan outputs — no zero-init + in-place-update copy
+pair) and a small GENERATED cache (max_new slots, loop-carried). On a
+16GB chip running llava-7b in bf16 the weights alone are 13.4GB; this
+split is what makes batch > 1 decode fit. Decode attention runs one
+softmax over the concatenated (tiny) logits of both caches — no KV
+concat is ever materialized.
 """
 
 from __future__ import annotations
@@ -38,8 +41,7 @@ class GenState(NamedTuple):
     cur: jnp.ndarray  # (B,) last emitted token
     lengths: jnp.ndarray  # (B,) spliced prompt lengths
     done: jnp.ndarray  # (B,) bool
-    cache: Params
-    cache_seg: jnp.ndarray  # (B, Smax)
+    gen_cache: Params  # (L, B, max_new, KVH, Dh) generated-token KV
 
 
 @functools.partial(
@@ -64,16 +66,14 @@ def _prefill_phase(
     feats = llava.encode_images(params, cfg, images)
     sp = llava.splice_image_tokens(params, cfg, input_ids, feats, seg)
     s_prompt = sp.embeds.shape[1]  # S + T - 1
-    max_len = s_prompt + max_new_tokens
 
-    cache = llama.init_kv_cache(cfg.llm, b, max_len, dtype=sp.embeds.dtype)
-    hidden, cache = llama.prefill(
+    hidden, prompt_cache = llama.prefill(
         params["llm"],
         cfg.llm,
         sp.embeds,
         sp.segment_ids,
         sp.positions,
-        cache,
+        cache_dtype=jnp.bfloat16,
         attn_impl=attn_impl,
     )
 
@@ -87,29 +87,27 @@ def _prefill_phase(
     first_logits = llama.lm_logits(params["llm"], cfg.llm, last_hidden)[:, 0]
     first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
 
-    cache_seg = (
-        jnp.arange(max_len, dtype=jnp.int32)[None, :] < spliced_len[:, None]
-    ).astype(jnp.int32)
-    return first_tok, spliced_len, cache, cache_seg
+    return first_tok, spliced_len, prompt_cache, sp.segment_ids
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id"),
-    donate_argnums=(4, 5),  # cache, cache_seg
 )
 def _decode_phase(
     params: Params,
     cfg: LlavaConfig,
     first_tok: jnp.ndarray,
     spliced_len: jnp.ndarray,
-    cache: Params,
-    cache_seg: jnp.ndarray,
+    prompt_cache: Params,
+    prompt_seg: jnp.ndarray,
     max_new_tokens: int,
     eos_id: int,
 ):
     b = first_tok.shape[0]
-    max_len = cache_seg.shape[1]
+    gen_cache = llama.init_gen_cache(
+        cfg.llm, b, max_new_tokens, dtype=prompt_cache["k"].dtype
+    )
 
     init = GenState(
         step=jnp.int32(0),
@@ -117,8 +115,7 @@ def _decode_phase(
         cur=first_tok,
         lengths=spliced_len,
         done=jnp.zeros((b,), bool),
-        cache=cache,
-        cache_seg=cache_seg,
+        gen_cache=gen_cache,
     )
 
     def cond(st: GenState):
@@ -132,23 +129,20 @@ def _decode_phase(
         done = st.done | (tok == eos_id)
 
         pos = st.lengths + st.step
-        slot = jnp.arange(max_len, dtype=jnp.int32)[None, :]
-        new_seg = jnp.where(
-            slot == pos[:, None], 1, st.cache_seg
-        ).astype(jnp.int32)
-
         embeds = llama.embed(params["llm"], tok[:, None])
-        logits, new_cache = llama.decode_step(
+        logits, new_gen = llama.decode_step(
             params["llm"],
             cfg.llm,
             embeds,
             pos,
-            st.cache,
-            new_seg,
+            prompt_cache,
+            prompt_seg,
+            st.gen_cache,
+            st.step,
         )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return GenState(
-            st.step + 1, tokens, nxt, st.lengths, done, new_cache, new_seg
+            st.step + 1, tokens, nxt, st.lengths, done, new_gen
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -177,12 +171,12 @@ def generate_greedy(
 
     Rows stop at EOS; finished rows keep emitting eos_id (callers trim).
     """
-    first_tok, spliced_len, cache, cache_seg = _prefill_phase(
+    first_tok, spliced_len, prompt_cache, prompt_seg = _prefill_phase(
         params, cfg, input_ids, images, prompt_lengths,
         max_new_tokens, attn_impl,
     )
     return _decode_phase(
-        params, cfg, first_tok, spliced_len, cache, cache_seg,
+        params, cfg, first_tok, spliced_len, prompt_cache, prompt_seg,
         max_new_tokens, eos_id,
     )
 

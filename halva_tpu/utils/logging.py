@@ -51,13 +51,25 @@ class MetricsLogger:
     """Append-only JSONL metrics (crash-tolerant, like the reference's
     flushed answers JSONL, model_vqa_loader.py:122-129)."""
 
-    def __init__(self, path: Optional[str]):
+    def __init__(self, path: Optional[str], report_to: str = "none"):
         self._f = None
+        self._wandb = None
         if path and is_main_process():
             os.makedirs(
                 os.path.dirname(os.path.abspath(path)), exist_ok=True
             )
             self._f = open(path, "a")
+        if report_to == "wandb" and is_main_process():
+            try:  # optional, like the reference's --report_to wandb
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "halva-tpu"),
+                    resume="allow",
+                )
+            except Exception:
+                get_logger().warning("wandb unavailable; JSONL only")
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
         rec = {"step": step, "time": time.time()}
@@ -69,6 +81,10 @@ class MetricsLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._wandb:
+            self._wandb.log(
+                {k: v for k, v in rec.items() if k != "time"}, step=step
+            )
         log0(
             "step %d | %s",
             step,

@@ -108,44 +108,45 @@ def test_padding_invariance():
 
 
 def test_prefill_decode_matches_full_forward():
-    """KV-cache prefill + N decode steps == one full forward."""
+    """Split-cache prefill + N decode steps == one full forward."""
     model = _hf_model(CFG)
     params = llama_from_hf(model.state_dict(), CFG)
     rng = np.random.RandomState(3)
     b, prompt_len, total_len = 2, 7, 12
+    max_new = total_len - prompt_len
     ids = rng.randint(0, CFG.vocab_size, (b, total_len))
 
     full = np.asarray(
         llama.forward(params, CFG, jnp.asarray(ids), attn_impl="xla")
     )
 
-    max_len = 16
-    cache = llama.init_kv_cache(CFG, b, max_len, dtype=jnp.float32)
     seg = jnp.ones((b, prompt_len), jnp.int32)
     pos = jnp.broadcast_to(
         jnp.arange(prompt_len, dtype=jnp.int32), (b, prompt_len)
     )
     embeds = llama.embed(params, jnp.asarray(ids[:, :prompt_len]))
-    hidden, cache = llama.prefill(
-        params, CFG, embeds, seg, pos, cache, attn_impl="xla"
+    hidden, prompt_cache = llama.prefill(
+        params, CFG, embeds, seg, pos,
+        cache_dtype=jnp.float32, attn_impl="xla",
     )
     logits_prefill = llama.lm_logits(params, CFG, hidden)
     np.testing.assert_allclose(
         np.asarray(logits_prefill), full[:, :prompt_len], atol=1e-4, rtol=1e-3
     )
 
-    cache_seg = np.zeros((b, max_len), np.int32)
-    cache_seg[:, :prompt_len] = 1
-    for t in range(prompt_len, total_len):
-        cache_seg[:, t] = 1
+    gen_cache = llama.init_gen_cache(CFG, b, max_new, dtype=jnp.float32)
+    for step in range(max_new):
+        t = prompt_len + step
         tok = jnp.asarray(ids[:, t : t + 1])
-        step_logits, cache = llama.decode_step(
+        step_logits, gen_cache = llama.decode_step(
             params,
             CFG,
             llama.embed(params, tok),
             jnp.full((b,), t, jnp.int32),
-            cache,
-            jnp.asarray(cache_seg),
+            prompt_cache,
+            seg,
+            gen_cache,
+            jnp.int32(step),
         )
         np.testing.assert_allclose(
             np.asarray(step_logits), full[:, t], atol=1e-4, rtol=1e-3
