@@ -110,6 +110,7 @@ def cmd_pope(args):
     reqs = vqa_requests(
         args.question_file, args.image_folder,
         args.num_chunks, args.chunk_idx,
+        additional_input_prompt=args.additional_input_prompt,
     )
     gen = _build_generator(args)
     texts = gen.run(reqs)
@@ -148,7 +149,10 @@ def cmd_mme(args):
     from halva_tpu.evals.mme import score_mme
     from halva_tpu.evals.runner import vqa_requests, write_answers_jsonl
 
-    reqs = vqa_requests(args.question_file, args.image_folder)
+    reqs = vqa_requests(
+        args.question_file, args.image_folder,
+        additional_input_prompt=args.additional_input_prompt,
+    )
     gen = _build_generator(args)
     texts = gen.run(reqs)
     write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
@@ -173,6 +177,7 @@ def main(argv: Optional[List[str]] = None):
     c.add_argument("--question-file", required=True)
     c.add_argument("--image-folder", required=True)
     c.add_argument("--annotation-dir", default=None)
+    c.add_argument("--additional-input-prompt", default="")
     c.set_defaults(fn=cmd_pope)
 
     c = sub.add_parser("amber")
@@ -188,6 +193,7 @@ def main(argv: Optional[List[str]] = None):
     c.add_argument("--question-file", required=True)
     c.add_argument("--image-folder", required=True)
     c.add_argument("--mme-data", default=None)
+    c.add_argument("--additional-input-prompt", default="")
     c.set_defaults(fn=cmd_mme)
 
     args = p.parse_args(argv)

@@ -31,22 +31,22 @@ Params = Dict[str, Any]
 # (path regex, logical axes per dim). Paths are "/"-joined key paths.
 # Logical axis vocabulary: layers, embed, heads, mlp, vocab, lora, patch.
 LLM_RULES = [
-    (r"embed/embedding$", ("vocab", "embed")),
-    (r"attn/w[qkv]/kernel$", ("layers", "embed", "heads")),
-    (r"attn/wo/kernel$", ("layers", "heads", "embed")),
+    (r"embed/embedding(_q)?$", ("vocab", "embed")),
+    (r"attn/w[qkv]/kernel(_q)?$", ("layers", "embed", "heads")),
+    (r"attn/wo/kernel(_q)?$", ("layers", "heads", "embed")),
     (r"attn/w[qkv]/lora_a$", ("layers", "embed", "lora")),
     (r"attn/w[qkv]/lora_b$", ("layers", "lora", "heads")),
     (r"attn/wo/lora_a$", ("layers", "heads", "lora")),
     (r"attn/wo/lora_b$", ("layers", "lora", "embed")),
-    (r"mlp/(gate|up)/kernel$", ("layers", "embed", "mlp")),
-    (r"mlp/down/kernel$", ("layers", "mlp", "embed")),
+    (r"mlp/(gate|up)/kernel(_q)?$", ("layers", "embed", "mlp")),
+    (r"mlp/down/kernel(_q)?$", ("layers", "mlp", "embed")),
     (r"mlp/(gate|up)/lora_a$", ("layers", "embed", "lora")),
     (r"mlp/(gate|up)/lora_b$", ("layers", "lora", "mlp")),
     (r"mlp/down/lora_a$", ("layers", "mlp", "lora")),
     (r"mlp/down/lora_b$", ("layers", "lora", "embed")),
     (r"(input_norm|post_attn_norm)/scale$", ("layers", "embed")),
     (r"final_norm/scale$", ("embed",)),
-    (r"lm_head/kernel$", ("embed", "vocab")),
+    (r"lm_head/kernel(_q)?$", ("embed", "vocab")),
     # vision tower + projector: FSDP-shard the big matmuls, replicate rest
     (r"vision/.*(kernel|embedding)$", None),  # resolved by ndim below
     (r"projector/.*kernel$", ("embed", "heads")),
