@@ -161,6 +161,73 @@ def cmd_mme(args):
         print(json.dumps(score_mme(answers, args.mme_data), indent=2))
 
 
+def cmd_mmhal(args):
+    """MMHal-Bench: generate answers; judge+summarize when a key is set
+    (reference mmhal.sh runs the judge 3x and averages)."""
+    from halva_tpu.evals import mmhal
+    from halva_tpu.evals.runner import mmhal_requests, write_answers_jsonl
+
+    with open(args.data_file) as f:
+        data = json.load(f)
+    reqs = mmhal_requests(data, args.image_folder)
+    gen = _build_generator(args)
+    texts = gen.run(reqs)
+    write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
+
+    if os.environ.get("OPENAI_API_KEY"):
+        from halva_tpu.evals.judge import openai_judge_fn
+
+        judge = openai_judge_fn(model=args.judge_model)
+        records = [
+            {
+                "image_content": r.extra["image_content"],
+                "question": r.extra.get("prompt", r.text),
+                "gt_answer": r.extra["gt_answer"],
+                "model_answer": t,
+            }
+            for r, t in zip(reqs, texts)
+        ]
+        trials = [
+            mmhal.judge_responses(records, judge)
+            for _ in range(args.judge_trials)
+        ]
+        print(json.dumps(mmhal.summarize_trials(trials), indent=2))
+    else:
+        print("OPENAI_API_KEY not set — answers written, judging skipped")
+
+
+def cmd_hallusionbench(args):
+    from halva_tpu.evals import hallusion
+    from halva_tpu.evals.runner import (
+        hallusion_requests,
+        write_answers_jsonl,
+    )
+
+    with open(args.data_file) as f:
+        data = json.load(f)
+    reqs = hallusion_requests(data, args.image_folder)
+    gen = _build_generator(args)
+    texts = gen.run(reqs)
+    write_answers_jsonl(args.answers_file, reqs, texts, "halva-tpu")
+
+    rows = []
+    for r, t in zip(reqs, texts):
+        row = dict(r.extra)
+        row["question"] = r.text
+        row["model_prediction"] = t
+        rows.append(row)
+    if os.environ.get("OPENAI_API_KEY"):
+        from halva_tpu.evals.judge import openai_judge_fn
+
+        rows = hallusion.judge_correctness(
+            rows, openai_judge_fn(model=args.judge_model)
+        )
+    else:
+        print("OPENAI_API_KEY not set — using exact-match correctness")
+        rows = hallusion.exact_match_correctness(rows)
+    print(json.dumps(hallusion.evaluate(rows), indent=2))
+
+
 def main(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser(prog="halva_tpu.evals")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -195,6 +262,23 @@ def main(argv: Optional[List[str]] = None):
     c.add_argument("--mme-data", default=None)
     c.add_argument("--additional-input-prompt", default="")
     c.set_defaults(fn=cmd_mme)
+
+    c = sub.add_parser("mmhal")
+    _add_model_args(c)
+    c.add_argument("--data-file", required=True,
+                   help="MMHal-Bench records json (96 questions)")
+    c.add_argument("--image-folder", required=True)
+    c.add_argument("--judge-model", default="gpt-4-0125-preview")
+    c.add_argument("--judge-trials", type=int, default=3)
+    c.set_defaults(fn=cmd_mmhal)
+
+    c = sub.add_parser("hallusionbench")
+    _add_model_args(c)
+    c.add_argument("--data-file", required=True,
+                   help="HallusionBench VD/VS json")
+    c.add_argument("--image-folder", required=True)
+    c.add_argument("--judge-model", default="gpt-4-0613")
+    c.set_defaults(fn=cmd_hallusionbench)
 
     args = p.parse_args(argv)
     args.fn(args)
