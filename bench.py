@@ -61,6 +61,58 @@ def pick_cfg():
     return SMALL if name == "llava-small" else LLAVA_V15_7B
 
 
+def init_params_host_int8(cfg, seed=0):
+    """Random int8 weights built on HOST and shipped once — the device
+    never holds a bf16 copy (Array.delete() is a no-op on this relay
+    platform, so on-device conversion would keep both trees resident)."""
+    import jax as _jax
+
+    rng = np.random.RandomState(seed)
+    struct = _jax.eval_shape(
+        lambda: llava.init_params(
+            _jax.random.PRNGKey(0), cfg, jnp.bfloat16
+        )
+    )
+
+    def rewrite(node):
+        if not isinstance(node, dict):
+            if isinstance(node, (list, tuple)):
+                return type(node)(rewrite(x) for x in node)
+            return node
+        if "kernel" in node and len(node["kernel"].shape) in (2, 3):
+            shp = node["kernel"].shape
+            out = {k: rewrite(v) for k, v in node.items() if k != "kernel"}
+            out["kernel_q"] = rng.randint(-127, 128, shp, np.int8)
+            out["kernel_scale"] = np.full(
+                shp[:-2] + (1, shp[-1]), 0.02 / 127, np.float32
+            ).astype(jnp.bfloat16)
+            return out
+        if "embedding" in node and node["embedding"].shape[0] >= 4096:
+            shp = node["embedding"].shape
+            out = {
+                k: rewrite(v) for k, v in node.items() if k != "embedding"
+            }
+            out["embedding_q"] = rng.randint(-127, 128, shp, np.int8)
+            out["embedding_scale"] = np.full(
+                (shp[0], 1), 0.02 / 127, np.float32
+            ).astype(jnp.bfloat16)
+            return out
+        return {
+            k: (
+                rewrite(v)
+                if isinstance(v, (dict, list, tuple))
+                else rng.randn(*v.shape).astype(np.float32).astype(
+                    jnp.bfloat16
+                )
+                * 0.02
+            )
+            for k, v in node.items()
+        }
+
+    host = rewrite(struct)
+    return jax.tree.map(jnp.asarray, host)
+
+
 def make_inputs(cfg, batch):
     rng = np.random.RandomState(0)
     prompt_len = 48  # text part; splice adds 575

@@ -54,11 +54,8 @@ def _build_generator(args):
         args.model_path,
         args.model_base,
         vision_tower_path=args.vision_tower_path,
+        quant=args.quant,
     )
-    if args.quant == "int8":
-        from halva_tpu.ops.quant import quantize_params
-
-        params = quantize_params(params)
     tok_src = args.tokenizer or args.model_base or args.model_path
     tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
     return BatchedGenerator(

@@ -226,6 +226,7 @@ def load_pretrained_model(
     model_base: Optional[str] = None,
     dtype=jnp.bfloat16,
     vision_tower_path: Optional[str] = None,
+    quant: str = "none",  # none | int8 (host-side, pre-transfer)
 ) -> Tuple[Params, LlavaConfig]:
     """The reference's eval loader contract (builder.py:11):
 
@@ -271,5 +272,18 @@ def load_pretrained_model(
                 "checkpoint has no vision tower; pass vision_tower_path"
             )
         params = attach_vision_tower(params, vision_tower_path, cfg)
-    params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+    if quant == "int8":
+        # quantize on HOST before any device transfer (the device cannot
+        # hold bf16 + int8 trees at once; see quantize_params_host note)
+        from halva_tpu.ops.quant import quantize_params_host
+
+        params = quantize_params_host(params)
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x)
+            if x.dtype in (np.int8, jnp.bfloat16)
+            else jnp.asarray(x, dtype),
+            params,
+        )
+    else:
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     return params, cfg

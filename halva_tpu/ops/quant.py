@@ -109,6 +109,54 @@ def quantize_params_inplace(
     return rewrite(params)
 
 
+def quantize_params_host(params: Params, quantize_embed: bool = True) -> Params:
+    """Numpy (host-RAM) quantization — use when device memory cannot hold
+    both trees. NOTE: on the axon relay platform, Array.delete() does not
+    actually free device HBM, so the in-place device variant cannot
+    reclaim the bf16 originals; quantize on host and device_put the int8
+    tree instead."""
+    import numpy as np
+
+    def qk(w):
+        w32 = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
+        scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+        q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+        return {"kernel_q": q, "kernel_scale": scale.astype(jnp.bfloat16)}
+
+    def qe(w):
+        w32 = np.asarray(w, np.float32)
+        absmax = np.max(np.abs(w32), axis=-1, keepdims=True)
+        scale = np.where(absmax == 0, 1.0, absmax / 127.0)
+        q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+        return {
+            "embedding_q": q,
+            "embedding_scale": scale.astype(jnp.bfloat16),
+        }
+
+    def rewrite(node):
+        if not isinstance(node, dict):
+            if isinstance(node, (list, tuple)):
+                return type(node)(rewrite(x) for x in node)
+            return node
+        if "kernel" in node and node["kernel"].ndim in (2, 3):
+            out = {k: v for k, v in node.items() if k != "kernel"}
+            out.update(qk(node["kernel"]))
+            return out
+        if (
+            "embedding" in node
+            and quantize_embed
+            and node["embedding"].ndim == 2
+            and node["embedding"].shape[0] >= 4096
+        ):
+            out = {k: v for k, v in node.items() if k != "embedding"}
+            out.update(qe(node["embedding"]))
+            return out
+        return {k: rewrite(v) for k, v in node.items()}
+
+    return rewrite(params)
+
+
 def dequantize_kernel(p: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (
         p["kernel_q"].astype(jnp.float32)

@@ -48,11 +48,8 @@ def main():
         args.model_path,
         args.model_base,
         vision_tower_path=args.vision_tower_path,
+        quant=args.quant,
     )
-    if args.quant == "int8":
-        from halva_tpu.ops.quant import quantize_params
-
-        params = quantize_params(params)
     tok = AutoTokenizer.from_pretrained(
         args.tokenizer or args.model_base or args.model_path,
         use_fast=False,
