@@ -74,11 +74,16 @@ def init_params_host_int8(cfg, seed=0):
         )
     )
 
+    def leaf(v):
+        return (
+            rng.randn(*v.shape).astype(np.float32) * 0.02
+        ).astype(jnp.bfloat16)
+
     def rewrite(node):
         if not isinstance(node, dict):
             if isinstance(node, (list, tuple)):
                 return type(node)(rewrite(x) for x in node)
-            return node
+            return leaf(node) if hasattr(node, "shape") else node
         if "kernel" in node and len(node["kernel"].shape) in (2, 3):
             shp = node["kernel"].shape
             out = {k: rewrite(v) for k, v in node.items() if k != "kernel"}
@@ -97,17 +102,7 @@ def init_params_host_int8(cfg, seed=0):
                 (shp[0], 1), 0.02 / 127, np.float32
             ).astype(jnp.bfloat16)
             return out
-        return {
-            k: (
-                rewrite(v)
-                if isinstance(v, (dict, list, tuple))
-                else rng.randn(*v.shape).astype(np.float32).astype(
-                    jnp.bfloat16
-                )
-                * 0.02
-            )
-            for k, v in node.items()
-        }
+        return {k: rewrite(v) for k, v in node.items()}
 
     host = rewrite(struct)
     return jax.tree.map(jnp.asarray, host)

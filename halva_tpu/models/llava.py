@@ -135,6 +135,94 @@ def splice_image_tokens(
     return Spliced(embeds, out_labels, out_signs, out_seg, positions)
 
 
+def splice_image_tokens_multi(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,  # (B, S) with up to K sentinels per row
+    image_features: jnp.ndarray,  # (B, K, T, D)
+    segment_ids: Optional[jnp.ndarray] = None,
+    labels: Optional[jnp.ndarray] = None,
+    signs: Optional[jnp.ndarray] = None,
+) -> Spliced:
+    """Static-shape splice for multi-image rows (VILA multi-image and
+    video-as-frames samples; reference llava_arch handles these via its
+    images-list branch, llava_arch.py:100-105).
+
+    Each of up to K sentinels expands to T patches; rows with fewer
+    images leave the unused blocks masked (segment id 0) past the row end.
+    Output length: S + K*(T-1).
+    """
+    b, s = input_ids.shape
+    k, t = image_features.shape[1:3]
+    s_out = s + k * (t - 1)
+
+    if segment_ids is None:
+        segment_ids = jnp.ones((b, s), jnp.int32)
+    if labels is None:
+        labels = jnp.full((b, s), IGNORE_INDEX, jnp.int32)
+    if signs is None:
+        signs = jnp.zeros((b, s), jnp.int32)
+
+    is_sent = input_ids == IMAGE_TOKEN_INDEX
+    row_len = jnp.sum((segment_ids != 0).astype(jnp.int32), axis=1)
+    n_real = jnp.sum(is_sent.astype(jnp.int32), axis=1)  # sentinels per row
+    # positions of the first K sentinels per row; missing block i parks at
+    # input position row_len + (i - n_real) so the masked blocks pack
+    # contiguously right after the row's real content in output space
+    order = jnp.cumsum(is_sent.astype(jnp.int32), axis=1)  # 1-based rank
+    sent_pos = []
+    for i in range(1, k + 1):
+        hit = is_sent & (order == i)
+        has = jnp.any(hit, axis=1)
+        pos = jnp.where(
+            has,
+            jnp.argmax(hit, axis=1).astype(jnp.int32),
+            row_len + ((i - 1) - n_real),
+        )
+        sent_pos.append((pos, has))
+
+    j = jnp.arange(s_out, dtype=jnp.int32)[None, :]
+    # output start of block i: p_i + i*(T-1)
+    in_img = jnp.zeros((b, s_out), bool)
+    patch_src = jnp.zeros((b, s_out), jnp.int32)  # flat (K*T) patch index
+    img_valid = jnp.zeros((b, s_out), bool)
+    blocks_before = jnp.zeros((b, s_out), jnp.int32)
+    for i, (pos, has) in enumerate(sent_pos):
+        q = (pos + i * (t - 1))[:, None]
+        inside = (j >= q) & (j < q + t)
+        in_img = in_img | inside
+        patch_src = jnp.where(inside, i * t + (j - q), patch_src)
+        img_valid = jnp.where(inside, has[:, None], img_valid)
+        blocks_before = blocks_before + (j >= q + t).astype(jnp.int32)
+
+    text_idx = jnp.clip(j - blocks_before * (t - 1), 0, s - 1)
+
+    feats_flat = image_features.reshape(b, k * t, -1)
+    text_embeds = llama.embed(params["llm"], input_ids)
+    g_text = jnp.take_along_axis(text_embeds, text_idx[:, :, None], axis=1)
+    g_img = jnp.take_along_axis(
+        feats_flat.astype(g_text.dtype),
+        jnp.clip(patch_src, 0, k * t - 1)[:, :, None],
+        axis=1,
+    )
+    embeds = jnp.where(in_img[:, :, None], g_img, g_text)
+
+    def gi(x, fill):
+        g = jnp.take_along_axis(x, text_idx, axis=1)
+        return jnp.where(in_img, fill, g)
+
+    out_labels = gi(labels, jnp.int32(IGNORE_INDEX))
+    out_signs = gi(signs, jnp.int32(0))
+    seg_img = jnp.where(img_valid, 1, 0).astype(jnp.int32)
+    out_seg = jnp.where(
+        in_img, seg_img, jnp.take_along_axis(segment_ids, text_idx, axis=1)
+    )
+    positions = jnp.broadcast_to(
+        jnp.arange(s_out, dtype=jnp.int32), (b, s_out)
+    )
+    return Spliced(embeds, out_labels, out_signs, out_seg, positions)
+
+
 def forward(
     params: Params,
     cfg: LlavaConfig,
@@ -149,12 +237,23 @@ def forward(
     """Full training-style forward: splice then decode stack.
 
     Returns (fp32 logits (B, S_out, V), spliced batch — whose labels/signs
-    align with the logits for loss computation).
+    align with the logits for loss computation). `images` may be (B,3,H,W)
+    or (B,K,3,H,W) for multi-image rows.
     """
-    feats = encode_images(params, cfg, images)
-    sp = splice_image_tokens(
-        params, cfg, input_ids, feats, segment_ids, labels, signs
-    )
+    if images.ndim == 5:
+        b, k = images.shape[:2]
+        feats = encode_images(
+            params, cfg, images.reshape((b * k,) + images.shape[2:])
+        )
+        feats = feats.reshape((b, k) + feats.shape[1:])
+        sp = splice_image_tokens_multi(
+            params, cfg, input_ids, feats, segment_ids, labels, signs
+        )
+    else:
+        feats = encode_images(params, cfg, images)
+        sp = splice_image_tokens(
+            params, cfg, input_ids, feats, segment_ids, labels, signs
+        )
     hidden = llama.forward_embeds(
         params["llm"],
         cfg.llm,
