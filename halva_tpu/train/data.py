@@ -309,39 +309,68 @@ def _prompt_token_offsets(tokenizer, ids, prompt):
     return offsets
 
 
+def _answer_regions(
+    template: ConvTemplate, turns, prompt: str
+) -> Optional[List[Tuple[int, int]]]:
+    """Supervised char regions (answer + closing separator) per style —
+    generalizes the reference's per-template preprocess_{v1,llama_2,mpt,
+    plain} target masking (vila/data/dataset.py:151-527)."""
+    from halva_tpu.conversation import SeparatorStyle
+
+    style = template.sep_style
+    regions: List[Tuple[int, int]] = []
+    cursor = 0
+    for q, a in turns:
+        if style == SeparatorStyle.TWO:
+            marker = template.roles[1] + ": " + a + (template.sep2 or "")
+            astart_off = len(template.roles[1]) + 2
+            alen = len(a) + len(template.sep2 or "")
+        elif style == SeparatorStyle.MPT:
+            marker = template.roles[1] + a + template.sep
+            astart_off = len(template.roles[1])
+            alen = len(a) + len(template.sep)
+        elif style == SeparatorStyle.LLAMA_2:
+            marker = "[/INST] " + a + " " + (template.sep2 or "")
+            astart_off = len("[/INST] ")
+            alen = len(a) + 1 + len(template.sep2 or "")
+        elif style == SeparatorStyle.PLAIN:
+            marker = a + (template.sep2 or template.sep)
+            astart_off = 0
+            alen = len(marker)
+        else:
+            return None
+        idx = prompt.find(marker, cursor)
+        if idx == -1:
+            return None
+        astart = idx + astart_off
+        regions.append((astart, astart + alen))
+        cursor = idx + len(marker)
+    return regions
+
+
 def encode_plain_conversation(
     turns: Sequence[Tuple[str, str]],  # (question, answer) pairs
     tokenizer,
     template: Optional[ConvTemplate] = None,
 ) -> Optional[EncodedSample]:
-    """preprocess_v1_ref equivalent: multi-turn, no signs; labels keep each
-    assistant answer + its closing </s>."""
+    """preprocess_v1_ref equivalent (multi-turn, no signs), generalized
+    over separator styles; labels keep each answer + closing separator."""
     template = template or get_template("v1")
     msgs = []
     for q, a in turns:
         msgs.append((template.roles[0], _normalize_image_marker(q)))
         msgs.append((template.roles[1], a))
     prompt = template.render(msgs)
-    ids = tokenizer_image_token(prompt, tokenizer)
-    ids = list(ids)
+    ids = list(tokenizer_image_token(prompt, tokenizer))
     try:
         offsets = _prompt_token_offsets_noappend(tokenizer, ids, prompt)
     except ValueError:
         return None
 
+    regions = _answer_regions(template, turns, prompt)
+    if regions is None:
+        return None
     labels = np.full(len(ids), IGNORE_INDEX, np.int32)
-    # supervised regions: each answer + trailing sep2
-    sep2 = template.sep2 or ""
-    cursor = 0
-    regions = []
-    for q, a in turns:
-        marker = template.roles[1] + ": " + a + sep2
-        idx = prompt.find(marker, cursor)
-        if idx == -1:
-            return None
-        astart = idx + len(template.roles[1]) + 2
-        regions.append((astart, astart + len(a) + len(sep2)))
-        cursor = idx + len(marker)
     for i, (a, b) in enumerate(offsets):
         if ids[i] == IMAGE_TOKEN_INDEX:
             continue

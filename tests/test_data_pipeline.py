@@ -226,3 +226,33 @@ def test_collate_shapes():
     assert not batch["segment_ids"][0, 10:].any()
     assert (batch["labels"][0, 10:] == IGNORE_INDEX).all()
     assert batch["images"].shape == (2, 3, 8, 8)
+
+
+def test_encode_plain_conversation_mpt_style():
+    from halva_tpu.conversation import get_template
+
+    tok = SPTok()
+    enc = encode_plain_conversation(
+        [("What?", "A cat.")], tok, get_template("mpt")
+    )
+    assert enc is not None
+    sup = enc.labels[enc.labels != IGNORE_INDEX]
+    text = tok.decode([int(x) for x in sup])
+    assert "A cat." in text
+    assert "What?" not in text
+
+
+def test_encode_plain_conversation_llama2_style():
+    from halva_tpu.conversation import get_template
+
+    tok = SPTok()
+    enc = encode_plain_conversation(
+        [("Q one?", "Answer one."), ("Q two?", "Answer two.")],
+        tok,
+        get_template("llama_2"),
+    )
+    assert enc is not None
+    sup = enc.labels[enc.labels != IGNORE_INDEX]
+    text = tok.decode([int(x) for x in sup])
+    assert "Answer one." in text and "Answer two." in text
+    assert "Q one?" not in text
