@@ -144,9 +144,10 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     )
     start_step = 0
     if rcfg.resume and mgr.latest_step() is not None:
+        # concrete sharded trees as restore templates: orbax restores
+        # each array with the template's sharding
         trainable, opt_state, start_step = mgr.restore(
-            jax.eval_shape(lambda: trainable),
-            jax.eval_shape(lambda: opt_state),
+            trainable, opt_state
         )
         log0("resumed from step %d", start_step)
 

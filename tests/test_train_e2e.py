@@ -103,3 +103,31 @@ def test_train_e2e_smoke(tmp_path):
     assert lines and np.isfinite(lines[-1]["loss"])
     ckpts = os.listdir(out / "checkpoints")
     assert ckpts
+
+
+def test_train_resume(tmp_path):
+    data_path, ref_path, img_dir = _make_data(tmp_path)
+    tok = SPTok()
+    proc = ImageProcessor(size=28, crop_size=28)
+    ds = HallDataset(
+        data_path, ref_path, tok, proc, image_folder=img_dir,
+        max_length=128,
+    )
+    rcfg = RunConfig(
+        model="llava-tiny",
+        output_dir=str(tmp_path / "out2"),
+        data_path=data_path,
+        ref_data_path=ref_path,
+        image_folder=img_dir,
+        epochs=1.0,
+        per_device_batch=1,
+        grad_accum_steps=1,
+        lora_r=4,
+        max_length=128,
+        mesh_data=8,
+    )
+    train(rcfg, tok, dataset=ds)
+    # second invocation restores the final checkpoint and finishes
+    # immediately (step counter already at the end)
+    final = train(rcfg, tok, dataset=ds)
+    assert final is not None
