@@ -188,3 +188,47 @@ def test_chair500_list():
     assert len(lst) == 500
     assert lst[0] == "COCO_val2014_000000002239.jpg"
     assert all(n.startswith("COCO_val2014_") for n in lst)
+
+
+def test_chair_from_coco(tmp_path):
+    """GT build from synthetic COCO instances+captions files."""
+    insts = {
+        "categories": [{"id": 1, "name": "dog"}, {"id": 2, "name": "frisbee"}],
+        "images": [],
+        "annotations": [
+            {"image_id": 42, "category_id": 1},
+            {"image_id": 42, "category_id": 2},
+            {"image_id": 7, "category_id": 1},
+        ],
+    }
+    caps = {
+        "images": [],
+        "annotations": [
+            {"image_id": 42, "caption": "A dog catches a frisbee."},
+            {"image_id": 7, "caption": "A puppy near a bench."},
+        ],
+    }
+    for split in ("train", "val"):
+        (tmp_path / f"instances_{split}2014.json").write_text(
+            json.dumps(insts if split == "val" else
+                       {"categories": insts["categories"], "images": [],
+                        "annotations": []})
+        )
+        (tmp_path / f"captions_{split}2014.json").write_text(
+            json.dumps(caps if split == "val" else
+                       {"images": [], "annotations": []})
+        )
+    ev = chair.ChairEvaluator.from_coco(str(tmp_path))
+    assert ev.imid_to_objects[42] == {"dog", "frisbee"}
+    # caption-derived: puppy -> dog (synonym), bench from caption
+    assert "dog" in ev.imid_to_objects[7]
+    assert "bench" in ev.imid_to_objects[7]
+
+    out = ev.compute(["A dog and a cat."], [42])
+    assert out["overall_metrics"]["CHAIRs"] == 1.0  # cat hallucinated
+
+    # pickle cache roundtrip
+    cache = tmp_path / "chair.pkl"
+    ev.save_cache(str(cache))
+    ev2 = chair.ChairEvaluator.from_cache(str(cache))
+    assert ev2.imid_to_objects[42] == {"dog", "frisbee"}
