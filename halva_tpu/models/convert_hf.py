@@ -128,6 +128,81 @@ def llama_from_hf(
     return params
 
 
+def mpt_from_hf(sd: Mapping[str, Any], cfg: LlamaConfig) -> Params:
+    """Convert an HF MptForCausalLM state_dict (the VILA llava_mpt
+    backend's vendored model family): packed Wqkv split into wq/wk/wv,
+    LayerNorm norms, non-gated ffn, tied wte head."""
+    n = cfg.num_layers
+    d = cfg.hidden_size
+
+    wqkv = _stack(
+        sd, "transformer.blocks.{}.attn.Wqkv.weight", n, transpose=True
+    )  # (L, D, 3D)
+    wq, wk, wv = (
+        wqkv[:, :, :d],
+        wqkv[:, :, d : 2 * d],
+        wqkv[:, :, 2 * d :],
+    )
+    params: Params = {
+        "embed": {"embedding": _np(sd["transformer.wte.weight"])},
+        "layers": {
+            "attn": {
+                "wq": {"kernel": wq},
+                "wk": {"kernel": wk},
+                "wv": {"kernel": wv},
+                "wo": {
+                    "kernel": _stack(
+                        sd,
+                        "transformer.blocks.{}.attn.out_proj.weight",
+                        n,
+                        transpose=True,
+                    )
+                },
+            },
+            "mlp": {
+                # non-gated: "gate" slot unused but kept for tree shape
+                "gate": {
+                    "kernel": _stack(
+                        sd,
+                        "transformer.blocks.{}.ffn.up_proj.weight",
+                        n,
+                        transpose=True,
+                    )
+                    * 0.0
+                },
+                "up": {
+                    "kernel": _stack(
+                        sd,
+                        "transformer.blocks.{}.ffn.up_proj.weight",
+                        n,
+                        transpose=True,
+                    )
+                },
+                "down": {
+                    "kernel": _stack(
+                        sd,
+                        "transformer.blocks.{}.ffn.down_proj.weight",
+                        n,
+                        transpose=True,
+                    )
+                },
+            },
+            "input_norm": {
+                "scale": _stack(
+                    sd, "transformer.blocks.{}.norm_1.weight", n
+                )
+            },
+            "post_attn_norm": {
+                "scale": _stack(
+                    sd, "transformer.blocks.{}.norm_2.weight", n
+                )
+            },
+        },
+        "final_norm": {"scale": _np(sd["transformer.norm_f.weight"])},
+    }
+    return params
+
+
 def clip_vit_from_hf(
     sd: Mapping[str, Any], cfg: ViTConfig, prefix: str = "vision_model."
 ) -> Params:

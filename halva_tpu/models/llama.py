@@ -40,7 +40,10 @@ def _mlp_act(cfg: "LlamaConfig"):
         return jax.nn.silu
     if cfg.mlp_act == "gelu_tanh":
         return lambda x: jax.nn.gelu(x, approximate=True)
+    if cfg.mlp_act == "gelu":
+        return lambda x: jax.nn.gelu(x, approximate=False)
     raise ValueError(f"unknown mlp_act {cfg.mlp_act!r}")
+
 
 
 # --------------------------------------------------------------------------
@@ -71,6 +74,18 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
         )
         y = y + p["lora_scale"].astype(x.dtype) * lo
     return y
+
+
+def layer_norm_np(
+    x: jnp.ndarray, scale: jnp.ndarray, eps: float
+) -> jnp.ndarray:
+    """Bias-free LayerNorm (MPT norm convention)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    out = (x - mean) * jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    return out.astype(dtype)
 
 
 def rms_norm(
@@ -217,6 +232,12 @@ def embed(params: Params, input_ids: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(p["embedding"], ids, axis=0)
 
 
+def _norm(cfg: LlamaConfig, x: jnp.ndarray, scale: jnp.ndarray):
+    if cfg.norm_type == "layernorm":
+        return layer_norm_np(x, scale, cfg.rms_norm_eps)
+    return rms_norm(x, scale, cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+
+
 def _layer(
     cfg: LlamaConfig,
     attn_impl: str,
@@ -231,7 +252,7 @@ def _layer(
     h, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
     ap, mp = layer_params["attn"], layer_params["mlp"]
 
-    y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+    y = _norm(cfg, x, layer_params["input_norm"]["scale"])
     q = dense(y, ap["wq"]).reshape(b, s, h, dh)
     k = dense(y, ap["wk"]).reshape(b, s, kvh, dh)
     v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
@@ -265,12 +286,12 @@ def _layer(
         )
     x = x + dense(attn_out.reshape(b, s, h * dh), ap["wo"])
 
-    y = rms_norm(
-        x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps,
-        cfg.rmsnorm_unit_offset,
-    )
-    gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
-    x = x + dense(gated, mp["down"])
+    y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
+    if cfg.gated_mlp:
+        gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
+        x = x + dense(gated, mp["down"])
+    else:
+        x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
     return x
 
 
@@ -301,7 +322,7 @@ def forward_embeds(
         return body(x, layer_params, cos, sin, segment_ids, positions), None
 
     x, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
-    return rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+    return _norm(cfg, x, params["final_norm"]["scale"])
 
 
 def lm_logits(
@@ -388,7 +409,7 @@ def prefill(
 
     def scan_fn(x, layer_params):
         ap, mp = layer_params["attn"], layer_params["mlp"]
-        y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+        y = _norm(cfg, x, layer_params["input_norm"]["scale"])
         q = dense(y, ap["wq"]).reshape(b, s, h_, dh)
         k = dense(y, ap["wk"]).reshape(b, s, kvh, dh)
         v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
@@ -398,18 +419,18 @@ def prefill(
             q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
         )
         x = x + dense(attn_out.reshape(b, s, h_ * dh), ap["wo"])
-        y = rms_norm(
-            x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps,
-            cfg.rmsnorm_unit_offset,
-        )
-        gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
-        x = x + dense(gated, mp["down"])
+        y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
+        if cfg.gated_mlp:
+            gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
+            x = x + dense(gated, mp["down"])
+        else:
+            x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
         return x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
     x, (k_all, v_all) = jax.lax.scan(
         scan_fn, inputs_embeds, params["layers"]
     )
-    hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+    hidden = _norm(cfg, x, params["final_norm"]["scale"])
     return hidden, {"k": k_all, "v": v_all}
 
 
@@ -477,7 +498,7 @@ def decode_step(
         x, kg_full, vg_full, li = carry
         layer_params, kp, vp = inputs
         ap, mp = layer_params["attn"], layer_params["mlp"]
-        y = rms_norm(x, layer_params["input_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+        y = _norm(cfg, x, layer_params["input_norm"]["scale"])
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
         k = dense(y, ap["wk"]).reshape(b, 1, kvh, dh)
         v = dense(y, ap["wv"]).reshape(b, 1, kvh, dh)
@@ -509,12 +530,12 @@ def decode_step(
             gen_valid,
         )
         x = x + dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"])
-        y = rms_norm(
-            x, layer_params["post_attn_norm"]["scale"], cfg.rms_norm_eps,
-            cfg.rmsnorm_unit_offset,
-        )
-        gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
-        x = x + dense(gated, mp["down"])
+        y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
+        if cfg.gated_mlp:
+            gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
+            x = x + dense(gated, mp["down"])
+        else:
+            x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
         return (x, kg_full, vg_full, li + 1), None
 
     (x, new_kg, new_vg, _), _ = jax.lax.scan(
@@ -522,6 +543,6 @@ def decode_step(
         (token_embeds, gen_cache["k"], gen_cache["v"], jnp.int32(0)),
         (params["layers"], prompt_cache["k"], prompt_cache["v"]),
     )
-    hidden = rms_norm(x, params["final_norm"]["scale"], cfg.rms_norm_eps, cfg.rmsnorm_unit_offset)
+    hidden = _norm(cfg, x, params["final_norm"]["scale"])
     logits = lm_logits(params, cfg, hidden)[:, 0]
     return logits, {"k": new_kg, "v": new_vg}

@@ -119,3 +119,41 @@ def test_pos_embed_interpolation():
     imgs = np.random.RandomState(0).randn(1, 3, 56, 56).astype(np.float32)
     out = vit.encode(new_params, new_cfg, jnp.asarray(imgs))
     assert out.shape == (1, 16, 32)
+
+
+def test_mpt_parity():
+    """Full MPT block structure (LayerNorm, non-gated ffn, ALiBi, packed
+    Wqkv) vs HF MptForCausalLM."""
+    from halva_tpu.models.convert_hf import mpt_from_hf
+
+    cfg = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=256,  # expansion 4x
+        num_layers=2,
+        num_heads=4,  # power of two: slope conventions align
+        max_position_embeddings=128,
+        rms_norm_eps=1e-5,
+        tie_word_embeddings=True,
+        position_embedding="alibi",
+        mlp_act="gelu",
+        norm_type="layernorm",
+        gated_mlp=False,
+    )
+    hf_cfg = transformers.MptConfig(
+        vocab_size=128, d_model=64, n_heads=4, n_layers=2,
+        expansion_ratio=4, max_seq_len=128, layer_norm_epsilon=1e-5,
+        no_bias=True, attn_config=transformers.models.mpt
+        .configuration_mpt.MptAttentionConfig(alibi=True),
+    )
+    torch.manual_seed(0)
+    model = transformers.MptForCausalLM(hf_cfg).eval()
+    params = mpt_from_hf(model.state_dict(), cfg)
+
+    ids = np.random.RandomState(0).randint(0, 128, (1, 10))
+    with torch.no_grad():
+        want = model(torch.tensor(ids)).logits.numpy()
+    got = np.asarray(
+        llama.forward(params, cfg, jnp.asarray(ids), attn_impl="xla")
+    )
+    np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-3)
