@@ -32,8 +32,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # defaults tuned on v5e (b8 s2048 h32 d128: 128/128 -> 16 TF/s,
 # 512/256 -> 31 TF/s, 1024/512 -> 35 TF/s; bigger q blocks amortize
-# per-program overhead). Next lever (round 2): skip mask computation on
-# interior blocks (diagonal-only masking) — the kernel is VPU-bound.
+# per-program overhead). Measured dead end: branching the mask away on
+# interior uniform blocks (lax.cond) DROPS throughput to ~24 TF/s — the
+# in-loop branch defeats Mosaic pipelining; keep the mask unconditional.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 256
 NEG_INF = -1e30
