@@ -178,21 +178,28 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     )
     wall = WallClockGuard.from_env()
 
+    from halva_tpu.utils.prefetch import prefetch
+
+    def host_batch_stream():
+        """Dataset fetch + collate on a background thread (the reference's
+        DataLoader workers)."""
+        for batch_idx in host_batches:
+            samples = [dataset[i] for i in batch_idx]
+            samples = [s for s in samples if s is not None]
+            if not samples:
+                continue
+            yield collate(samples, pad_token_id=0)
+
     micro = start_step
     t_train0 = time.time()
-    for batch_idx in host_batches:
+    for host_batch in prefetch(host_batch_stream(), depth=2):
         if micro >= num_micro_steps:
             break
         if watcher.should_stop(micro) or wall.should_stop():
             log0("preemption/timeout: checkpoint + stop at step %d", micro)
             mgr.save(micro, trainable, opt_state)
             break
-        samples = [dataset[i] for i in batch_idx]
-        samples = [s for s in samples if s is not None]
-        if not samples:
-            continue
-        batch = collate(samples, pad_token_id=0)
-        batch = partition.shard_batch(batch, mesh)
+        batch = partition.shard_batch(host_batch, mesh)
         trainable, opt_state, m = step_fn(
             trainable, frozen, ref_params, opt_state, batch
         )
