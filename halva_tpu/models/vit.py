@@ -172,9 +172,12 @@ def encode(
     d = cfg.hidden_size
     patches = patchify(images, cfg.patch_size)
     kernel = params["patch_embed"]["kernel"].reshape(-1, d)
+    # compute in the tower's param dtype (bf16 in serving/training): fp32
+    # pixel inputs would silently drag every tower matmul to fp32
+    patches = patches.astype(kernel.dtype)
     # conv kernel layout is (kh, kw, in, out) but patch vectors are
     # (ph, pw, C); both flatten consistently — see patchify docstring.
-    x = jnp.dot(patches, kernel.astype(patches.dtype))
+    x = jnp.dot(patches, kernel)
     if "bias" in params["patch_embed"]:
         x = x + params["patch_embed"]["bias"].astype(x.dtype)
 

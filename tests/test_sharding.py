@@ -86,3 +86,39 @@ def test_sharded_grad_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(w), np.asarray(g), atol=1e-4, rtol=1e-3
         )
+
+
+def test_sharded_generate_matches_single_device():
+    """Batched decode with FSDP-sharded params + data-sharded batch."""
+    from halva_tpu.config import LLAVA_TINY
+    from halva_tpu.constants import IMAGE_TOKEN_INDEX
+    from halva_tpu.models import llava as llava_mod
+    from halva_tpu.ops.generate import generate_greedy
+
+    cfg = LLAVA_TINY
+    params = llava_mod.init_params(jax.random.PRNGKey(0), cfg)
+    b, s = 8, 7
+    rng = np.random.RandomState(0)
+    ids = rng.randint(5, 50, (b, s)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((b,), s, np.int32)
+    imgs = rng.randn(
+        b, 3, cfg.vision.image_size, cfg.vision.image_size
+    ).astype(np.float32)
+
+    want, want_n = generate_greedy(
+        params, cfg, jnp.asarray(ids), jnp.asarray(imgs),
+        jnp.asarray(lens), max_new_tokens=5, eos_id=-1, attn_impl="xla",
+    )
+
+    m = mesh_lib.make_mesh(data=8, model=1)
+    sp = partition.shard_params(params, m)
+    bs = partition.batch_sharding(m)
+    got, got_n = generate_greedy(
+        sp, cfg,
+        jax.device_put(jnp.asarray(ids), bs),
+        jax.device_put(jnp.asarray(imgs), bs),
+        jax.device_put(jnp.asarray(lens), bs),
+        max_new_tokens=5, eos_id=-1, attn_impl="xla",
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
