@@ -58,11 +58,9 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     halva_tpu.ops.quant) — dequantized on the fly, one layer at a time.
     """
     if "kernel_q" in p:
-        w = (
-            p["kernel_q"].astype(x.dtype)
-            * p["kernel_scale"].astype(x.dtype)
-        )
-        y = jnp.dot(x, w)
+        from halva_tpu.ops.int8_matmul import int8_matmul
+
+        y = int8_matmul(x, p["kernel_q"], p["kernel_scale"])
     else:
         y = jnp.dot(x, p["kernel"].astype(x.dtype))
     if "bias" in p:

@@ -1,0 +1,84 @@
+"""Fused weight-only-int8 matmul: y = x @ (q_int8 * scale).
+
+Why a kernel: XLA materializes `q.astype(bf16) * scale` through HBM before
+the dot, so every decode step moves int8 + bf16-write + bf16-read ≈ 5x the
+int8 bytes — measured 369 tok/s for llava-7b int8 decode at batch 16
+(~18% of the weight-bandwidth roofline). This kernel dequantizes tiles in
+VMEM, so HBM sees only the int8 weights.
+
+Layout: x (M, K) activations, q (K, N) int8, scale (1, N). Grid over
+(M tiles, N tiles); K is kept whole per block (fits VMEM for every matmul
+in the 7B/13B family: max K=13824 -> q block 13824x256 int8 = 3.4MB).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, q_ref, s_ref, o_ref):
+    w = q_ref[:].astype(x_ref.dtype)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = (
+        acc * s_ref[0].astype(jnp.float32)[None, :]
+    ).astype(o_ref.dtype)
+
+
+def _pad_dim(x, axis, mult):
+    pad = (-x.shape[axis]) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def int8_matmul(
+    x: jnp.ndarray,  # (..., K) activations (bf16/fp32)
+    q: jnp.ndarray,  # (K, N) int8
+    scale: jnp.ndarray,  # (1, N) or (N,)
+    block_m: int = 256,
+    block_n: int = 256,
+) -> jnp.ndarray:
+    """Returns (..., N) in x.dtype. Falls back to plain XLA off-TPU."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = q.shape[-1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    scale2 = scale.reshape(1, -1)
+
+    if jax.default_backend() != "tpu":
+        w = q.astype(x.dtype) * scale2.astype(x.dtype)
+        return jnp.dot(x2, w).reshape(*lead, n)
+
+    bm = min(block_m, max(8, m))
+    bn = min(block_n, n)
+    xp = _pad_dim(x2, 0, bm)
+    qp = _pad_dim(q, 1, bn)
+    sp = _pad_dim(scale2, 1, bn)
+    mp, np_ = xp.shape[0], qp.shape[1]
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(mp // bm, np_ // bn),
+        in_specs=[
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), x.dtype),
+    )(xp, qp, sp)
+    return out[:m, :n].reshape(*lead, n)
