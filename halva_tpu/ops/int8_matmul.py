@@ -59,8 +59,16 @@ def int8_matmul(
         w = q.astype(x.dtype) * scale2.astype(x.dtype)
         return jnp.dot(x2, w).reshape(*lead, n)
 
-    bm = min(block_m, max(8, m))
+    # VMEM budget: Pallas double-buffers inputs across grid steps, so
+    # 2*(x block + q block) + out must stay well under the 16MB scoped
+    # limit (K=11008 at bm=256 hits 16.4M). Shrink bm first, then bn.
     bn = min(block_n, n)
+    while k * bn > 4 * 2**20 and bn > 128:
+        bn //= 2
+    bm = min(block_m, max(8, m))
+    while bm > 8 and 2 * (bm * k * 2 + k * bn) + bm * bn * 6 > 12 * 2**20:
+        bm //= 2
+    bm = max(8, bm)
     xp = _pad_dim(x2, 0, bm)
     qp = _pad_dim(q, 1, bn)
     sp = _pad_dim(scale2, 1, bn)
