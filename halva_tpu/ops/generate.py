@@ -87,12 +87,32 @@ def _prefill_phase(
     first_logits = llama.lm_logits(params["llm"], cfg.llm, last_hidden)[:, 0]
     first_tok = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)
 
-    return first_tok, spliced_len, prompt_cache, sp.segment_ids
+    return first_tok, first_logits, spliced_len, prompt_cache, sp.segment_ids
+
+
+def _select_token(logits, temperature, top_p, key):
+    """Greedy (temperature==0) or nucleus sampling (reference generate
+    surface: --temperature/--top_p, model_vqa_loader.py:106-108)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits / temperature
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p; find the cutoff logit
+        keep = cum - probs < top_p
+        cutoff = jnp.min(
+            jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True
+        )
+        logits = jnp.where(logits >= cutoff, logits, -jnp.inf)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_id"),
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "temperature",
+                     "top_p"),
 )
 def _decode_phase(
     params: Params,
@@ -103,8 +123,13 @@ def _decode_phase(
     prompt_seg: jnp.ndarray,
     max_new_tokens: int,
     eos_id: int,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
 ):
     b = first_tok.shape[0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
     gen_cache = llama.init_gen_cache(
         cfg.llm, b, max_new_tokens, dtype=prompt_cache["k"].dtype
     )
@@ -140,7 +165,8 @@ def _decode_phase(
             st.gen_cache,
             st.step,
         )
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        step_key = jax.random.fold_in(rng, st.step)
+        nxt = _select_token(logits, temperature, top_p, step_key)
         return GenState(
             st.step + 1, tokens, nxt, st.lengths, done, new_gen
         )
@@ -157,7 +183,7 @@ def _decode_phase(
     return final.tokens, num
 
 
-def generate_greedy(
+def generate(
     params: Params,
     cfg: LlavaConfig,
     input_ids: jnp.ndarray,  # (B, S) right-padded, -200 image sentinel
@@ -166,18 +192,52 @@ def generate_greedy(
     max_new_tokens: int,
     eos_id: int,
     attn_impl: str = "auto",
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, max_new), num_generated (B,)).
 
-    Rows stop at EOS; finished rows keep emitting eos_id (callers trim).
+    temperature 0 = greedy (the reference's do_sample=temperature>0
+    convention); otherwise nucleus sampling with `top_p`. Rows stop at
+    EOS; finished rows keep emitting eos_id (callers trim).
+
+    NOTE: the first sampled/greedy token comes from the prefill phase
+    argmax; under sampling the first generated token is also sampled.
     """
-    first_tok, spliced_len, prompt_cache, prompt_seg = _prefill_phase(
-        params, cfg, input_ids, images, prompt_lengths,
-        max_new_tokens, attn_impl,
+    first_tok, first_logits, spliced_len, prompt_cache, prompt_seg = (
+        _prefill_phase(
+            params, cfg, input_ids, images, prompt_lengths,
+            max_new_tokens, attn_impl,
+        )
     )
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if temperature > 0.0:
+        first_tok = _select_token(
+            first_logits, temperature, top_p,
+            jax.random.fold_in(rng, 0x7FFFFFFF),
+        )
     return _decode_phase(
         params, cfg, first_tok, spliced_len, prompt_cache, prompt_seg,
-        max_new_tokens, eos_id,
+        max_new_tokens, eos_id, temperature, top_p, rng,
+    )
+
+
+def generate_greedy(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,
+    images: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
+    max_new_tokens: int,
+    eos_id: int,
+    attn_impl: str = "auto",
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decoding (the HALVA eval default: temperature 0)."""
+    return generate(
+        params, cfg, input_ids, images, prompt_lengths,
+        max_new_tokens, eos_id, attn_impl,
     )
 
 

@@ -87,3 +87,45 @@ def test_generate_matches_naive():
     for i in range(b):
         got = [t for t in tokens[i].tolist() if t != EOS][: int(num[i])]
         assert got == want[i], (i, got, want[i])
+
+
+def test_sampling_modes():
+    import jax
+    from halva_tpu.ops.generate import generate
+
+    params = llava.init_params(jax.random.PRNGKey(0), CFG)
+    b, s = 2, 6
+    rng = np.random.RandomState(1)
+    ids = rng.randint(5, 50, (b, s)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((b,), s, np.int32)
+    imgs = rng.randn(
+        b, 3, CFG.vision.image_size, CFG.vision.image_size
+    ).astype(np.float32)
+    args = (
+        params, CFG, jnp.asarray(ids), jnp.asarray(imgs),
+        jnp.asarray(lens),
+    )
+
+    greedy, _ = generate(*args, max_new_tokens=6, eos_id=-1,
+                         attn_impl="xla", temperature=0.0)
+    # temperature 0 equals generate_greedy
+    g2, _ = generate_greedy(*args, max_new_tokens=6, eos_id=-1,
+                            attn_impl="xla")
+    np.testing.assert_array_equal(np.asarray(greedy), np.asarray(g2))
+
+    # sampling: deterministic under the same key, varies across keys
+    k1 = jax.random.PRNGKey(7)
+    s1, _ = generate(*args, max_new_tokens=6, eos_id=-1, attn_impl="xla",
+                     temperature=1.0, rng=k1)
+    s1b, _ = generate(*args, max_new_tokens=6, eos_id=-1, attn_impl="xla",
+                      temperature=1.0, rng=k1)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    s2, _ = generate(*args, max_new_tokens=6, eos_id=-1, attn_impl="xla",
+                     temperature=1.0, rng=jax.random.PRNGKey(8))
+    assert not np.array_equal(np.asarray(s1), np.asarray(s2))
+
+    # top_p=tiny approaches greedy
+    s3, _ = generate(*args, max_new_tokens=6, eos_id=-1, attn_impl="xla",
+                     temperature=1.0, top_p=1e-6, rng=k1)
+    np.testing.assert_array_equal(np.asarray(s3), np.asarray(greedy))
