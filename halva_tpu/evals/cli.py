@@ -39,6 +39,8 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--num-chunks", type=int, default=1)
     p.add_argument("--chunk-idx", type=int, default=0)
     p.add_argument("--quant", choices=["none", "int8"], default="none")
+    p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--answers-file", required=True)
 
@@ -66,6 +68,8 @@ def _build_generator(args):
         template_name=args.conv_mode,
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        top_p=args.top_p,
     )
 
 

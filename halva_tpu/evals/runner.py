@@ -34,7 +34,7 @@ from halva_tpu.mm_utils import (
     process_images,
     tokenizer_image_token,
 )
-from halva_tpu.ops.generate import decode_tokens, generate_greedy
+from halva_tpu.ops.generate import decode_tokens, generate
 from halva_tpu.utils.logging import log0
 
 CHAIR_PROMPT = "Describe the image in detail."
@@ -97,6 +97,9 @@ class BatchedGenerator:
         max_new_tokens: int = 1024,
         prompt_bucket: int = 64,
         attn_impl: str = "auto",
+        temperature: float = 0.0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ):
         self.params = params
         self.cfg = cfg
@@ -108,6 +111,9 @@ class BatchedGenerator:
         self.max_new_tokens = max_new_tokens
         self.bucket = prompt_bucket
         self.attn_impl = attn_impl
+        self.temperature = temperature
+        self.top_p = top_p
+        self.seed = seed
         self.eos_id = tokenizer.eos_token_id
 
     def _encode(self, req: EvalRequest):
@@ -160,7 +166,9 @@ class BatchedGenerator:
                 imgs = np.concatenate([imgs, np.tile(imgs[-1:], (pad, 1, 1, 1))])
                 lens = np.concatenate([lens, np.tile(lens[-1:], pad)])
 
-            tokens, num = generate_greedy(
+            import jax as _jax
+
+            tokens, num = generate(
                 self.params,
                 self.cfg,
                 jnp.asarray(batch_ids),
@@ -169,6 +177,9 @@ class BatchedGenerator:
                 max_new_tokens=self.max_new_tokens,
                 eos_id=self.eos_id,
                 attn_impl=self.attn_impl,
+                temperature=self.temperature,
+                top_p=self.top_p,
+                rng=_jax.random.PRNGKey(self.seed + start),
             )
             texts = decode_tokens(
                 np.asarray(tokens),
