@@ -19,7 +19,7 @@ import bisect
 import json
 import random
 from collections import OrderedDict
-from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+from typing import Any, Dict, Iterator, List, Sequence
 
 from halva_tpu.data.tario import IndexedTar
 

@@ -18,7 +18,7 @@ import json
 import os
 import pickle
 from collections import defaultdict
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from halva_tpu.evals.lemmatize import lemmatize_caption
 

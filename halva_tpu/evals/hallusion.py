@@ -17,7 +17,7 @@ offline fallback.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Sequence
 
 JUDGE_PROMPT = (
     "Imagine you are an intelligent teacher. Thoroughly read the "

@@ -11,7 +11,7 @@ look up.
 from __future__ import annotations
 
 import re
-from typing import List, Tuple
+from typing import List
 
 _IRREGULAR = {
     "people": "people",  # kept: it's in the synonym table as-is

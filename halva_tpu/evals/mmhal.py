@@ -9,8 +9,7 @@ in the reference (OPENAI_API_KEY plumbing kept out of the metric core).
 
 from __future__ import annotations
 
-import json
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Sequence
 
 QUESTION_TYPES = [
     "attribute", "adversarial", "comparison", "counting",

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 
 def normalize_answer(text: str) -> str:

@@ -17,9 +17,8 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import time
 import uuid
-from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 from PIL import Image
@@ -35,7 +34,6 @@ from halva_tpu.mm_utils import (
     tokenizer_image_token,
 )
 from halva_tpu.ops.generate import decode_tokens, generate
-from halva_tpu.utils.logging import log0
 
 CHAIR_PROMPT = "Describe the image in detail."
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")

@@ -12,11 +12,11 @@ Per-layer tensors are stacked on a leading num_layers axis for lax.scan.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Mapping
+from typing import Any, Dict, Mapping
 
 import numpy as np
 
-from halva_tpu.config import LlamaConfig, LlavaConfig, ViTConfig
+from halva_tpu.config import LlamaConfig, ViTConfig
 
 Params = Dict[str, Any]
 

@@ -18,7 +18,6 @@ Output length is static: S_out = S_in + num_image_tokens - 1.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -15,8 +15,7 @@ so the whole multiscale sweep is one batched tower call.
 
 from __future__ import annotations
 
-import math
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

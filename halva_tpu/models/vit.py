@@ -18,7 +18,7 @@ reshape/transpose) rather than a conv — identical math, better TPU mapping.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ in the 7B/13B family: max K=13824 -> q block 13824x256 int8 = 3.4MB).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

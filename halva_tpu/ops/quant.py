@@ -13,7 +13,7 @@ int8 params + a single layer in bf16.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

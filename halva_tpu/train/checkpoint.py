@@ -18,7 +18,6 @@ import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -12,7 +12,7 @@ Replaces the reference's torch samplers:
 from __future__ import annotations
 
 import random
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Sequence
 
 
 def split_to_even_chunks(

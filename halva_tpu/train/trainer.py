@@ -21,7 +21,6 @@ Replaces the reference HalvaTrainer (llava/train/halva_trainer.py:155-592)
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
