@@ -228,6 +228,88 @@ def cmd_hallusionbench(args):
     print(json.dumps(hallusion.evaluate(rows), indent=2))
 
 
+def cmd_suite(args):
+    """Full hallucination suite with ONE model load (the reference's
+    eval_hall_suite.sh reloads the model per benchmark; here the loaded
+    params are shared and only prompts/images change)."""
+    gen = _build_generator(args)
+    out_dir = os.path.dirname(os.path.abspath(args.answers_file)) or "."
+    results = {}
+
+    from halva_tpu.evals.runner import (
+        chair_requests,
+        vqa_requests,
+        amber_requests,
+        write_answers_jsonl,
+    )
+
+    if args.chair_image_folder:
+        reqs = chair_requests(args.chair_image_folder)
+        t0 = time.time()
+        texts = gen.run(reqs)
+        results["chair_imgs_per_sec"] = round(len(reqs) / (time.time() - t0), 3)
+        write_answers_jsonl(
+            os.path.join(out_dir, "chair.jsonl"), reqs, texts, "halva-tpu"
+        )
+        if args.coco_path:
+            from halva_tpu.evals.chair import ChairEvaluator
+
+            ev = ChairEvaluator.from_coco(args.coco_path)
+            results["chair"] = ev.compute(
+                texts, [r.question_id for r in reqs]
+            )["overall_metrics"]
+
+    if args.pope_question_file:
+        reqs = vqa_requests(args.pope_question_file, args.pope_image_folder)
+        texts = gen.run(reqs)
+        pope_path = os.path.join(out_dir, "pope.jsonl")
+        write_answers_jsonl(pope_path, reqs, texts, "halva-tpu")
+        if args.pope_annotation_dir:
+            from halva_tpu.evals.pope import eval_pope_files
+
+            results["pope"] = eval_pope_files(
+                pope_path, args.pope_question_file, args.pope_annotation_dir
+            )
+
+    if args.amber_query_file:
+        reqs = amber_requests(args.amber_query_file, args.amber_image_folder)
+        texts = gen.run(reqs)
+        write_answers_jsonl(
+            os.path.join(out_dir, "amber.jsonl"), reqs, texts, "halva-tpu"
+        )
+        if args.amber_anno_dir:
+            from halva_tpu.evals.amber import AmberEvaluator
+
+            ev = AmberEvaluator.from_files(
+                os.path.join(args.amber_anno_dir, "data/annotations.json"),
+                os.path.join(args.amber_anno_dir, "data/relation.json"),
+                os.path.join(args.amber_anno_dir, "data/safe_words.txt"),
+            )
+            rows = [
+                {"id": r.question_id, "response": t}
+                for r, t in zip(reqs, texts)
+            ]
+            results["amber"] = ev.evaluate(rows, "a")
+
+    if args.mme_question_file:
+        reqs = vqa_requests(
+            args.mme_question_file, args.mme_image_folder,
+            additional_input_prompt=" Please answer yes or no.",
+        )
+        texts = gen.run(reqs)
+        mme_path = os.path.join(out_dir, "mme.jsonl")
+        write_answers_jsonl(mme_path, reqs, texts, "halva-tpu")
+        if args.mme_data:
+            from halva_tpu.evals.mme import score_mme
+
+            answers = [json.loads(l) for l in open(mme_path)]
+            results["mme"] = score_mme(answers, args.mme_data)
+
+    with open(args.answers_file, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    print(json.dumps(results, indent=2, default=str))
+
+
 def main(argv: Optional[List[str]] = None):
     p = argparse.ArgumentParser(prog="halva_tpu.evals")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -262,6 +344,21 @@ def main(argv: Optional[List[str]] = None):
     c.add_argument("--mme-data", default=None)
     c.add_argument("--additional-input-prompt", default="")
     c.set_defaults(fn=cmd_mme)
+
+    c = sub.add_parser("suite")
+    _add_model_args(c)  # --answers-file = results summary json path
+    c.add_argument("--chair-image-folder", default=None)
+    c.add_argument("--coco-path", default=None)
+    c.add_argument("--pope-question-file", default=None)
+    c.add_argument("--pope-image-folder", default=None)
+    c.add_argument("--pope-annotation-dir", default=None)
+    c.add_argument("--amber-query-file", default=None)
+    c.add_argument("--amber-image-folder", default=None)
+    c.add_argument("--amber-anno-dir", default=None)
+    c.add_argument("--mme-question-file", default=None)
+    c.add_argument("--mme-image-folder", default=None)
+    c.add_argument("--mme-data", default=None)
+    c.set_defaults(fn=cmd_suite)
 
     c = sub.add_parser("mmhal")
     _add_model_args(c)
