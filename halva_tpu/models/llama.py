@@ -388,10 +388,7 @@ def forward(
 def init_gen_cache(
     cfg: LlamaConfig, batch: int, max_new: int, dtype=jnp.bfloat16
 ) -> Params:
-    """Head-major layout (L, B, KVH, S, Dh): decode reads a contiguous
-    (S, Dh) run per (batch, head) — measured KV reads are the decode
-    bottleneck at batch 16, and sequence-major layout strides them."""
-    shape = (cfg.num_layers, batch, cfg.kv_heads, max_new, cfg.head_size)
+    shape = (cfg.num_layers, batch, max_new, cfg.kv_heads, cfg.head_size)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -406,9 +403,9 @@ def prefill(
 ) -> Tuple[jnp.ndarray, Params]:
     """Full-sequence forward producing the prompt KV cache.
 
-    Returns (final hidden states, prompt cache {k,v}: (L, B, KVH, S, Dh),
-    head-major — see init_gen_cache). Prompts are right-padded; padding
-    keys carry segment id 0 so decode steps never attend to them.
+    Returns (final hidden states, prompt cache {k,v}: (L, B, S, KVH, Dh)).
+    Prompts are right-padded; padding keys carry segment id 0 so decode
+    steps never attend to them.
     """
     b, s, d = inputs_embeds.shape
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
@@ -434,10 +431,7 @@ def prefill(
             x = x + dense(gated, mp["down"])
         else:
             x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
-        return x, (
-            k.transpose(0, 2, 1, 3).astype(cache_dtype),
-            v.transpose(0, 2, 1, 3).astype(cache_dtype),
-        )
+        return x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
     x, (k_all, v_all) = jax.lax.scan(
         scan_fn, inputs_embeds, params["layers"]
@@ -448,9 +442,9 @@ def prefill(
 
 def _decode_attend(
     q: jnp.ndarray,  # (B, 1, H, Dh)
-    kp: jnp.ndarray,  # (B, KVH, Sp, Dh) prompt keys (head-major)
+    kp: jnp.ndarray,  # (B, Sp, KVH, Dh) prompt keys
     vp: jnp.ndarray,
-    kg: jnp.ndarray,  # (B, KVH, Sg, Dh) generated keys
+    kg: jnp.ndarray,  # (B, Sg, KVH, Dh) generated keys
     vg: jnp.ndarray,
     prompt_seg: jnp.ndarray,  # (B, Sp) 0 = invalid
     gen_valid: jnp.ndarray,  # (B, Sg) bool
@@ -458,27 +452,27 @@ def _decode_attend(
     """Single-query attention over split prompt/generated caches with one
     softmax across both (logits are tiny; no KV concat is materialized)."""
     b, _, h, dh = q.shape
-    kvh = kp.shape[1]
+    kvh = kp.shape[2]
     scale = dh**-0.5
     if kvh != h:
         rep = h // kvh
-        kp = jnp.repeat(kp, rep, axis=1)
-        vp = jnp.repeat(vp, rep, axis=1)
-        kg = jnp.repeat(kg, rep, axis=1)
-        vg = jnp.repeat(vg, rep, axis=1)
+        kp = jnp.repeat(kp, rep, axis=2)
+        vp = jnp.repeat(vp, rep, axis=2)
+        kg = jnp.repeat(kg, rep, axis=2)
+        vg = jnp.repeat(vg, rep, axis=2)
     q2 = q[:, 0]  # (B, H, Dh)
-    lp = jnp.einsum("bhd,bhkd->bhk", q2, kp,
+    lp = jnp.einsum("bhd,bkhd->bhk", q2, kp,
                     preferred_element_type=jnp.float32) * scale
-    lg = jnp.einsum("bhd,bhkd->bhk", q2, kg,
+    lg = jnp.einsum("bhd,bkhd->bhk", q2, kg,
                     preferred_element_type=jnp.float32) * scale
     lp = jnp.where(prompt_seg[:, None, :] != 0, lp, -1e30)
     lg = jnp.where(gen_valid[:, None, :], lg, -1e30)
     logits = jnp.concatenate([lp, lg], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
-    pp, pg = probs[..., : kp.shape[2]], probs[..., kp.shape[2]:]
-    out = jnp.einsum("bhk,bhkd->bhd", pp, vp,
+    pp, pg = probs[..., : kp.shape[1]], probs[..., kp.shape[1]:]
+    out = jnp.einsum("bhk,bkhd->bhd", pp, vp,
                      preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("bhk,bhkd->bhd", pg, vg,
+    out = out + jnp.einsum("bhk,bkhd->bhd", pg, vg,
                            preferred_element_type=jnp.float32)
     return out[:, None].astype(q.dtype)
 
@@ -488,9 +482,9 @@ def decode_step(
     cfg: LlamaConfig,
     token_embeds: jnp.ndarray,  # (B, 1, D)
     positions: jnp.ndarray,  # (B,) absolute position of this token
-    prompt_cache: Params,  # read-only {k,v}: (L, B, KVH, Sp, Dh)
+    prompt_cache: Params,  # read-only {k,v}: (L, B, Sp, KVH, Dh)
     prompt_seg: jnp.ndarray,  # (B, Sp) 0 = padding
-    gen_cache: Params,  # carried {k,v}: (L, B, KVH, Sg, Dh)
+    gen_cache: Params,  # carried {k,v}: (L, B, Sg, KVH, Dh)
     step: jnp.ndarray,  # () int32 decode step (gen slot to write)
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over the split cache: returns (fp32 logits (B, V),
@@ -498,7 +492,7 @@ def decode_step(
     (lockstep across rows); its RoPE position is per-row `positions`."""
     b = token_embeds.shape[0]
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
-    sg = gen_cache["k"].shape[3]
+    sg = gen_cache["k"].shape[2]
     cos, sin = rope_cos_sin(
         positions[:, None], cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
@@ -519,12 +513,11 @@ def decode_step(
 
         kg = jax.lax.dynamic_index_in_dim(kg_full, li, 0, False)
         vg = jax.lax.dynamic_index_in_dim(vg_full, li, 0, False)
-        # head-major: write the new token at [:, :, step, :]
         kg = jax.lax.dynamic_update_slice(
-            kg, k.transpose(0, 2, 1, 3).astype(kg.dtype), (0, 0, step, 0)
+            kg, k.astype(kg.dtype), (0, step, 0, 0)
         )
         vg = jax.lax.dynamic_update_slice(
-            vg, v.transpose(0, 2, 1, 3).astype(vg.dtype), (0, 0, step, 0)
+            vg, v.astype(vg.dtype), (0, step, 0, 0)
         )
         kg_full = jax.lax.dynamic_update_slice(
             kg_full, kg[None], (li, 0, 0, 0, 0)
