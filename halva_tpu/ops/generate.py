@@ -113,6 +113,10 @@ def _select_token(logits, temperature, top_p, key):
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "eos_id", "temperature",
                      "top_p"),
+    # donate the prompt cache: if the decode program wants a different
+    # device layout than prefill produced, XLA relayouts IN PLACE instead
+    # of holding a second 5GB copy
+    donate_argnums=(4,),
 )
 def _decode_phase(
     params: Params,
