@@ -190,19 +190,19 @@ def main():
         imgs_per_sec, batch, dt = _measure(cfg, params, batches)
     except RuntimeError as e:
         if weights == "int8":
-            # safety net: fall back to bf16 batch-1 rather than report 0
-            weights = "bfloat16-fallback"
-            params = llava.init_params(
-                jax.random.PRNGKey(0), cfg, jnp.bfloat16
+            # safety net: re-exec as a fresh bf16 process. In-process
+            # fallback is unsafe here: device memory from the int8 tree
+            # cannot be freed (Array.delete is a no-op on this platform)
+            # and a doomed bf16 alloc has crashed the TPU worker before.
+            import subprocess
+
+            env = dict(os.environ, HALVA_BENCH_WEIGHTS="bfloat16")
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env
             )
-            try:
-                imgs_per_sec, batch, dt = _measure(cfg, params, [1])
-            except RuntimeError as e2:
-                _fail(str(e) + " || " + str(e2))
-                return
-        else:
-            _fail(str(e))
-            return
+            sys.exit(r.returncode)
+        _fail(str(e))
+        return
 
     print(
         json.dumps(
