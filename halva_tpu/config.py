@@ -65,14 +65,30 @@ class ViTConfig:
     use_cls_token: bool = True  # CLIP has a class embedding; SigLIP doesn't
     use_pre_layernorm: bool = True  # CLIP pre_layrnorm; SigLIP doesn't
     hidden_act: str = "quick_gelu"  # CLIP: quick_gelu; SigLIP: gelu_tanh
+    # InternViT variants (vila/model/multimodal_encoder/intern/
+    # modeling_intern_vit.py): RMSNorm blocks, RMSNorm over the FULL embed
+    # dim on q/k ("qk_normalization"), per-channel LayerScale ls1/ls2,
+    # bias-free qkv
+    norm_type: str = "layernorm"  # layernorm | rmsnorm (InternViT)
+    qk_norm: bool = False  # InternViT qk_normalization
+    layer_scale: bool = False  # InternViT ls1/ls2
+    qkv_bias: bool = True  # InternViT-6B sets False
+    # RADIO (timm ViT backbone, vila/model/multimodal_encoder/
+    # radio_encoder.py): learnable register tokens after cls, excluded
+    # from output features
+    num_register_tokens: int = 0
 
     @property
     def num_patches(self) -> int:
         return (self.image_size // self.patch_size) ** 2
 
     @property
+    def num_prefix_tokens(self) -> int:
+        return (1 if self.use_cls_token else 0) + self.num_register_tokens
+
+    @property
     def num_positions(self) -> int:
-        return self.num_patches + (1 if self.use_cls_token else 0)
+        return self.num_patches + self.num_prefix_tokens
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,12 +106,28 @@ class LlavaConfig:
     mm_vision_select_feature: str = "patch"  # patch | cls_patch
     image_aspect_ratio: str = "pad"
     downsample_factor: int = 2  # for mlp_downsample (VILA 2x2 fold)
+    # RADIO tower wrapper knobs (vila radio_encoder.py): unnormalized
+    # pixels in, final-norm'd last-layer patch features out, optional
+    # pixel-unshuffle token fold
+    vision_tower_type: str = "vit"  # vit (CLIP/SigLIP/Intern) | radio
+    radio_pixel_unshuffle: int = 0  # 0/1 off; 2 = 4x token reduction
+    radio_skip_final_norm: bool = False
+
+    @property
+    def vision_feature_size(self) -> int:
+        """Per-token feature dim delivered to the projector."""
+        d = self.vision.hidden_size
+        if self.vision_tower_type == "radio" and self.radio_pixel_unshuffle > 1:
+            d *= self.radio_pixel_unshuffle**2
+        return d
 
     @property
     def num_image_tokens(self) -> int:
         n = self.vision.num_patches
         if self.mm_vision_select_feature == "cls_patch":
             n += 1
+        if self.vision_tower_type == "radio" and self.radio_pixel_unshuffle > 1:
+            n //= self.radio_pixel_unshuffle**2
         if self.mm_projector_type == "mlp_downsample":
             n //= self.downsample_factor**2
         return n
@@ -178,6 +210,40 @@ SIGLIP_SO400M_384 = ViTConfig(
     use_cls_token=False,
     use_pre_layernorm=False,
     hidden_act="gelu_tanh",
+)
+
+INTERNVIT_6B_448 = ViTConfig(
+    image_size=448,
+    patch_size=14,
+    hidden_size=3200,
+    intermediate_size=12800,
+    num_layers=48,
+    num_heads=25,
+    layer_norm_eps=1e-6,
+    use_cls_token=True,
+    use_pre_layernorm=False,
+    hidden_act="gelu",
+    norm_type="rmsnorm",
+    qk_norm=True,
+    layer_scale=True,
+    qkv_bias=False,
+)
+
+# RADIO ViT-H/16 backbone (NVlabs/RADIO; loaded via torch.hub in the
+# reference, radio_encoder.py:168-173). timm ViT: LayerNorm, cls token +
+# register tokens, gelu.
+RADIO_VIT_H_432 = ViTConfig(
+    image_size=432,
+    patch_size=16,
+    hidden_size=1280,
+    intermediate_size=5120,
+    num_layers=32,
+    num_heads=16,
+    layer_norm_eps=1e-6,
+    use_cls_token=True,
+    use_pre_layernorm=False,
+    hidden_act="gelu",
+    num_register_tokens=4,
 )
 
 LLAVA_V15_7B = LlavaConfig(llm=LLAMA_7B, vision=CLIP_VIT_L_336)

@@ -272,6 +272,77 @@ def clip_vit_from_hf(
     return params
 
 
+def intern_vit_from_hf(
+    sd: Mapping[str, Any], cfg: ViTConfig, prefix: str = ""
+) -> Params:
+    """Convert an InternVisionModel state_dict (the reference's vendored
+    vila/model/multimodal_encoder/intern/modeling_intern_vit.py) to our
+    ViT tree: fused qkv is split into wq/wk/wv; RMSNorm weights map to
+    scale-only norm dicts; ls1/ls2 are the LayerScale vectors."""
+    p = prefix
+    n = cfg.num_layers
+    d = cfg.hidden_size
+    enc = p + "encoder.layers.{}."
+
+    qkv_w = _stack(sd, enc + "attn.qkv.weight", n)  # (L, 3D, D)
+    has_qkv_bias = (enc + "attn.qkv.bias").format(0) in sd
+    if has_qkv_bias:
+        qkv_b = _stack(sd, enc + "attn.qkv.bias", n)  # (L, 3D)
+
+    def split_qkv(i):
+        w = qkv_w[:, i * d : (i + 1) * d, :].transpose(0, 2, 1)
+        out = {"kernel": w}
+        if has_qkv_bias:
+            out["bias"] = qkv_b[:, i * d : (i + 1) * d]
+        return out
+
+    def rms(fmt):
+        return {"scale": _stack(sd, fmt + ".weight", n)}
+
+    def lin(fmt):
+        return {
+            "kernel": _stack(sd, fmt + ".weight", n, transpose=True),
+            "bias": _stack(sd, fmt + ".bias", n),
+        }
+
+    params: Params = {
+        "patch_embed": {
+            "kernel": _np(
+                sd[p + "embeddings.patch_embedding.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": _np(sd[p + "embeddings.patch_embedding.bias"]),
+        },
+        "pos_embed": {
+            # stored (1, P+1, D)
+            "embedding": _np(sd[p + "embeddings.position_embedding"])[0]
+        },
+        "cls_token": {
+            "embedding": _np(sd[p + "embeddings.class_embedding"]).reshape(
+                -1
+            )
+        },
+        "layers": {
+            "ln1": rms(enc + "norm1"),
+            "ln2": rms(enc + "norm2"),
+            "ls1": {"scale": _stack(sd, enc + "ls1", n)},
+            "ls2": {"scale": _stack(sd, enc + "ls2", n)},
+            "attn": {
+                "wq": split_qkv(0),
+                "wk": split_qkv(1),
+                "wv": split_qkv(2),
+                "wo": lin(enc + "attn.proj"),
+                "q_norm": rms(enc + "attn.q_norm"),
+                "k_norm": rms(enc + "attn.k_norm"),
+            },
+            "mlp": {
+                "fc1": lin(enc + "mlp.fc1"),
+                "fc2": lin(enc + "mlp.fc2"),
+            },
+        },
+    }
+    return params
+
+
 def projector_from_hf(
     sd: Mapping[str, Any],
     projector_type: str,

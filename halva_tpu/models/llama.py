@@ -58,17 +58,24 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     halva_tpu.ops.quant) — dequantized on the fly, one layer at a time.
     """
     if "kernel_q" in p:
-        # XLA's dequant-then-dot measured FASTER than the fused Pallas
-        # int8 kernel for llava-7b decode (369 vs 260 tok/s at batch 16):
-        # the convert is fused into the dot's operand pipeline, so the
-        # step is VPU-convert-bound either way and the custom kernel only
-        # adds per-block overhead. ops/int8_matmul.py remains available;
-        # the next real lever is W8A8 (int8 activations on the MXU).
-        w = (
-            p["kernel_q"].astype(x.dtype)
-            * p["kernel_scale"].astype(x.dtype)
-        )
-        y = jnp.dot(x, w)
+        from halva_tpu.ops import quant
+
+        if quant.w8a8_enabled():
+            # W8A8: int8 activations x int8 weights on the MXU — no
+            # O(in*out) weight convert at all (see quant.int8_dense).
+            y = quant.int8_dense(x, p["kernel_q"], p["kernel_scale"])
+        else:
+            # weight-dequant fallback. XLA's dequant-then-dot measured
+            # FASTER than a fused Pallas int8 kernel for llava-7b decode
+            # (369 vs 260 tok/s at batch 16): the convert fuses into the
+            # dot's operand pipeline, so the step is VPU-convert-bound
+            # either way and the custom kernel only adds per-block
+            # overhead (ops/int8_matmul.py remains available).
+            w = (
+                p["kernel_q"].astype(x.dtype)
+                * p["kernel_scale"].astype(x.dtype)
+            )
+            y = jnp.dot(x, w)
     else:
         y = jnp.dot(x, p["kernel"].astype(x.dtype))
     if "bias" in p:
@@ -392,6 +399,20 @@ def init_gen_cache(
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, S, KVH, Dh) -> int8 values + per-(token, head) bf16 scales.
+
+    Symmetric absmax over the head dim; scales fold into the (tiny)
+    attention logits / probabilities at decode time (_decode_attend), so
+    the int8 cache halves decode HBM traffic (measured KV-bandwidth-bound,
+    STATUS r1 §2) without a full dequantized materialization."""
+    t32 = t.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    q = jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0].astype(jnp.bfloat16)  # (B, S, KVH)
+
+
 def prefill(
     params: Params,
     cfg: LlamaConfig,
@@ -400,12 +421,14 @@ def prefill(
     positions: jnp.ndarray,  # (B, S)
     cache_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    quantize_cache: bool = False,
 ) -> Tuple[jnp.ndarray, Params]:
     """Full-sequence forward producing the prompt KV cache.
 
     Returns (final hidden states, prompt cache {k,v}: (L, B, S, KVH, Dh)).
     Prompts are right-padded; padding keys carry segment id 0 so decode
-    steps never attend to them.
+    steps never attend to them. With quantize_cache the prompt cache is
+    int8 with per-(token, head) scales ({k,v} int8 + {k_scale,v_scale}).
     """
     b, s, d = inputs_embeds.shape
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
@@ -431,50 +454,78 @@ def prefill(
             x = x + dense(gated, mp["down"])
         else:
             x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
+        if quantize_cache:
+            kq, ks = _quantize_kv(k)
+            vq, vs = _quantize_kv(v)
+            return x, (kq, vq, ks, vs)
         return x, (k.astype(cache_dtype), v.astype(cache_dtype))
 
-    x, (k_all, v_all) = jax.lax.scan(
-        scan_fn, inputs_embeds, params["layers"]
-    )
+    x, cache_out = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
     hidden = _norm(cfg, x, params["final_norm"]["scale"])
-    return hidden, {"k": k_all, "v": v_all}
+    if quantize_cache:
+        k_all, v_all, ks_all, vs_all = cache_out
+        cache = {
+            "k": k_all,
+            "v": v_all,
+            "k_scale": ks_all,
+            "v_scale": vs_all,
+        }
+    else:
+        k_all, v_all = cache_out
+        cache = {"k": k_all, "v": v_all}
+    return hidden, cache
 
 
 def _decode_attend(
     q: jnp.ndarray,  # (B, 1, H, Dh)
-    kp: jnp.ndarray,  # (B, Sp, KVH, Dh) prompt keys
+    kp: jnp.ndarray,  # (B, Sp, KVH, Dh) prompt keys (bf16 or int8)
     vp: jnp.ndarray,
     kg: jnp.ndarray,  # (B, Sg, KVH, Dh) generated keys
     vg: jnp.ndarray,
     prompt_seg: jnp.ndarray,  # (B, Sp) 0 = invalid
     gen_valid: jnp.ndarray,  # (B, Sg) bool
+    kp_scale: Optional[jnp.ndarray] = None,  # (B, Sp, KVH) int8-KV scales
+    vp_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-query attention over split prompt/generated caches with one
-    softmax across both (logits are tiny; no KV concat is materialized)."""
+    softmax across both (logits are tiny; no KV concat is materialized).
+
+    GQA runs grouped: q is folded to (B, KVH, G, Dh) and contracted
+    against the raw KV-head caches — no jnp.repeat materialization, so
+    decode KV traffic is the true KVH-sized cache for Mistral/Gemma-class
+    checkpoints (for MHA, G == 1 and the shapes are unchanged)."""
     b, _, h, dh = q.shape
     kvh = kp.shape[2]
+    g = h // kvh
     scale = dh**-0.5
-    if kvh != h:
-        rep = h // kvh
-        kp = jnp.repeat(kp, rep, axis=2)
-        vp = jnp.repeat(vp, rep, axis=2)
-        kg = jnp.repeat(kg, rep, axis=2)
-        vg = jnp.repeat(vg, rep, axis=2)
-    q2 = q[:, 0]  # (B, H, Dh)
-    lp = jnp.einsum("bhd,bkhd->bhk", q2, kp,
+    q3 = q[:, 0].reshape(b, kvh, g, dh)  # head-major groups
+    # int8 prompt cache: values convert without their scale (the convert
+    # fuses into the dot's operand pipeline); per-(token, head) scales
+    # fold into the TINY logits / probability tensors instead of a
+    # materialized dequantized KV copy.
+    lp = jnp.einsum("bngd,bknd->bngk", q3, kp.astype(q3.dtype),
                     preferred_element_type=jnp.float32) * scale
-    lg = jnp.einsum("bhd,bkhd->bhk", q2, kg,
+    if kp_scale is not None:
+        lp = lp * kp_scale.astype(jnp.float32).transpose(0, 2, 1)[
+            :, :, None, :
+        ]
+    lg = jnp.einsum("bngd,bknd->bngk", q3, kg,
                     preferred_element_type=jnp.float32) * scale
-    lp = jnp.where(prompt_seg[:, None, :] != 0, lp, -1e30)
-    lg = jnp.where(gen_valid[:, None, :], lg, -1e30)
+    lp = jnp.where(prompt_seg[:, None, None, :] != 0, lp, -1e30)
+    lg = jnp.where(gen_valid[:, None, None, :], lg, -1e30)
     logits = jnp.concatenate([lp, lg], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
     pp, pg = probs[..., : kp.shape[1]], probs[..., kp.shape[1]:]
-    out = jnp.einsum("bhk,bkhd->bhd", pp, vp,
+    if vp_scale is not None:
+        pp = pp * vp_scale.astype(jnp.float32).transpose(0, 2, 1)[
+            :, :, None, :
+        ]
+    out = jnp.einsum("bngk,bknd->bngd", pp.astype(q3.dtype),
+                     vp.astype(q3.dtype),
                      preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("bhk,bkhd->bhd", pg, vg,
+    out = out + jnp.einsum("bngk,bknd->bngd", pg.astype(q3.dtype), vg,
                            preferred_element_type=jnp.float32)
-    return out[:, None].astype(q.dtype)
+    return out.reshape(b, 1, h, dh).astype(q.dtype)
 
 
 def decode_step(
@@ -500,9 +551,15 @@ def decode_step(
         jnp.arange(sg, dtype=jnp.int32)[None, :] <= step
     ) & jnp.ones((b, 1), bool)
 
+    quantized = "k_scale" in prompt_cache
+
     def scan_fn(carry, inputs):
         x, kg_full, vg_full, li = carry
-        layer_params, kp, vp = inputs
+        if quantized:
+            layer_params, kp, vp, kps, vps = inputs
+        else:
+            layer_params, kp, vp = inputs
+            kps = vps = None
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = _norm(cfg, x, layer_params["input_norm"]["scale"])
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
@@ -528,12 +585,14 @@ def decode_step(
 
         attn_out = _decode_attend(
             q,
-            kp.astype(q.dtype),
-            vp.astype(q.dtype),
+            kp,
+            vp,
             kg.astype(q.dtype),
             vg.astype(q.dtype),
             prompt_seg,
             gen_valid,
+            kp_scale=kps,
+            vp_scale=vps,
         )
         x = x + dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"])
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
@@ -544,10 +603,20 @@ def decode_step(
             x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
         return (x, kg_full, vg_full, li + 1), None
 
+    if quantized:
+        xs = (
+            params["layers"],
+            prompt_cache["k"],
+            prompt_cache["v"],
+            prompt_cache["k_scale"],
+            prompt_cache["v_scale"],
+        )
+    else:
+        xs = (params["layers"], prompt_cache["k"], prompt_cache["v"])
     (x, new_kg, new_vg, _), _ = jax.lax.scan(
         scan_fn,
         (token_embeds, gen_cache["k"], gen_cache["v"], jnp.int32(0)),
-        (params["layers"], prompt_cache["k"], prompt_cache["v"]),
+        xs,
     )
     hidden = _norm(cfg, x, params["final_norm"]["scale"])
     logits = lm_logits(params, cfg, hidden)[:, 0]

@@ -46,15 +46,26 @@ def encode_images(
 ) -> jnp.ndarray:
     """(B, 3, H, W) -> (B, T, D_llm). The tower is frozen (reference
     clip_encoder.py:37 @no_grad); the projector is trainable."""
-    feats = jax.lax.stop_gradient(
-        vit.encode(
-            params["vision"],
-            cfg.vision,
-            images,
-            select_layer=cfg.mm_vision_select_layer,
-            select_feature=cfg.mm_vision_select_feature,
+    if cfg.vision_tower_type == "radio":
+        feats = jax.lax.stop_gradient(
+            vit.encode_radio(
+                params["vision"],
+                cfg.vision,
+                images,
+                pixel_unshuffle=cfg.radio_pixel_unshuffle,
+                skip_final_norm=cfg.radio_skip_final_norm,
+            )
         )
-    )
+    else:
+        feats = jax.lax.stop_gradient(
+            vit.encode(
+                params["vision"],
+                cfg.vision,
+                images,
+                select_layer=cfg.mm_vision_select_layer,
+                select_feature=cfg.mm_vision_select_feature,
+            )
+        )
     return projector.apply(params["projector"], cfg, feats)
 
 
@@ -232,12 +243,18 @@ def forward(
     signs: Optional[jnp.ndarray] = None,
     attn_impl: str = "auto",
     remat: bool = False,
+    return_hidden: bool = False,
 ) -> Tuple[jnp.ndarray, Spliced]:
     """Full training-style forward: splice then decode stack.
 
     Returns (fp32 logits (B, S_out, V), spliced batch — whose labels/signs
     align with the logits for loss computation). `images` may be (B,3,H,W)
     or (B,K,3,H,W) for multi-image rows.
+
+    return_hidden: return final hidden states (B, S_out, D) instead of
+    logits — for the chunked loss path (train/dpa.py) that never
+    materializes a full (B, S, V) fp32 logits tensor (V=32000 fp32 logits
+    are the dominant activation at 7B scale on a 16GB chip).
     """
     if images.ndim == 5:
         b, k = images.shape[:2]
@@ -262,5 +279,7 @@ def forward(
         attn_impl=attn_impl,
         remat=remat,
     )
+    if return_hidden:
+        return hidden, sp
     logits = llama.lm_logits(params["llm"], cfg.llm, hidden)
     return logits, sp

@@ -42,7 +42,7 @@ def init_params(
     key: jax.Array, cfg: LlavaConfig, dtype=jnp.float32
 ) -> Params:
     n = _num_linears(cfg.mm_projector_type)
-    in_dim = cfg.vision.hidden_size
+    in_dim = cfg.vision_feature_size  # tower dim (x unshuffle^2 for RADIO)
     if cfg.mm_projector_type == "mlp_downsample":
         in_dim *= cfg.downsample_factor**2
     out_dim = cfg.llm.hidden_size

@@ -42,6 +42,16 @@ def layer_norm(
     return out.astype(dtype)
 
 
+def _norm(cfg: ViTConfig, x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """LayerNorm (CLIP/SigLIP/RADIO) or RMSNorm (InternViT, fp32 stats —
+    intern/modeling_intern_vit.py:237-248)."""
+    if cfg.norm_type == "rmsnorm":
+        from halva_tpu.models.llama import rms_norm
+
+        return rms_norm(x, p["scale"], cfg.layer_norm_eps)
+    return layer_norm(x, p, cfg.layer_norm_eps)
+
+
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
@@ -71,17 +81,19 @@ def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
     patch_dim = cfg.patch_size * cfg.patch_size * 3
     keys = jax.random.split(key, 12)
 
-    def lin(k, i, o):
-        return {
-            "kernel": jax.random.normal(k, (i, o), dtype) * (i**-0.5),
-            "bias": jnp.zeros((o,), dtype),
-        }
+    def lin(k, i, o, bias=True):
+        p = {"kernel": jax.random.normal(k, (i, o), dtype) * (i**-0.5)}
+        if bias:
+            p["bias"] = jnp.zeros((o,), dtype)
+        return p
 
     def stack(init_fn, k):
         ks = jax.random.split(k, cfg.num_layers)
         return jax.vmap(init_fn)(ks)
 
     def ln_stack():
+        if cfg.norm_type == "rmsnorm":
+            return {"scale": jnp.ones((cfg.num_layers, d), dtype)}
         return {
             "scale": jnp.ones((cfg.num_layers, d), dtype),
             "bias": jnp.zeros((cfg.num_layers, d), dtype),
@@ -102,9 +114,9 @@ def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
             "ln1": ln_stack(),
             "ln2": ln_stack(),
             "attn": {
-                "wq": stack(lambda k: lin(k, d, d), keys[2]),
-                "wk": stack(lambda k: lin(k, d, d), keys[3]),
-                "wv": stack(lambda k: lin(k, d, d), keys[4]),
+                "wq": stack(lambda k: lin(k, d, d, cfg.qkv_bias), keys[2]),
+                "wk": stack(lambda k: lin(k, d, d, cfg.qkv_bias), keys[3]),
+                "wv": stack(lambda k: lin(k, d, d, cfg.qkv_bias), keys[4]),
                 "wo": stack(lambda k: lin(k, d, d), keys[5]),
             },
             "mlp": {
@@ -125,10 +137,31 @@ def init_params(key: jax.Array, cfg: ViTConfig, dtype=jnp.float32) -> Params:
         params["cls_token"] = {
             "embedding": jax.random.normal(keys[8], (d,), dtype) * 0.02
         }
+    if cfg.num_register_tokens:
+        params["register_tokens"] = {
+            "embedding": jax.random.normal(
+                keys[11], (cfg.num_register_tokens, d), dtype
+            )
+            * 0.02
+        }
     if cfg.use_pre_layernorm:
         params["pre_ln"] = {
             "scale": jnp.ones((d,), dtype),
             "bias": jnp.zeros((d,), dtype),
+        }
+    if cfg.qk_norm:
+        params["layers"]["attn"]["q_norm"] = {
+            "scale": jnp.ones((cfg.num_layers, d), dtype)
+        }
+        params["layers"]["attn"]["k_norm"] = {
+            "scale": jnp.ones((cfg.num_layers, d), dtype)
+        }
+    if cfg.layer_scale:
+        params["layers"]["ls1"] = {
+            "scale": jnp.ones((cfg.num_layers, d), dtype)
+        }
+        params["layers"]["ls2"] = {
+            "scale": jnp.ones((cfg.num_layers, d), dtype)
         }
     return params
 
@@ -143,15 +176,30 @@ def _vit_layer(
     dh = d // h
     act = _act(cfg.hidden_act)
 
-    y = layer_norm(x, p["ln1"], cfg.layer_norm_eps)
-    q = dense(y, p["attn"]["wq"]).reshape(b, n, h, dh)
-    k = dense(y, p["attn"]["wk"]).reshape(b, n, h, dh)
+    y = _norm(cfg, x, p["ln1"])
+    q = dense(y, p["attn"]["wq"])
+    k = dense(y, p["attn"]["wk"])
     v = dense(y, p["attn"]["wv"]).reshape(b, n, h, dh)
-    attn = attention_reference(q, k, v, mask=None)  # bidirectional, no mask
-    x = x + dense(attn.reshape(b, n, d), p["attn"]["wo"])
+    if cfg.qk_norm:
+        # InternViT qk_normalization: RMSNorm over the FULL embed dim
+        # across heads (intern/modeling_intern_vit.py:335-338)
+        from halva_tpu.models.llama import rms_norm
 
-    y = layer_norm(x, p["ln2"], cfg.layer_norm_eps)
-    x = x + dense(act(dense(y, p["mlp"]["fc1"])), p["mlp"]["fc2"])
+        q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.layer_norm_eps)
+        k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.layer_norm_eps)
+    q = q.reshape(b, n, h, dh)
+    k = k.reshape(b, n, h, dh)
+    attn = attention_reference(q, k, v, mask=None)  # bidirectional, no mask
+    attn_out = dense(attn.reshape(b, n, d), p["attn"]["wo"])
+    if cfg.layer_scale:
+        attn_out = attn_out * p["ls1"]["scale"].astype(attn_out.dtype)
+    x = x + attn_out
+
+    y = _norm(cfg, x, p["ln2"])
+    mlp_out = dense(act(dense(y, p["mlp"]["fc1"])), p["mlp"]["fc2"])
+    if cfg.layer_scale:
+        mlp_out = mlp_out * p["ls2"]["scale"].astype(mlp_out.dtype)
+    x = x + mlp_out
     return x
 
 
@@ -181,11 +229,22 @@ def encode(
     if "bias" in params["patch_embed"]:
         x = x + params["patch_embed"]["bias"].astype(x.dtype)
 
+    prefix = []
     if cfg.use_cls_token:
-        cls = jnp.broadcast_to(
-            params["cls_token"]["embedding"].astype(x.dtype), (b, 1, d)
+        prefix.append(
+            jnp.broadcast_to(
+                params["cls_token"]["embedding"].astype(x.dtype), (b, 1, d)
+            )
         )
-        x = jnp.concatenate([cls, x], axis=1)
+    if cfg.num_register_tokens:
+        prefix.append(
+            jnp.broadcast_to(
+                params["register_tokens"]["embedding"].astype(x.dtype),
+                (b, cfg.num_register_tokens, d),
+            )
+        )
+    if prefix:
+        x = jnp.concatenate(prefix + [x], axis=1)
     x = x + params["pos_embed"]["embedding"].astype(x.dtype)[None]
 
     if cfg.use_pre_layernorm:
@@ -247,7 +306,52 @@ def interpolate_pos_embed(
 
 def _select(x: jnp.ndarray, cfg: ViTConfig, feature: str) -> jnp.ndarray:
     if feature == "patch":
-        return x[:, 1:] if cfg.use_cls_token else x
+        n = cfg.num_prefix_tokens
+        return x[:, n:] if n else x
     if feature == "cls_patch":
         return x
     raise ValueError(f"unexpected select feature {feature!r}")
+
+
+def encode_radio(
+    params: Params,
+    cfg: ViTConfig,
+    images: jnp.ndarray,  # (B, 3, H, W), UNNORMALIZED [0, 1] pixels
+    pixel_unshuffle: int = 0,  # 0/1 = off; 2 = 2x2 spatial->channel fold
+    skip_final_norm: bool = False,
+    input_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406),
+    input_std: Tuple[float, float, float] = (0.229, 0.224, 0.225),
+) -> jnp.ndarray:
+    """RADIO tower forward (vila/model/multimodal_encoder/radio_encoder.py).
+
+    Semantics reproduced from the reference wrapper:
+    - the processor does NOT normalize (do_normalize=False,
+      radio_encoder.py:140-155); the model's input_conditioner applies
+      ImageNet mean/std internally — done here;
+    - features = ALL patch tokens of the FINAL layer after the model's
+      final norm (get_features, :229-238); skip_layer_norm drops the norm
+      (:208-210);
+    - pixel_unshuffle folds a factor^2 spatial block into channels
+      (:280-287), quartering the token count like VILA's mlp_downsample.
+    """
+    mean = jnp.asarray(input_mean, images.dtype).reshape(1, 3, 1, 1)
+    std = jnp.asarray(input_std, images.dtype).reshape(1, 3, 1, 1)
+    images = (images - mean) / std
+
+    x = encode(
+        params, cfg, images, select_layer=-1, select_feature="cls_patch"
+    )
+    if not skip_final_norm:
+        x = layer_norm(x, params["post_ln"], cfg.layer_norm_eps)
+    x = x[:, cfg.num_prefix_tokens :]  # drop cls + register tokens
+
+    if pixel_unshuffle and pixel_unshuffle > 1:
+        f = pixel_unshuffle
+        b, n, c = x.shape
+        side = cfg.image_size // cfg.patch_size
+        # (B, H, W, C) -> fold f x f spatial blocks into channels
+        # (torch PixelUnshuffle channel order: C x fh x fw)
+        g = x.reshape(b, side // f, f, side // f, f, c)
+        g = g.transpose(0, 1, 3, 5, 2, 4)  # (B, H/f, W/f, C, f, f)
+        x = g.reshape(b, (side // f) * (side // f), c * f * f)
+    return x

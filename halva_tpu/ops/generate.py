@@ -46,7 +46,7 @@ class GenState(NamedTuple):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "attn_impl"),
+    static_argnames=("cfg", "max_new_tokens", "attn_impl", "kv_quant"),
 )
 def _prefill_phase(
     params: Params,
@@ -56,6 +56,7 @@ def _prefill_phase(
     prompt_lengths: jnp.ndarray,
     max_new_tokens: int,
     attn_impl: str,
+    kv_quant: bool = False,
 ):
     b, s = input_ids.shape
     t = cfg.num_image_tokens
@@ -75,6 +76,7 @@ def _prefill_phase(
         sp.positions,
         cache_dtype=jnp.bfloat16,
         attn_impl=attn_impl,
+        quantize_cache=kv_quant,
     )
 
     has_img = jnp.any(input_ids == IMAGE_TOKEN_INDEX, axis=1)
@@ -134,8 +136,15 @@ def _decode_phase(
     b = first_tok.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # generated cache stays bf16 even when the (much larger) prompt cache
+    # is int8: it is small (max_new slots) and updated in place every step
+    gen_dtype = (
+        jnp.bfloat16
+        if "k_scale" in prompt_cache
+        else prompt_cache["k"].dtype
+    )
     gen_cache = llama.init_gen_cache(
-        cfg.llm, b, max_new_tokens, dtype=prompt_cache["k"].dtype
+        cfg.llm, b, max_new_tokens, dtype=gen_dtype
     )
 
     init = GenState(
@@ -199,8 +208,13 @@ def generate(
     temperature: float = 0.0,
     top_p: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
+    kv_quant: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, max_new), num_generated (B,)).
+
+    kv_quant: store the prompt KV cache in int8 (per-token-head scales) —
+    halves decode KV HBM traffic and prompt-cache memory; the generated
+    cache stays bf16.
 
     temperature 0 = greedy (the reference's do_sample=temperature>0
     convention); otherwise nucleus sampling with `top_p`. Rows stop at
@@ -212,7 +226,7 @@ def generate(
     first_tok, first_logits, spliced_len, prompt_cache, prompt_seg = (
         _prefill_phase(
             params, cfg, input_ids, images, prompt_lengths,
-            max_new_tokens, attn_impl,
+            max_new_tokens, attn_impl, kv_quant,
         )
     )
     if rng is None:
@@ -237,11 +251,12 @@ def generate_greedy(
     max_new_tokens: int,
     eos_id: int,
     attn_impl: str = "auto",
+    kv_quant: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decoding (the HALVA eval default: temperature 0)."""
     return generate(
         params, cfg, input_ids, images, prompt_lengths,
-        max_new_tokens, eos_id, attn_impl,
+        max_new_tokens, eos_id, attn_impl, kv_quant=kv_quant,
     )
 
 

@@ -157,6 +157,81 @@ def quantize_params_host(params: Params, quantize_embed: bool = True) -> Params:
     return rewrite(params)
 
 
+@jax.custom_vjp
+def int8_dense(x: jnp.ndarray, kernel_q: jnp.ndarray,
+               kernel_scale: jnp.ndarray) -> jnp.ndarray:
+    """W8A8: dynamic per-token int8 activations x per-channel int8 weights
+    on the MXU (s8xs8->s32 is a native TPU MXU mode at 2x bf16 peak).
+
+    Replaces the weight-dequant path for serving: weight-only int8 decode
+    is VPU-bound on the int8->bf16 weight converts (O(in*out) VPU work per
+    matmul, measured ~370 tok/s ceiling for llava-7b batch 16); quantizing
+    the activation instead costs O(rows*in) VPU work and keeps the weight
+    in int8 all the way into the MXU. Out-of-MXU rescale is
+    rows x out elementwise: y = s32_acc * (sx_row * sw_col).
+
+    Gradient: straight-through — dx = g @ W_deq.T (round() has zero
+    derivative a.e., which would silently kill the backward through the
+    base matmul in QLoRA-class training over an int8 base).
+    """
+    return _int8_dense_impl(x, kernel_q, kernel_scale)
+
+
+def _int8_dense_impl(x, kernel_q, kernel_scale):
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq,
+        kernel_q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * kernel_scale.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _int8_dense_fwd(x, kernel_q, kernel_scale):
+    return _int8_dense_impl(x, kernel_q, kernel_scale), (
+        kernel_q, kernel_scale,
+    )
+
+
+def _int8_dense_bwd(res, g):
+    kernel_q, kernel_scale = res
+    # g.dtype == x.dtype (the primal output is cast to x.dtype)
+    w = kernel_q.astype(g.dtype) * kernel_scale.astype(g.dtype)
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    )
+    return dx, None, None
+
+
+int8_dense.defvjp(_int8_dense_fwd, _int8_dense_bwd)
+
+
+_W8A8 = None  # tri-state: None = read env once, else bool
+
+
+def w8a8_enabled() -> bool:
+    """Whether int8 kernels run as W8A8 (int8 activations on the MXU)
+    instead of weight-dequant-to-bf16. Default ON for serving (can be
+    disabled with HALVA_W8A8=0); trace-time constant, so set it before
+    the first jit compile."""
+    global _W8A8
+    if _W8A8 is None:
+        import os
+
+        _W8A8 = os.environ.get("HALVA_W8A8", "1") != "0"
+    return _W8A8
+
+
+def set_w8a8(enabled: bool) -> None:
+    global _W8A8
+    _W8A8 = bool(enabled)
+
+
 def dequantize_kernel(p: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (
         p["kernel_q"].astype(jnp.float32)

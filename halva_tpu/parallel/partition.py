@@ -47,8 +47,11 @@ LLM_RULES = [
     (r"(input_norm|post_attn_norm)/scale$", ("layers", "embed")),
     (r"final_norm/scale$", ("embed",)),
     (r"lm_head/kernel(_q)?$", ("embed", "vocab")),
-    # vision tower + projector: FSDP-shard the big matmuls, replicate rest
-    (r"vision/.*(kernel|embedding)$", None),  # resolved by ndim below
+    # vision tower: fully REPLICATED (axes None -> P()). ~0.6GB bf16 for
+    # CLIP-L/SigLIP-so400m; replication avoids all-gathers inside the
+    # frozen no-grad tower. Revisit if a tower ever dominates HBM (13B+TP
+    # plans keep this rule unless profiling says otherwise).
+    (r"vision/.*(kernel|embedding)$", None),
     (r"projector/.*kernel$", ("embed", "heads")),
 ]
 

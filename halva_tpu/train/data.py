@@ -496,6 +496,16 @@ class HallDataset:
         if pos is None or neg is None:
             return None  # dropped sample, reference parity
 
+        # the DPA loss derives its present-phrase column set from pos_signs
+        # (train/dpa.py:alignment_loss); the reference requires
+        # unique(pos) == unique(neg) anyway (halva_trainer.py:564-567 would
+        # raise a shape error otherwise). Enforce here: drop mismatches
+        # (e.g. a phrase truncated out of only one answer by max_length).
+        pos_ids = set(np.unique(pos.signs[: self.max_length])) - {0}
+        neg_ids = set(np.unique(neg.signs[: self.max_length])) - {0}
+        if pos_ids != neg_ids:
+            return None
+
         image = self._load_image(s["image"])
 
         out = {

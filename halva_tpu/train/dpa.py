@@ -64,7 +64,18 @@ def alignment_loss(
     neg_signs: jnp.ndarray,
     max_phrases: int = MAX_PHRASES,
 ) -> jnp.ndarray:
-    """Phrase-level contrastive loss (scalar, fp32)."""
+    """Phrase-level contrastive loss (scalar, fp32).
+
+    The present-phrase column set is derived from `pos_signs` ONLY. This is
+    deliberate: the reference calls `accumulate_logps(pos_logps, pos_sign)`
+    and `accumulate_logps(neg_logps, neg_sign)` independently
+    (halva_trainer.py:564-565) and then subtracts the two (B, K) tensors —
+    which only type-checks when unique(pos_signs) == unique(neg_signs).
+    HALVA pairs guarantee that by construction (each <MASK> span exists in
+    both answers; enforced host-side by HallDataset's sign pairing), and
+    the reference would raise a shape error otherwise, so there is no
+    reachable configuration where the sets differ.
+    """
     pos_mask = (pos_labels != IGNORE_INDEX).astype(jnp.float32)
     neg_mask = (neg_labels != IGNORE_INDEX).astype(jnp.float32)
     pos = accumulate_phrase_logps(
@@ -117,6 +128,128 @@ class DPALossParts(NamedTuple):
     total: jnp.ndarray
     alignment: jnp.ndarray
     divergence: jnp.ndarray
+
+
+# --------------------------------------------------------------------------
+# Chunked (vocab-streaming) variants — the 7B memory recipe.
+#
+# The straight implementations above materialize (B, S, 32000) fp32 logits
+# for FOUR forwards (pos, neg, policy-on-ref, frozen-on-ref) plus their
+# log_softmax intermediates: >2GB per batch row at S=2048 — more than the
+# activation headroom left on a 16GB v5e chip next to 7B weights. The
+# chunked path takes final HIDDEN states (B, S, D — 16MB/row in bf16),
+# projects each sequence chunk through lm_head inside a rematerialized
+# lax.scan, and reduces immediately; peak live logits = one (B, c, V)
+# chunk in fwd AND bwd. Identical math (log_softmax is per-position).
+# --------------------------------------------------------------------------
+
+
+def _chunk_seq(x: jnp.ndarray, chunk: int, fill=0):
+    """(B, S, ...) -> (n, B, chunk, ...) zero/fill-padded to a multiple."""
+    b, s = x.shape[:2]
+    n = -(-s // chunk)
+    pad = n * chunk - s
+    if pad:
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (x.ndim - 2)
+        x = jnp.pad(x, widths, constant_values=fill)
+    x = x.reshape((b, n, chunk) + x.shape[2:])
+    return jnp.moveaxis(x, 1, 0)
+
+
+def per_token_logps_chunked(
+    logits_fn,  # hidden chunk (B, c, D) -> fp32 logits (B, c, V)
+    hidden: jnp.ndarray,  # (B, S, D)
+    labels: jnp.ndarray,  # (B, S)
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Shifted per-token logps (B, S-1); equals
+    per_token_logps(logits_fn(hidden), labels) without the (B, S, V)
+    materialization."""
+    hid = hidden[:, :-1]
+    lab = labels[:, 1:]
+    b, sm1 = lab.shape
+    hs = _chunk_seq(hid, chunk)
+    ls = _chunk_seq(lab, chunk, fill=IGNORE_INDEX)
+
+    def body(_, xs):
+        hc, lc = xs
+        logits = logits_fn(hc)
+        safe = jnp.where(lc == IGNORE_INDEX, 0, lc)
+        lsm = jax.nn.log_softmax(logits, axis=-1)
+        lp = jnp.take_along_axis(lsm, safe[..., None], axis=-1)[..., 0]
+        return None, lp
+
+    _, lps = jax.lax.scan(jax.checkpoint(body), None, (hs, ls))
+    return jnp.moveaxis(lps, 0, 1).reshape(b, -1)[:, :sm1]
+
+
+def kl_divergence_chunked(
+    logits_fn,
+    policy_hidden: jnp.ndarray,  # (B, S, D)
+    ref_hidden: jnp.ndarray,  # (B, S, D) frozen model (stop-grad'd here)
+    ref_labels: jnp.ndarray,  # (B, S)
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """KL(ref || policy) over supervised ref tokens, summed, / batch —
+    equals kl_divergence() on the full logits. lm_head is shared between
+    policy and frozen model (LoRA never touches lm_head: reference
+    find_all_linear_names excludes it, train_halva.py:156-169)."""
+    p_hid = policy_hidden[:, :-1]
+    r_hid = jax.lax.stop_gradient(ref_hidden[:, :-1])
+    lab = ref_labels[:, 1:]
+    ps = _chunk_seq(p_hid, chunk)
+    rs = _chunk_seq(r_hid, chunk)
+    ls = _chunk_seq(lab, chunk, fill=IGNORE_INDEX)
+
+    def body(acc, xs):
+        pc, rc, lc = xs
+        mask = (lc != IGNORE_INDEX).astype(jnp.float32)
+        p_logp = jax.nn.log_softmax(logits_fn(pc), axis=-1)
+        r_logp = jax.lax.stop_gradient(
+            jax.nn.log_softmax(logits_fn(rc), axis=-1)
+        )
+        div = jnp.sum(jnp.exp(r_logp) * (r_logp - p_logp), axis=-1)
+        return acc + jnp.sum(div * mask), None
+
+    total, _ = jax.lax.scan(
+        jax.checkpoint(body), jnp.zeros((), jnp.float32), (ps, rs, ls)
+    )
+    return total / policy_hidden.shape[0]
+
+
+def dpa_loss_from_hidden(
+    logits_fn,
+    pos_hidden: jnp.ndarray,
+    neg_hidden: jnp.ndarray,
+    pos_labels: jnp.ndarray,
+    neg_labels: jnp.ndarray,
+    pos_signs: jnp.ndarray,
+    neg_signs: jnp.ndarray,
+    policy_ref_hidden: jnp.ndarray,
+    frozen_ref_hidden: jnp.ndarray,
+    ref_labels: jnp.ndarray,
+    alpha: float,
+    max_phrases: int = MAX_PHRASES,
+    chunk: int = 256,
+) -> DPALossParts:
+    """dpa_loss computed from final hidden states, logits chunked over the
+    sequence (see block comment above). Math-parity with dpa_loss is
+    asserted by tests/test_dpa_loss.py."""
+    pos_lp = per_token_logps_chunked(logits_fn, pos_hidden, pos_labels, chunk)
+    neg_lp = per_token_logps_chunked(logits_fn, neg_hidden, neg_labels, chunk)
+    align = alignment_loss(
+        pos_lp,
+        neg_lp,
+        pos_labels[:, 1:],
+        neg_labels[:, 1:],
+        pos_signs[:, 1:],
+        neg_signs[:, 1:],
+        max_phrases,
+    )
+    div = kl_divergence_chunked(
+        logits_fn, policy_ref_hidden, frozen_ref_hidden, ref_labels, chunk
+    )
+    return DPALossParts(align + alpha * div, align, div)
 
 
 def dpa_loss(

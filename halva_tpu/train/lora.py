@@ -39,9 +39,10 @@ LLM_TARGETS = (
 
 
 def _iter_dense(params: Params, prefix: str = ""):
-    """Yield (path, dense_param_dict) for every dict holding a 'kernel'."""
+    """Yield (path, dense_param_dict) for every dict holding a 'kernel'
+    (bf16/fp32) or 'kernel_q' (int8 — the QLoRA-class base)."""
     if isinstance(params, dict):
-        if "kernel" in params:
+        if "kernel" in params or "kernel_q" in params:
             yield prefix.rstrip("/"), params
             return
         for k, v in params.items():
@@ -68,8 +69,12 @@ def add_lora(
     for path, p in _iter_dense(params):
         if not any(re.search(t, path) for t in targets):
             continue
-        kern = p["kernel"]
-        dt = dtype or kern.dtype
+        kern = p.get("kernel", p.get("kernel_q"))
+        # int8 base (QLoRA-class, train_halva.py:1036-1052): adapters
+        # train in bf16 on top of the frozen quantized kernel
+        dt = dtype or (
+            jnp.bfloat16 if kern.dtype == jnp.int8 else kern.dtype
+        )
         *lead, d_in, d_out = kern.shape
         key, k1 = jax.random.split(key)
         # kaiming-uniform bound for A (fan_in = d_in)

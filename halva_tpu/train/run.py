@@ -20,7 +20,6 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from halva_tpu.config import LlavaConfig, PRESETS
 from halva_tpu.mm_utils import clip_vit_l_336_processor
@@ -45,6 +44,7 @@ class RunConfig:
     image_folder: str = ""
     # recipe (src/hallava_7b.sh)
     epochs: float = 1.0
+    max_steps: Optional[int] = None  # hard micro-step cap (HF max_steps)
     per_device_batch: int = 4
     grad_accum_steps: int = 4
     learning_rate: float = 5e-6
@@ -87,9 +87,15 @@ def build_models(rcfg: RunConfig, cfg: LlavaConfig):
 
 
 def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
-    cfg: LlavaConfig = PRESETS[rcfg.model] if isinstance(
-        PRESETS.get(rcfg.model), LlavaConfig
-    ) else PRESETS["llava-tiny"]
+    cfg = PRESETS.get(rcfg.model)
+    if not isinstance(cfg, LlavaConfig):
+        llava_presets = sorted(
+            k for k, v in PRESETS.items() if isinstance(v, LlavaConfig)
+        )
+        raise ValueError(
+            f"unknown LLaVA preset {rcfg.model!r}; choose one of "
+            f"{llava_presets}"
+        )
 
     mesh = mesh_lib.make_mesh(data=rcfg.mesh_data, model=rcfg.mesh_model)
     log0("mesh: %s", dict(mesh.shape))
@@ -110,6 +116,11 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     steps_per_epoch = len(dataset) // global_batch
     num_opt_steps = int(rcfg.epochs * steps_per_epoch / rcfg.grad_accum_steps)
     num_micro_steps = num_opt_steps * rcfg.grad_accum_steps
+    stop_at = (
+        min(num_micro_steps, rcfg.max_steps)
+        if rcfg.max_steps
+        else num_micro_steps
+    )
 
     tcfg = trainer_lib.TrainConfig(
         learning_rate=rcfg.learning_rate,
@@ -157,19 +168,27 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     )
     timer = StepTimer()
 
-    # index stream: modality length grouping, host-sharded
-    order = sampler_lib.modality_length_grouped_indices(
+    # index stream: modality length grouping, fresh shuffle per epoch,
+    # host-sharded; on resume the first `start_step` micro-batches are
+    # skipped so a resumed run continues the SAME data stream instead of
+    # replaying from sample 0 (HF Trainer skip_first_batches semantics)
+    order = sampler_lib.epoch_indices(
         dataset.modality_lengths,
         rcfg.per_device_batch,
         n_data,
+        rcfg.epochs,
         seed=rcfg.seed,
     )
     host_batches = sampler_lib.host_shard_batches(
-        order * max(1, int(np.ceil(rcfg.epochs))),
+        order,
         global_batch,
         jax.process_index(),
         jax.process_count(),
     )
+    if start_step:
+        import itertools
+
+        host_batches = itertools.islice(host_batches, start_step, None)
 
     from halva_tpu.utils.cluster import PreemptionWatcher, WallClockGuard
 
@@ -193,7 +212,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     micro = start_step
     t_train0 = time.time()
     for host_batch in prefetch(host_batch_stream(), depth=2):
-        if micro >= num_micro_steps:
+        if micro >= stop_at:
             break
         if watcher.should_stop(micro) or wall.should_stop():
             log0("preemption/timeout: checkpoint + stop at step %d", micro)
@@ -244,7 +263,7 @@ def main(argv=None):
         "lora_alpha": float, "warmup_ratio": float, "weight_decay": float,
         "mm_projector_lr": float,
         "per_device_batch": int, "grad_accum_steps": int, "lora_r": int,
-        "max_length": int, "seed": int, "save_steps": int,
+        "max_length": int, "seed": int, "save_steps": int, "max_steps": int,
         "log_every": int, "mesh_data": int, "mesh_model": int,
     }
     for f in dataclasses.fields(RunConfig):

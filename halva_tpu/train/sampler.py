@@ -94,6 +94,27 @@ def length_grouped_indices(
     return out
 
 
+def epoch_indices(
+    modality_lengths: Sequence[int],
+    batch_size: int,
+    world_size: int,
+    epochs: float,
+    seed: int = 0,
+) -> List[int]:
+    """Concatenated per-epoch index orders with a fresh shuffle each epoch
+    (HF Trainer reshuffles per epoch via set_epoch; the reference inherits
+    that through transformers.Trainer). Epoch e uses seed `seed + e` so the
+    stream is deterministic and resumable by skipping a batch count."""
+    out: List[int] = []
+    for e in range(max(1, int(-(-epochs // 1)))):
+        out.extend(
+            modality_length_grouped_indices(
+                modality_lengths, batch_size, world_size, seed=seed + e
+            )
+        )
+    return out
+
+
 def host_shard_batches(
     indices: Sequence[int],
     global_batch: int,

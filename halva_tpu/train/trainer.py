@@ -52,6 +52,10 @@ class TrainConfig:
     max_phrases: int = dpa.MAX_PHRASES
     attn_impl: str = "auto"
     remat: bool = True
+    # sequence-chunked logits/KL (the 7B memory recipe, see train/dpa.py):
+    # None = classic full-logits path; N = lm_head applied N tokens at a
+    # time inside a rematerialized scan, never materializing (B, S, V)
+    loss_chunk: Optional[int] = None
 
 
 # --------------------------------------------------------------------------
@@ -174,6 +178,8 @@ def dpa_step_fns(
       -> (new_trainable, new_opt_state, TrainMetrics)
     """
 
+    chunked = tcfg.loss_chunk is not None
+
     def forwards(params: Params, batch: Dict[str, jnp.ndarray]):
         # one 2B-row batched forward for pos+neg (reference
         # concatenated_forward, halva_trainer.py:421-489)
@@ -192,7 +198,7 @@ def dpa_step_fns(
         images = jnp.concatenate(
             [batch["images"], batch["images"]], axis=0
         )
-        logits, sp = llava.forward(
+        out, sp = llava.forward(
             params,
             cfg,
             input_ids,
@@ -202,11 +208,12 @@ def dpa_step_fns(
             signs=signs,
             attn_impl=tcfg.attn_impl,
             remat=tcfg.remat,
+            return_hidden=chunked,
         )
         b = batch["input_ids"].shape[0]
         return (
-            logits[:b],
-            logits[b:],
+            out[:b],
+            out[b:],
             sp.labels[:b],
             sp.labels[b:],
             sp.signs[:b],
@@ -214,7 +221,7 @@ def dpa_step_fns(
         )
 
     def ref_forward(params: Params, batch: Dict[str, jnp.ndarray]):
-        logits, sp = llava.forward(
+        out, sp = llava.forward(
             params,
             cfg,
             batch["ref_input_ids"],
@@ -223,53 +230,80 @@ def dpa_step_fns(
             labels=batch["ref_labels"],
             attn_impl=tcfg.attn_impl,
             remat=tcfg.remat,
+            return_hidden=chunked,
         )
-        return logits, sp.labels
+        return out, sp.labels
 
     def loss_fn(
         trainable: Params,
         frozen: Params,
-        frozen_ref_logits: jnp.ndarray,
+        frozen_ref_out: jnp.ndarray,
         ref_labels_spliced: jnp.ndarray,
         batch: Dict[str, jnp.ndarray],
     ):
         params = combine_params(trainable, frozen)
         (
-            pos_logits,
-            neg_logits,
+            pos_out,
+            neg_out,
             pos_labels,
             neg_labels,
             pos_signs,
             neg_signs,
         ) = forwards(params, batch)
-        policy_ref_logits, _ = ref_forward(params, batch)
-        parts = dpa.dpa_loss(
-            pos_logits,
-            neg_logits,
-            pos_labels,
-            neg_labels,
-            pos_signs,
-            neg_signs,
-            policy_ref_logits,
-            frozen_ref_logits,
-            ref_labels_spliced,
-            alpha=tcfg.loss_alpha,
-            max_phrases=tcfg.max_phrases,
-        )
+        policy_ref_out, _ = ref_forward(params, batch)
+        if chunked:
+            # lm_head is shared policy/frozen (LoRA excludes lm_head,
+            # reference find_all_linear_names, train_halva.py:156-169)
+            from halva_tpu.models import llama as llama_lib
+
+            llm = params["llm"]
+
+            def logits_fn(h):
+                return llama_lib.lm_logits(llm, cfg.llm, h)
+
+            parts = dpa.dpa_loss_from_hidden(
+                logits_fn,
+                pos_out,
+                neg_out,
+                pos_labels,
+                neg_labels,
+                pos_signs,
+                neg_signs,
+                policy_ref_out,
+                frozen_ref_out,  # hidden states in chunked mode
+                ref_labels_spliced,
+                alpha=tcfg.loss_alpha,
+                max_phrases=tcfg.max_phrases,
+                chunk=tcfg.loss_chunk,
+            )
+        else:
+            parts = dpa.dpa_loss(
+                pos_out,
+                neg_out,
+                pos_labels,
+                neg_labels,
+                pos_signs,
+                neg_signs,
+                policy_ref_out,
+                frozen_ref_out,
+                ref_labels_spliced,
+                alpha=tcfg.loss_alpha,
+                max_phrases=tcfg.max_phrases,
+            )
         return parts.total, parts
 
     def train_step(trainable, frozen, ref_params, opt_state, batch):
         # frozen reference model forward — independent of the trainable
         # leaves, computed once outside the grad
-        frozen_ref_logits, ref_labels_spliced = ref_forward(
+        frozen_ref_out, ref_labels_spliced = ref_forward(
             ref_params, batch
         )
-        frozen_ref_logits = jax.lax.stop_gradient(frozen_ref_logits)
+        frozen_ref_out = jax.lax.stop_gradient(frozen_ref_out)
 
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             trainable,
             frozen,
-            frozen_ref_logits,
+            frozen_ref_out,
             ref_labels_spliced,
             batch,
         )
@@ -285,13 +319,13 @@ def dpa_step_fns(
         )
 
     def eval_loss(trainable, frozen, ref_params, batch):
-        frozen_ref_logits, ref_labels_spliced = ref_forward(
+        frozen_ref_out, ref_labels_spliced = ref_forward(
             ref_params, batch
         )
         loss, parts = loss_fn(
             trainable,
             frozen,
-            jax.lax.stop_gradient(frozen_ref_logits),
+            jax.lax.stop_gradient(frozen_ref_out),
             ref_labels_spliced,
             batch,
         )

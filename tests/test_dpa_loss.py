@@ -107,6 +107,119 @@ def test_dpa_loss_matches_oracle(alpha):
     assert abs(float(got.total) - want_total) < 1e-3
 
 
+@pytest.mark.parametrize("chunk", [3, 5, 16])
+def test_chunked_loss_matches_full(chunk):
+    """dpa_loss_from_hidden (vocab-streaming 7B memory path) must equal
+    dpa_loss on the materialized logits — including grads w.r.t. hidden."""
+    import jax
+
+    rng = np.random.RandomState(3)
+    b, s, d, v = 2, 11, 8, 32
+    w = rng.randn(d, v).astype(np.float32) * 0.3
+    lm = {"kernel": jnp.asarray(w)}
+
+    def logits_fn(h):
+        return jnp.dot(h, lm["kernel"]).astype(jnp.float32)
+
+    hids = {
+        k: jnp.asarray(rng.randn(b, s, d).astype(np.float32))
+        for k in ("pos", "neg", "pref", "fref")
+    }
+    batch = _make_batch(seed=4, b=b, s=s, v=v)
+    (_, _, plab, nlab, ps, ns, _, _, rlab) = batch
+    args = (
+        jnp.asarray(plab.astype(np.int32)),
+        jnp.asarray(nlab.astype(np.int32)),
+        jnp.asarray(ps.astype(np.int32)),
+        jnp.asarray(ns.astype(np.int32)),
+    )
+    rlab32 = jnp.asarray(rlab.astype(np.int32))
+
+    def full(hs):
+        return dpa.dpa_loss(
+            logits_fn(hs["pos"]), logits_fn(hs["neg"]), *args,
+            logits_fn(hs["pref"]), logits_fn(hs["fref"]), rlab32,
+            alpha=0.4,
+        ).total
+
+    def chunked(hs):
+        return dpa.dpa_loss_from_hidden(
+            logits_fn, hs["pos"], hs["neg"], *args,
+            hs["pref"], hs["fref"], rlab32, alpha=0.4, chunk=chunk,
+        ).total
+
+    np.testing.assert_allclose(
+        float(full(hids)), float(chunked(hids)), rtol=1e-5
+    )
+    g_full = jax.grad(full)(hids)
+    g_chunk = jax.grad(chunked)(hids)
+    for k in hids:
+        np.testing.assert_allclose(
+            np.asarray(g_full[k]), np.asarray(g_chunk[k]),
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_trainer_chunked_step_matches_full():
+    """A full train step under loss_chunk equals the classic path."""
+    import jax
+
+    from halva_tpu.config import LLAVA_TINY
+    from halva_tpu.models import llava
+    from halva_tpu.train import lora as lora_lib
+    from halva_tpu.train import trainer as trainer_lib
+
+    cfg = LLAVA_TINY
+    base = llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    policy = lora_lib.add_lora(base, jax.random.PRNGKey(1), rank=4, alpha=8.0)
+    rng = np.random.RandomState(5)
+    b, s = 2, 10
+    ids = rng.randint(5, 60, (b, s)).astype(np.int32)
+    ids[:, 1] = -200
+    seg = np.ones((b, s), np.int32)
+    lab = rng.randint(0, 60, (b, s)).astype(np.int32)
+    lab[:, :4] = IGNORE_INDEX
+    sg = np.zeros((b, s), np.int32)
+    sg[:, 5:7] = 1
+    imgs = rng.randn(
+        b, 3, cfg.vision.image_size, cfg.vision.image_size
+    ).astype(np.float32)
+    batch = {
+        "input_ids": ids, "neg_input_ids": ids,
+        "segment_ids": seg, "neg_segment_ids": seg,
+        "labels": lab, "neg_labels": lab,
+        "pos_signs": sg, "neg_signs": sg,
+        "images": imgs,
+        "ref_input_ids": ids, "ref_images": imgs,
+        "ref_segment_ids": seg, "ref_labels": lab,
+    }
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    losses = {}
+    for chunk in (None, 4):
+        tcfg = trainer_lib.TrainConfig(
+            learning_rate=1e-3, grad_accum_steps=1, num_train_steps=4,
+            attn_impl="xla", loss_chunk=chunk,
+        )
+        trainable, frozen, optimizer, opt_state = (
+            trainer_lib.init_train_state(policy, tcfg)
+        )
+        step_fn, _ = trainer_lib.dpa_step_fns(cfg, tcfg, optimizer)
+        _, _, m = jax.jit(step_fn)(
+            trainable, frozen, base, opt_state, batch
+        )
+        losses[chunk] = (
+            float(m.loss), float(m.alignment),
+            float(m.divergence), float(m.grad_norm),
+        )
+    np.testing.assert_allclose(losses[None][:3], losses[4][:3], rtol=2e-4)
+    # grad_norm is ~1e-6 here (LoRA B starts at 0); fp reassociation
+    # between the fused and chunked lm_head dots dominates — atol only
+    np.testing.assert_allclose(
+        losses[None][3], losses[4][3], rtol=0.05, atol=1e-8
+    )
+
+
 def test_dpa_loss_uneven_phrases():
     """Rows with different phrase counts: reference unique() is
     batch-global, so absent phrases contribute log(2)."""

@@ -89,6 +89,54 @@ def test_generate_matches_naive():
         assert got == want[i], (i, got, want[i])
 
 
+def test_decode_attend_int8_kv_close():
+    """int8 prompt KV with folded scales tracks the bf16 attention path."""
+    rng = jax.random.PRNGKey(3)
+    b, h, kvh, dh, sp, sg = 2, 8, 4, 32, 24, 6
+    ks = jax.random.split(rng, 5)
+    q = jax.random.normal(ks[0], (b, 1, h, dh), jnp.float32)
+    kp = jax.random.normal(ks[1], (b, sp, kvh, dh), jnp.float32)
+    vp = jax.random.normal(ks[2], (b, sp, kvh, dh), jnp.float32)
+    kg = jax.random.normal(ks[3], (b, sg, kvh, dh), jnp.float32)
+    vg = jax.random.normal(ks[4], (b, sg, kvh, dh), jnp.float32)
+    seg = jnp.ones((b, sp), jnp.int32).at[:, -3:].set(0)
+    gen_valid = jnp.ones((b, sg), bool).at[:, -2:].set(False)
+
+    ref = llama._decode_attend(q, kp, vp, kg, vg, seg, gen_valid)
+    kq, ksc = llama._quantize_kv(kp)
+    vq, vsc = llama._quantize_kv(vp)
+    got = llama._decode_attend(
+        q, kq, vq, kg, vg, seg, gen_valid, kp_scale=ksc, vp_scale=vsc
+    )
+    err = np.abs(np.asarray(ref) - np.asarray(got)).max()
+    assert err < 0.05, err
+
+
+def test_generate_kv_quant_matches_naive():
+    """End-to-end greedy decode with the int8 prompt cache produces the
+    same tokens as the bf16-cache decode on a tiny model."""
+    params = llava.init_params(jax.random.PRNGKey(0), CFG)
+    b, s = 2, 7
+    rng = np.random.RandomState(2)
+    ids = rng.randint(5, 50, (b, s)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((b,), s, np.int32)
+    imgs = rng.randn(
+        b, 3, CFG.vision.image_size, CFG.vision.image_size
+    ).astype(np.float32)
+    args = (
+        params, CFG, jnp.asarray(ids), jnp.asarray(imgs), jnp.asarray(lens),
+    )
+    base, _ = generate_greedy(*args, max_new_tokens=6, eos_id=-1,
+                              attn_impl="xla")
+    quant, _ = generate_greedy(*args, max_new_tokens=6, eos_id=-1,
+                               attn_impl="xla", kv_quant=True)
+    # int8 KV quantization noise may flip ties on a *random-weight* tiny
+    # model; require near-total agreement rather than exact equality
+    agree = (np.asarray(base) == np.asarray(quant)).mean()
+    assert agree >= 0.75, (np.asarray(base), np.asarray(quant))
+
+
 def test_sampling_modes():
     import jax
     from halva_tpu.ops.generate import generate

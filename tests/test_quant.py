@@ -1,6 +1,8 @@
-"""Weight-only int8: numeric closeness + end-to-end decode works."""
+"""Weight-only int8 + W8A8: numeric closeness + end-to-end decode works."""
 
 import numpy as np
+
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -8,7 +10,34 @@ import jax.numpy as jnp
 from halva_tpu.config import LLAMA_TINY, LLAVA_TINY
 from halva_tpu.constants import IMAGE_TOKEN_INDEX
 from halva_tpu.models import llama, llava
-from halva_tpu.ops.quant import dequantize_kernel, quantize_kernel, quantize_params
+from halva_tpu.ops import quant as quant_lib
+from halva_tpu.ops.quant import (
+    dequantize_kernel,
+    int8_dense,
+    quantize_kernel,
+    quantize_params,
+)
+
+
+@pytest.fixture(params=[False, True], ids=["w8", "w8a8"])
+def w8a8_mode(request):
+    """Run int8 model tests under both execution modes."""
+    prev = quant_lib._W8A8
+    quant_lib.set_w8a8(request.param)
+    yield request.param
+    quant_lib._W8A8 = prev
+
+
+def test_int8_dense_close_to_fp():
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (4, 96), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(2), (96, 64)) * 0.05
+    p = quantize_kernel(w)
+    ref = np.asarray(jnp.dot(x, w))
+    got = np.asarray(int8_dense(x, p))
+    denom = np.abs(ref).max()
+    # two int8 roundings (activation + weight) stack
+    assert np.abs(ref - got).max() / denom < 0.05
 
 
 def test_quantize_kernel_roundtrip():
@@ -22,7 +51,7 @@ def test_quantize_kernel_roundtrip():
     assert err <= bound + 1e-6
 
 
-def test_quantized_logits_close():
+def test_quantized_logits_close(w8a8_mode):
     cfg = LLAMA_TINY
     params = llama.init_params(jax.random.PRNGKey(0), cfg)
     qparams = quantize_params(params)
@@ -41,7 +70,7 @@ def test_quantized_logits_close():
     assert agree > 0.8
 
 
-def test_quantized_generate_runs():
+def test_quantized_generate_runs(w8a8_mode):
     from halva_tpu.ops.generate import generate_greedy
 
     cfg = LLAVA_TINY

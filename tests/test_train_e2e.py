@@ -15,7 +15,7 @@ from halva_tpu.train.run import RunConfig, train
 from test_data_pipeline import SPTok
 
 
-def _make_data(tmp_path, n=16):
+def _make_data(tmp_path, n=16, tags=("closed", "open", "qa")):
     img_dir = tmp_path / "imgs"
     img_dir.mkdir()
     rng = np.random.RandomState(0)
@@ -29,7 +29,7 @@ def _make_data(tmp_path, n=16):
         samples.append(
             {
                 "id": i,
-                "tag": ["closed", "open", "qa"][i % 3],
+                "tag": tags[i % len(tags)],
                 "raw_answer": ["Yes", "No"][i % 2],
                 "image": name,
                 "question": "<image>\nWhat do you see here?",
@@ -103,6 +103,75 @@ def test_train_e2e_smoke(tmp_path):
     assert lines and np.isfinite(lines[-1]["loss"])
     ckpts = os.listdir(out / "checkpoints")
     assert ckpts
+
+
+def test_unknown_preset_raises(tmp_path):
+    rcfg = RunConfig(
+        model="llava-v1.5-7b-TYPO", output_dir=str(tmp_path / "out")
+    )
+    with pytest.raises(ValueError, match="unknown LLaVA preset"):
+        train(rcfg, tokenizer=None, dataset=None)
+
+
+def _read_metrics(path):
+    return {
+        m["step"]: m
+        for m in (json.loads(l) for l in open(path).read().splitlines())
+    }
+
+
+def test_resume_mid_run_matches_uninterrupted(tmp_path):
+    """Interrupt at micro-step 2, resume, and require the steps-3..4 loss
+    trajectory to equal an uninterrupted run's: proves resume restores both
+    the optimizer state AND the data-stream position (no replay from 0).
+
+    Tags avoid "qa" so yes/no balancing keeps all 16 samples ->
+    2 micro-steps/epoch x 2 epochs = 4 steps."""
+    data_path, ref_path, img_dir = _make_data(
+        tmp_path, tags=("closed", "open")
+    )
+    tok = SPTok()
+    proc = ImageProcessor(size=28, crop_size=28)
+
+    def make_cfg(out, max_steps=None):
+        return RunConfig(
+            model="llava-tiny",
+            output_dir=str(tmp_path / out),
+            data_path=data_path,
+            ref_data_path=ref_path,
+            image_folder=img_dir,
+            epochs=2.0,  # same total => identical lr schedule in all runs
+            max_steps=max_steps,
+            per_device_batch=1,
+            grad_accum_steps=1,
+            learning_rate=1e-3,
+            lora_r=4,
+            max_length=128,
+            save_steps=1000,
+            mesh_data=8,
+        )
+
+    def make_ds():
+        return HallDataset(
+            data_path, ref_path, tok, proc, image_folder=img_dir,
+            max_length=128,
+        )
+
+    train(make_cfg("full"), tok, dataset=make_ds())  # 4 micro steps
+    train(make_cfg("split", max_steps=2), tok, dataset=make_ds())
+    train(make_cfg("split"), tok, dataset=make_ds())  # resumes at step 2
+
+    full = _read_metrics(tmp_path / "full" / "metrics.jsonl")
+    split = _read_metrics(tmp_path / "split" / "metrics.jsonl")
+    assert set(full) == {1, 2, 3, 4}
+    assert {3, 4} <= set(split)
+    for step in (3, 4):
+        np.testing.assert_allclose(
+            split[step]["loss"], full[step]["loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            split[step]["kl"], full[step]["kl"], rtol=1e-5
+        )
 
 
 def test_train_resume(tmp_path):
