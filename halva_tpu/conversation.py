@@ -153,6 +153,46 @@ conv_llava_v1 = ConvTemplate(
     sep2="</s>",
 )
 
+# v0 ships a canned few-shot turn (verbatim behavioral contract,
+# llava/conversation.py:224-252) rendered before real messages
+_V0_SEED: Tuple[Message, ...] = (
+    (
+        "Human",
+        "What are the key differences between renewable and "
+        "non-renewable energy sources?",
+    ),
+    (
+        "Assistant",
+        "Renewable energy sources are those that can be replenished "
+        "naturally in a relatively short amount of time, such as solar, "
+        "wind, hydro, geothermal, and biomass. Non-renewable energy "
+        "sources, on the other hand, are finite and will eventually be "
+        "depleted, such as coal, oil, and natural gas. Here are some key "
+        "differences between renewable and non-renewable energy "
+        "sources:\n"
+        "1. Availability: Renewable energy sources are virtually "
+        "inexhaustible, while non-renewable energy sources are finite "
+        "and will eventually run out.\n"
+        "2. Environmental impact: Renewable energy sources have a much "
+        "lower environmental impact than non-renewable sources, which "
+        "can lead to air and water pollution, greenhouse gas emissions, "
+        "and other negative effects.\n"
+        "3. Cost: Renewable energy sources can be more expensive to "
+        "initially set up, but they typically have lower operational "
+        "costs than non-renewable sources.\n"
+        "4. Reliability: Renewable energy sources are often more "
+        "reliable and can be used in more remote locations than "
+        "non-renewable sources.\n"
+        "5. Flexibility: Renewable energy sources are often more "
+        "flexible and can be adapted to different situations and needs, "
+        "while non-renewable sources are more rigid and inflexible.\n"
+        "6. Sustainability: Renewable energy sources are more "
+        "sustainable over the long term, while non-renewable sources "
+        "are not, and their depletion can lead to economic and social "
+        "instability.\n",
+    ),
+)
+
 conv_vicuna_v0 = ConvTemplate(
     system=(
         "A chat between a curious human and an artificial intelligence "
@@ -163,6 +203,8 @@ conv_vicuna_v0 = ConvTemplate(
     version="v0",
     sep_style=SeparatorStyle.SINGLE,
     sep="###",
+    messages=_V0_SEED,
+    offset=2,
 )
 
 conv_llava_plain = ConvTemplate(
@@ -192,6 +234,60 @@ conv_llama_2 = ConvTemplate(
     sep2="</s>",
 )
 
+# system strings below are behavioral contracts kept verbatim from the
+# reference registry (llava/conversation.py:277-358) — prompts must be
+# byte-identical for tokenization parity
+_MMTAG_SYSTEM = (
+    "A chat between a curious user and an artificial intelligence "
+    "assistant. The assistant is able to understand the visual content "
+    "that the user provides, and assist the user with a variety of tasks "
+    "using natural language."
+    "The visual content will be provided with the following format: "
+    "<Image>visual content</Image>."
+)
+
+conv_llava_v0 = ConvTemplate(
+    system=(
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the human's questions."
+    ),
+    roles=("Human", "Assistant"),
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+conv_llava_v0_mmtag = ConvTemplate(
+    system=_MMTAG_SYSTEM,
+    roles=("Human", "Assistant"),
+    version="v0_mmtag",
+    sep_style=SeparatorStyle.SINGLE,
+    sep="###",
+)
+
+conv_llava_v1_mmtag = ConvTemplate(
+    system=_MMTAG_SYSTEM,
+    roles=("USER", "ASSISTANT"),
+    version="v1_mmtag",
+    sep_style=SeparatorStyle.TWO,
+    sep=" ",
+    sep2="</s>",
+)
+
+conv_llava_llama_2 = ConvTemplate(
+    system=(
+        "You are a helpful language and vision assistant. "
+        "You are able to understand the visual content that the user "
+        "provides, and assist the user with a variety of tasks using "
+        "natural language."
+    ),
+    roles=("USER", "ASSISTANT"),
+    version="llama_v2",
+    sep_style=SeparatorStyle.LLAMA_2,
+    sep="<s>",
+    sep2="</s>",
+)
+
 conv_mpt = ConvTemplate(
     system=(
         "<|im_start|>system\nA conversation between a user and an LLM-based "
@@ -203,15 +299,20 @@ conv_mpt = ConvTemplate(
     sep="<|im_end|>",
 )
 
+# all 13 reference registry keys (llava/conversation.py:361-377)
 conv_templates = {
     "default": conv_vicuna_v0,
     "v0": conv_vicuna_v0,
     "v1": conv_vicuna_v1,
     "vicuna_v1": conv_vicuna_v1,
-    "llava_v1": conv_llava_v1,
+    "llama_2": conv_llama_2,
     "plain": conv_llava_plain,
     "v0_plain": conv_llava_plain,
-    "llama_2": conv_llama_2,
+    "llava_v0": conv_llava_v0,
+    "v0_mmtag": conv_llava_v0_mmtag,
+    "llava_v1": conv_llava_v1,
+    "v1_mmtag": conv_llava_v1_mmtag,
+    "llava_llama_2": conv_llava_llama_2,
     "mpt": conv_mpt,
 }
 

@@ -140,7 +140,7 @@ class AmberEvaluator:
     def _eval_generative(self, gt: dict, response: str, m: Dict):
         nouns = [
             n
-            for n in extract_nouns(response)
+            for n in extract_nouns(response, vocab=self.hallucination_words)
             if n in self.hallucination_words
         ]
         truth: List[str] = gt["truth"]

@@ -185,7 +185,9 @@ class ChairEvaluator:
     def caption_to_words(
         self, caption: str
     ) -> Tuple[List[str], List[str], List[int], List[str]]:
-        words = lemmatize_caption(caption)
+        # the object vocabulary doubles as the singularizer's dictionary
+        # (WordNet-morphy-style candidate selection; see evals/lemmatize)
+        words = lemmatize_caption(caption, vocab=self._object_set)
 
         i = 0
         double_words: List[str] = []

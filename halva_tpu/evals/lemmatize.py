@@ -47,15 +47,48 @@ _KEEP_S = {
 }
 
 
-def singularize(word: str) -> str:
+def _candidates(w: str) -> List[str]:
+    """Possible singulars, most-specific first (WordNet morphy's noun
+    suffix rules: s->'', ses->s, ves->f/fe, xes->x, zes->z, ches->ch,
+    shes->sh, ies->y, men->man — morphy tries each and keeps forms found
+    in the dictionary; with a vocab we replicate that exactly)."""
+    out = []
+    if w.endswith("ies") and len(w) > 4:
+        out += [w[:-3] + "y", w[:-1]]  # ponies->pony, collies->collie
+    if w.endswith(("ches", "shes", "xes", "zes", "sses", "uses", "ises")):
+        out.append(w[:-2])
+    if w.endswith("ves") and len(w) > 4:
+        out += [w[:-3] + "f", w[:-3] + "fe"]
+    if w.endswith("oes") and len(w) > 4:
+        out += [w[:-2], w[:-1]]  # potatoes->potato, canoes->canoe
+    if w.endswith("men"):
+        out.append(w[:-3] + "man")
+    if w.endswith("s") and not w.endswith("ss"):
+        out.append(w[:-1])
+    out.append(w)
+    return out
+
+
+def singularize(word: str, vocab=None) -> str:
+    """Noun singular. With `vocab` (the metric's own object vocabulary —
+    what WordNet's dictionary provides for morphy), the first candidate
+    present in the vocab wins, which makes lookups exact on that vocab
+    (tests/test_lemmatize_drift.py proves the round-trip for the full
+    CHAIR synonym table). Without a vocab, heuristic rules."""
     w = word.lower()
+    if vocab is not None:
+        if w in vocab:
+            return w
+        for c in _candidates(w):
+            if c in vocab:
+                return c
     if w in _IRREGULAR:
         return _IRREGULAR[w]
     if w in _KEEP_S or len(w) <= 3:
         return w
     if w.endswith("ies") and len(w) > 4:
         return w[:-3] + "y"
-    if w.endswith(("ches", "shes", "xes", "zes", "sses")):
+    if w.endswith(("ches", "shes", "xes", "zes", "sses", "uses")):
         return w[:-2]
     if w.endswith("oes") and len(w) > 4:
         return w[:-2]
@@ -94,9 +127,10 @@ def has_nltk() -> bool:
     return _HAS_NLTK
 
 
-def lemmatize_caption(caption: str) -> List[str]:
+def lemmatize_caption(caption: str, vocab=None) -> List[str]:
     """Tokenize + lemmatize a caption (reference caption_to_words
-    preprocessing, eval_chair.py:211-220)."""
+    preprocessing, eval_chair.py:211-220). `vocab` = the calling metric's
+    object vocabulary; see singularize."""
     if has_nltk():
         import nltk
         from nltk.corpus import wordnet
@@ -111,10 +145,12 @@ def lemmatize_caption(caption: str) -> List[str]:
             wnl.lemmatize(w, pos_map.get(t[:1], wordnet.NOUN))
             for w, t in tagged
         ]
-    return [singularize(w) for w in simple_tokenize(caption.lower())]
+    return [
+        singularize(w, vocab) for w in simple_tokenize(caption.lower())
+    ]
 
 
-def extract_nouns(text: str) -> List[str]:
+def extract_nouns(text: str, vocab=None) -> List[str]:
     """AMBER noun extraction (inference.py:47-52); fallback keeps all
     lemmatized word tokens (the metric then filters against its own
     hallucination vocabulary, so non-nouns drop out naturally)."""
@@ -129,7 +165,7 @@ def extract_nouns(text: str) -> List[str]:
             wnl.lemmatize(w) for w, pos in tagged if pos.startswith("NN")
         ]
     return [
-        singularize(w)
+        singularize(w, vocab)
         for w in simple_tokenize(text.lower())
         if w.isalpha()
     ]

@@ -132,6 +132,24 @@ def clip_vit_l_336_processor() -> ImageProcessor:
     return ImageProcessor(size=336, crop_size=336)
 
 
+def processor_for_vision(vision_cfg) -> ImageProcessor:
+    """Build the preprocessing that matches a ViTConfig: CLIP-family
+    towers get shortest-edge resize + center crop with OpenAI stats;
+    SigLIP-family (no cls token, no pre-LN) gets square resize with
+    SigLIP stats. Sized from the config so tiny test presets and
+    resolution-elevated towers preprocess consistently."""
+    if not vision_cfg.use_cls_token and not vision_cfg.use_pre_layernorm:
+        return ImageProcessor(
+            size=vision_cfg.image_size,
+            mean=SIGLIP_MEAN,
+            std=SIGLIP_STD,
+            square_resize=True,
+        )
+    return ImageProcessor(
+        size=vision_cfg.image_size, crop_size=vision_cfg.image_size
+    )
+
+
 def siglip_384_processor() -> ImageProcessor:
     return ImageProcessor(
         size=384, mean=SIGLIP_MEAN, std=SIGLIP_STD, square_resize=True

@@ -273,30 +273,19 @@ def _layer(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-    if cfg.sliding_window is not None or cfg.position_embedding == "alibi":
-        # alt-backend path (Mistral local attention / MPT ALiBi): XLA
-        # masked attention with optional additive bias
-        from halva_tpu.ops.attention import (
-            alibi_bias,
-            attention_reference,
-            make_attention_mask,
-        )
-
-        mask = make_attention_mask(
-            segment_ids,
-            segment_ids,
-            causal=True,
-            sliding_window=cfg.sliding_window,
-        )
-        bias = None
-        if cfg.position_embedding == "alibi":
-            assert positions is not None
-            bias = alibi_bias(h, positions, positions)
-        attn_out = attention_reference(q, k, v, mask=mask, bias=bias)
-    else:
-        attn_out = attention(
-            q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
-        )
+    # Mistral sliding-window / MPT ALiBi run IN-KERNEL on the flash path
+    # (ops/attention.py dispatch; XLA fallback materializes mask+bias)
+    attn_out = attention(
+        q,
+        k,
+        v,
+        segment_ids,
+        segment_ids,
+        causal=True,
+        impl=attn_impl,
+        alibi=cfg.position_embedding == "alibi",
+        sliding_window=cfg.sliding_window,
+    )
     x = x + dense(attn_out.reshape(b, s, h * dh), ap["wo"])
 
     y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])

@@ -127,7 +127,9 @@ def attention_reference(
     return out.astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "impl"))
+@functools.partial(
+    jax.jit, static_argnames=("causal", "impl", "alibi", "sliding_window")
+)
 def attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -136,19 +138,45 @@ def attention(
     kv_segment_ids: jnp.ndarray,
     causal: bool = True,
     impl: str = "auto",
+    alibi: bool = False,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Segment-id attention entry point. Shapes as attention_reference."""
+    """Segment-id attention entry point. Shapes as attention_reference.
+
+    alibi / sliding_window run IN-KERNEL on the flash path (the
+    reference's Triton-kernel capability, mpt/flash_attn_triton.py);
+    the XLA path materializes the bias/mask instead. ALiBi with a
+    non-power-of-two head count always takes the XLA path.
+    """
+    h = q.shape[2]
+    kernel_alibi_ok = not alibi or (h & (h - 1)) == 0
     if impl == "auto":
         impl = (
             "flash"
-            if jax.default_backend() == "tpu" and q.shape[1] >= 128
+            if (
+                jax.default_backend() == "tpu"
+                and q.shape[1] >= 128
+                and kernel_alibi_ok
+            )
             else "xla"
         )
     if impl == "flash":
         from halva_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, q_segment_ids, kv_segment_ids, causal=causal
+            q, k, v, q_segment_ids, kv_segment_ids, causal=causal,
+            alibi=alibi, sliding_window=sliding_window,
         )
-    mask = make_attention_mask(q_segment_ids, kv_segment_ids, causal=causal)
-    return attention_reference(q, k, v, mask=mask)
+    mask = make_attention_mask(
+        q_segment_ids, kv_segment_ids, causal=causal,
+        sliding_window=sliding_window,
+    )
+    bias = None
+    if alibi:
+        b, sq = q_segment_ids.shape
+        pos = jnp.broadcast_to(jnp.arange(sq, dtype=jnp.int32), (b, sq))
+        kpos = jnp.broadcast_to(
+            jnp.arange(k.shape[1], dtype=jnp.int32), (b, k.shape[1])
+        )
+        bias = alibi_bias(h, pos, kpos)
+    return attention_reference(q, k, v, mask=mask, bias=bias)

@@ -38,6 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 256
 NEG_INF = -1e30
+NUM_LANES = 128
+
+
+def _lanes(bk: int) -> int:
+    return min(NUM_LANES, bk)
+
+
+def _btile(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Broadcast an all-lanes-equal (bq, L) stat tensor to (bq, n)."""
+    l = x.shape[1]
+    if n == l:
+        return x
+    if n < l:
+        return x[:, :n]
+    return jnp.tile(x, (1, n // l))
 
 
 def _block_mask(
@@ -57,6 +72,12 @@ def _block_mask(
     return mask
 
 
+def _alibi_slope(h_idx, num_heads: int):
+    """ALiBi slope for head h: 2^(-8*(h+1)/H) (power-of-two heads; the
+    MPT/published formula, reference mpt/attention.py:258)."""
+    return jnp.exp2(-8.0 * (h_idx.astype(jnp.float32) + 1.0) / num_heads)
+
+
 def _fwd_kernel(
     q_ref,  # (1, 1, bq, D)
     k_ref,  # (1, 1, Skv, D)
@@ -70,16 +91,29 @@ def _fwd_kernel(
     causal: bool,
     block_k: int,
     kv_len: int,
+    alibi_heads: int = 0,  # >0: add ALiBi bias computed from head index
+    window: int = 0,  # >0: sliding-window attention width
 ):
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
     qi = pl.program_id(2)
     q_start = qi * bq
+    nl = _lanes(block_k)
 
     # matmuls run in the input dtype (bf16 -> MXU native) with fp32
-    # accumulation; softmax statistics stay fp32
+    # accumulation. Softmax stats (m, l) are carried in an
+    # all-lanes-equal (bq, nl) fp32 layout: rank-1 (bq,) carries force a
+    # (1, bq) lane layout and a relayout every iteration (measured 35
+    # TF/s ceiling in round 1; the official TPU kernel uses the same
+    # lane-replicated trick).
     q = q_ref[0, 0]
     q_seg = qseg_ref[0, 0][:, None]
+
+    # loop-invariant (bq, bk) row-col difference: per-block causal /
+    # window / ALiBi terms reduce to compares against a scalar
+    diff = jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 0
+    ) - jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
 
     num_kv_blocks = pl.cdiv(kv_len, block_k)
     if causal:
@@ -88,36 +122,48 @@ def _fwd_kernel(
             num_kv_blocks, (q_start + bq + block_k - 1) // block_k
         )
 
+    if alibi_heads:
+        slope = _alibi_slope(pl.program_id(1), alibi_heads)
+
     def body(ki, carry):
-        o_acc, m, l = carry
+        o_acc, m, l = carry  # (bq, d) f32, (bq, nl) f32, (bq, nl) f32
         kv_start = ki * block_k
         k = k_ref[0, 0, pl.ds(kv_start, block_k), :]
         v = v_ref[0, 0, pl.ds(kv_start, block_k), :]
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
 
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        mask = _block_mask(
-            q_seg, kv_seg, q_start, kv_start, bq, block_k, causal
-        )
-        s = jnp.where(mask, s, NEG_INF)
+        # absolute row-col distance for this block = diff + (q_start -
+        # kv_start); causal is one scalar compare on the precomputed diff
+        shift = q_start - kv_start
+        mask = (q_seg == kv_seg) & (q_seg != 0)
+        if causal:
+            mask &= diff >= -shift
+        if window:
+            mask &= diff < (window - shift)
+        if alibi_heads:
+            # bias = -slope * (row - col); 0 on the diagonal
+            s = s - slope * (diff + shift).astype(jnp.float32)
+        s = s + jnp.where(mask, 0.0, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1))
+        m_curr = jnp.max(s, axis=1)[:, None]  # (bq, 1)
+        m_new = jnp.maximum(m, m_curr)  # (bq, nl)
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[:, None])
-        l_new = l * alpha + jnp.sum(p, axis=1)
-        o_new = o_acc * alpha[:, None] + jnp.dot(
+        p = jnp.exp(s - _btile(m_new, block_k))
+        l_new = l * alpha + jnp.sum(p, axis=1)[:, None]
+        o_new = o_acc * _btile(alpha, d) + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         return o_new, m_new, l_new
 
     o0 = jnp.zeros((bq, d), jnp.float32)
-    m0 = jnp.full((bq,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq,), jnp.float32)
+    m0 = jnp.full((bq, nl), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, nl), jnp.float32)
     o_acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (o0, m0, l0))
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0, 0] = (o_acc / l_safe[:, None]).astype(o_ref.dtype)
-    lse_ref[0, 0, 0] = m + jnp.log(l_safe)
+    o_ref[0, 0] = (o_acc / _btile(l_safe, d)).astype(o_ref.dtype)
+    lse_ref[0, 0, 0] = m[:, 0] + jnp.log(l_safe[:, 0])
 
 
 def _bwd_dq_kernel(
@@ -135,6 +181,8 @@ def _bwd_dq_kernel(
     causal: bool,
     block_k: int,
     kv_len: int,
+    alibi_heads: int = 0,
+    window: int = 0,
 ):
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
@@ -146,12 +194,17 @@ def _bwd_dq_kernel(
     lse = lse_ref[0, 0, 0][:, None]
     delta = delta_ref[0, 0, 0][:, None]
     q_seg = qseg_ref[0, 0][:, None]
+    diff = jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 0
+    ) - jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
 
     num_kv_blocks = pl.cdiv(kv_len, block_k)
     if causal:
         num_kv_blocks = jnp.minimum(
             num_kv_blocks, (q_start + bq + block_k - 1) // block_k
         )
+    if alibi_heads:
+        slope = _alibi_slope(pl.program_id(1), alibi_heads)
 
     def body(ki, dq):
         kv_start = ki * block_k
@@ -160,9 +213,14 @@ def _bwd_dq_kernel(
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
 
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        mask = _block_mask(
-            q_seg, kv_seg, q_start, kv_start, bq, block_k, causal
-        )
+        shift = q_start - kv_start
+        mask = (q_seg == kv_seg) & (q_seg != 0)
+        if causal:
+            mask &= diff >= -shift
+        if window:
+            mask &= diff < (window - shift)
+        if alibi_heads:
+            s = s - slope * (diff + shift).astype(jnp.float32)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = (p * (dp - delta) * scale).astype(k.dtype)
@@ -189,6 +247,8 @@ def _bwd_dkv_kernel(
     causal: bool,
     block_q: int,
     q_len: int,
+    alibi_heads: int = 0,
+    window: int = 0,
 ):
     bk = k_ref.shape[2]
     d = k_ref.shape[3]
@@ -198,12 +258,17 @@ def _bwd_dkv_kernel(
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     kv_seg = kvseg_ref[0, 0][None, :]
+    diff = jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, bk), 0
+    ) - jax.lax.broadcasted_iota(jnp.int32, (block_q, bk), 1)
 
     num_q_blocks = pl.cdiv(q_len, block_q)
     q_block_lo = 0
     if causal:
         # first q block that can see this kv block
         q_block_lo = kv_start // block_q
+    if alibi_heads:
+        slope = _alibi_slope(pl.program_id(1), alibi_heads)
 
     def body(qi, carry):
         dk, dv = carry
@@ -215,9 +280,14 @@ def _bwd_dkv_kernel(
         q_seg = qseg_ref[0, 0, pl.ds(q_start, block_q)][:, None]
 
         s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        mask = _block_mask(
-            q_seg, kv_seg, q_start, kv_start, block_q, bk, causal
-        )
+        shift = q_start - kv_start
+        mask = (q_seg == kv_seg) & (q_seg != 0)
+        if causal:
+            mask &= diff >= -shift
+        if window:
+            mask &= diff < (window - shift)
+        if alibi_heads:
+            s = s - slope * (diff + shift).astype(jnp.float32)
         p = jnp.where(mask, jnp.exp(s - lse), 0.0)
         dv_new = dv + jnp.dot(
             p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
@@ -245,7 +315,7 @@ def _pad_to(x, axis, mult):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
 )
 def _flash(
     q,  # (B, H, Sq, D)
@@ -257,9 +327,12 @@ def _flash(
     scale: float,
     block_q: int,
     block_k: int,
+    alibi_heads: int,
+    window: int,
 ):
     o, _ = _flash_fwd_impl(
-        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k
+        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+        alibi_heads, window,
     )
     return o
 
@@ -291,7 +364,10 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _flash_fwd_impl(q, k, v, q_seg, kv_seg, causal, scale, bq, bk):
+def _flash_fwd_impl(
+    q, k, v, q_seg, kv_seg, causal, scale, bq, bk,
+    alibi_heads=0, window=0,
+):
     b, h, sq, d = q.shape
     kvh, skv = k.shape[1], k.shape[2]
     sq_p = sq + (-sq) % bq
@@ -304,7 +380,8 @@ def _flash_fwd_impl(q, k, v, q_seg, kv_seg, causal, scale, bq, bk):
 
     specs = _specs_fwd(b, h, kvh, sq_p, skv_p, d, bq, _interp())
     kernel = functools.partial(
-        _fwd_kernel, scale=scale, causal=causal, block_k=bk, kv_len=skv_p
+        _fwd_kernel, scale=scale, causal=causal, block_k=bk, kv_len=skv_p,
+        alibi_heads=alibi_heads, window=window,
     )
     o, lse = pl.pallas_call(
         kernel,
@@ -322,14 +399,16 @@ def _flash_fwd_impl(q, k, v, q_seg, kv_seg, causal, scale, bq, bk):
     return o[:, :, :sq], (q, k, v, q_seg, kv_seg, o[:, :, :sq], lse)
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, scale, bq, bk):
+def _flash_fwd(
+    q, k, v, q_seg, kv_seg, causal, scale, bq, bk, alibi_heads, window
+):
     o, res = _flash_fwd_impl(
-        q, k, v, q_seg, kv_seg, causal, scale, bq, bk
+        q, k, v, q_seg, kv_seg, causal, scale, bq, bk, alibi_heads, window
     )
     return o, res
 
 
-def _flash_bwd(causal, scale, bq, bk, res, do):
+def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
     q, k, v, q_seg, kv_seg, o, lse = res
     b, h, sq, d = q.shape
     kvh, skv = k.shape[1], k.shape[2]
@@ -353,7 +432,8 @@ def _flash_bwd(causal, scale, bq, bk, res, do):
 
     # ---- dq ----
     dq_kernel = functools.partial(
-        _bwd_dq_kernel, scale=scale, causal=causal, block_k=bk, kv_len=skv_p
+        _bwd_dq_kernel, scale=scale, causal=causal, block_k=bk,
+        kv_len=skv_p, alibi_heads=alibi_heads, window=window,
     )
     dq = pl.pallas_call(
         dq_kernel,
@@ -381,7 +461,8 @@ def _flash_bwd(causal, scale, bq, bk, res, do):
 
     # ---- dk, dv ---- (accumulated per query-head, summed over groups after)
     dkv_kernel = functools.partial(
-        _bwd_dkv_kernel, scale=scale, causal=causal, block_q=bq, q_len=sq_p
+        _bwd_dkv_kernel, scale=scale, causal=causal, block_q=bq,
+        q_len=sq_p, alibi_heads=alibi_heads, window=window,
     )
     dk_h, dv_h = pl.pallas_call(
         dkv_kernel,
@@ -441,13 +522,28 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    alibi: bool = False,
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Public entry; layout matches halva_tpu.ops.attention."""
+    """Public entry; layout matches halva_tpu.ops.attention.
+
+    alibi: add the MPT ALiBi bias in-kernel (capability of the
+    reference's Triton kernel, mpt/flash_attn_triton.py; slopes use the
+    power-of-two-heads formula — callers with non-pow2 heads should use
+    the XLA reference path). sliding_window: Mistral-style local
+    attention width, masked in-kernel.
+    """
     d = q.shape[-1]
     if scale is None:
         scale = d**-0.5
     sq = q.shape[1]
     block_q = min(block_q, max(sq, 8))
+    h = q.shape[2]
+    if alibi and (h & (h - 1)):
+        raise ValueError(
+            "in-kernel ALiBi needs power-of-two head counts; use the XLA "
+            "reference attention otherwise"
+        )
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -461,5 +557,7 @@ def flash_attention(
         float(scale),
         block_q,
         block_k,
+        h if alibi else 0,
+        int(sliding_window or 0),
     )
     return o.transpose(0, 2, 1, 3)

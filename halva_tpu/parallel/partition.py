@@ -31,6 +31,10 @@ Params = Dict[str, Any]
 # (path regex, logical axes per dim). Paths are "/"-joined key paths.
 # Logical axis vocabulary: layers, embed, heads, mlp, vocab, lora, patch.
 LLM_RULES = [
+    # vision tower: fully REPLICATED — must come FIRST or the token-embed
+    # rule below also captures vision/pos_embed/embedding (caught by
+    # replication_fallbacks + tests/test_sharding.py)
+    (r"^vision/", None),
     (r"embed/embedding(_q)?$", ("vocab", "embed")),
     (r"attn/w[qkv]/kernel(_q)?$", ("layers", "embed", "heads")),
     (r"attn/wo/kernel(_q)?$", ("layers", "heads", "embed")),
@@ -47,11 +51,9 @@ LLM_RULES = [
     (r"(input_norm|post_attn_norm)/scale$", ("layers", "embed")),
     (r"final_norm/scale$", ("embed",)),
     (r"lm_head/kernel(_q)?$", ("embed", "vocab")),
-    # vision tower: fully REPLICATED (axes None -> P()). ~0.6GB bf16 for
-    # CLIP-L/SigLIP-so400m; replication avoids all-gathers inside the
-    # frozen no-grad tower. Revisit if a tower ever dominates HBM (13B+TP
-    # plans keep this rule unless profiling says otherwise).
-    (r"vision/.*(kernel|embedding)$", None),
+    # (vision replication rationale: ~0.6GB bf16 for CLIP-L/SigLIP;
+    # replication avoids all-gathers inside the frozen no-grad tower.
+    # Revisit if a tower ever dominates HBM.)
     (r"projector/.*kernel$", ("embed", "heads")),
 ]
 
@@ -108,6 +110,32 @@ def pspec_for(
         else:
             spec.append(None)  # indivisible -> replicate this dim
     return P(*spec)
+
+
+def replication_fallbacks(params: Params, mesh: Mesh):
+    """Paths where a sharding rule MATCHED but a dim silently fell back
+    to replication because it does not divide the mesh axis
+    (pspec_for's indivisible->replicate branch). Real-model meshes must
+    return [] — a nonempty result at 7B/13B scale means the FSDP/TP plan
+    is silently replicating a weight it intended to shard. Works on
+    abstract (eval_shape) trees."""
+    out = []
+    for path, leaf in _flatten_with_paths(params):
+        shape = np.shape(leaf) if not hasattr(leaf, "shape") else leaf.shape
+        axes = logical_axes_for_path(path, len(shape))
+        if axes is None:
+            continue
+        for dim, logical in zip(shape, axes):
+            mesh_axis = LOGICAL_TO_MESH.get(logical)
+            if mesh_axis is None:
+                continue
+            n = mesh.shape[mesh_axis]
+            if n > 1 and dim % n != 0:
+                out.append(
+                    f"{path}: dim {dim} (logical {logical!r}) % "
+                    f"{mesh_axis}={n} != 0"
+                )
+    return out
 
 
 def param_pspecs(params: Params, mesh: Mesh) -> Params:

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from halva_tpu.config import LlavaConfig, PRESETS
-from halva_tpu.mm_utils import clip_vit_l_336_processor
+from halva_tpu.mm_utils import processor_for_vision
 from halva_tpu.models import llava
 from halva_tpu.parallel import mesh as mesh_lib
 from halva_tpu.parallel import partition
@@ -105,7 +105,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
             rcfg.data_path,
             rcfg.ref_data_path,
             tokenizer,
-            clip_vit_l_336_processor(),
+            processor_for_vision(cfg.vision),
             image_folder=rcfg.image_folder,
             max_length=rcfg.max_length,
             seed=rcfg.seed,
@@ -238,6 +238,15 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         if micro % rcfg.save_steps == 0:
             mgr.save(micro, trainable, opt_state)
 
+    if micro == 0:
+        raise RuntimeError(
+            "no training steps ran: every batch was dropped or the "
+            "dataset is smaller than one global batch "
+            f"(len(dataset)={len(dataset)}, global_batch={global_batch}). "
+            "Dropped samples usually mean the tokenizer cannot be "
+            "char-aligned (needs byte-fallback pieces or offsets) — see "
+            "train/data.py:token_char_offsets."
+        )
     log0("training done in %.1f min", (time.time() - t_train0) / 60)
     mgr.save(micro, trainable, opt_state)
 
@@ -280,11 +289,15 @@ def main(argv=None):
 
     from transformers import AutoTokenizer
 
-    tok = AutoTokenizer.from_pretrained(
-        os.environ.get("HALVA_TOKENIZER", "lmsys/vicuna-7b-v1.5"),
-        use_fast=False,
-    )
-    tok.pad_token = tok.unk_token
+    tok_path = os.environ.get("HALVA_TOKENIZER", "lmsys/vicuna-7b-v1.5")
+    try:
+        # the reference loads the slow tokenizer (train_halva.py:1103)
+        tok = AutoTokenizer.from_pretrained(tok_path, use_fast=False)
+    except (ImportError, ValueError, OSError):
+        # slow Llama tokenizers need sentencepiece; fall back to the fast
+        # tokenizer (identical ids for Llama vocabularies)
+        tok = AutoTokenizer.from_pretrained(tok_path, use_fast=True)
+    tok.pad_token = tok.unk_token or tok.eos_token
     train(rcfg, tok)
 
 

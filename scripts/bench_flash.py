@@ -1,0 +1,116 @@
+"""Flash-attention kernel micro-benchmark on the current backend.
+
+    python scripts/bench_flash.py [--bwd] [--official]
+
+Times our Pallas kernel (fwd, and fwd+bwd with --bwd) at the training
+shape and optionally the jax.experimental official TPU flash kernel as a
+reference point. Host-readback fenced (axon relay: block_until_ready is
+a no-op).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
+import jax.numpy as jnp
+import numpy as np
+
+
+def flops_causal(b, h, s, d):
+    return 2 * 2 * b * h * s * s * d * 0.5
+
+
+def fence(x):
+    return float(jnp.sum(jax.tree.leaves(x)[0].astype(jnp.float32)))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seq", type=int, default=2048)
+    p.add_argument("--heads", type=int, default=32)
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--block-q", type=int, default=512)
+    p.add_argument("--block-k", type=int, default=256)
+    p.add_argument("--bwd", action="store_true")
+    p.add_argument("--official", action="store_true")
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    from halva_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = args.batch, args.seq, args.heads, args.dim
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.bfloat16)
+    seg = jnp.ones((b, s), jnp.int32)
+    fl = flops_causal(b, h, s, d)
+
+    def run_fwd(q, k, v):
+        return flash_attention(
+            q, k, v, seg, seg, causal=True,
+            block_q=args.block_q, block_k=args.block_k,
+        )
+
+    fn = jax.jit(run_fwd)
+    fence(fn(q, k, v))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fn(q, k, v)
+    fence(out)
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"ours fwd: {dt*1e3:.2f} ms = {fl/dt/1e12:.1f} TF/s "
+          f"(bq={args.block_q} bk={args.block_k})", flush=True)
+
+    if args.bwd:
+        def loss(q, k, v):
+            return jnp.sum(run_fwd(q, k, v).astype(jnp.float32))
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+        fence(g(q, k, v))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = g(q, k, v)
+        fence(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        # bwd recomputes s + two extra matmul pairs ~= 2.5x fwd flops
+        print(f"ours fwd+bwd: {dt*1e3:.2f} ms = {3.5*fl/dt/1e12:.1f} TF/s",
+              flush=True)
+
+    if args.official:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes, flash_attention as jax_fa, SegmentIds,
+        )
+
+        qT = q.transpose(0, 2, 1, 3)
+        kT = k.transpose(0, 2, 1, 3)
+        vT = v.transpose(0, 2, 1, 3)
+        bs = BlockSizes.get_default(b, h, s, s, d)
+
+        def run_off(qT, kT, vT):
+            return jax_fa(
+                qT, kT, vT, None, SegmentIds(seg, seg), causal=True,
+                sm_scale=d**-0.5, block_sizes=bs,
+            )
+
+        fo = jax.jit(run_off)
+        fence(fo(qT, kT, vT))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = fo(qT, kT, vT)
+        fence(out)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"jax official fwd: {dt*1e3:.2f} ms = {fl/dt/1e12:.1f} TF/s",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

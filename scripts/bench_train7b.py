@@ -1,0 +1,193 @@
+"""Flagship-workload benchmark: the FULL llava-7b DPA train step on one
+v5e chip, with the memory recipe that makes it fit, plus a v5e-8
+wall-clock projection vs the reference's 1.5 h on 4xA100
+(/root/reference/README.md:95).
+
+    python scripts/bench_train7b.py [--batch 2 --text-len 512 ...]
+
+Memory recipe (16 GB HBM):
+- int8 base weights (QLoRA-class; reference's bitsandbytes path,
+  train_halva.py:1036-1052), built on HOST and shipped once (~6.9 GB) —
+  bf16 7B weights alone are 13.4 GB, and bf16 LoRA+grads+Adam do not fit
+  beside them on one chip. On a v5e-8 FSDP slice the bf16 recipe shards
+  to ~2.3 GB/chip and is the production configuration.
+- dequant (w8) matmul mode for training — full-precision gradient path;
+  W8A8 stays a serving optimization.
+- bf16 LoRA r=128/alpha=256 on all LLM linears + bf16 Adam moments
+  (~1.9 GB total).
+- TrainConfig.loss_chunk=256: lm_head applied 256 tokens at a time inside
+  a rematerialized scan — never materializes (B, S, 32000) fp32 logits
+  (those alone would be >2 GB/row across the four forwards).
+- remat on the layer scan; frozen reference model = THE SAME int8 base
+  buffers (policy == base + LoRA, so the ref forward reuses the weights;
+  zero extra HBM, replacing the reference's second DeepSpeed engine).
+
+Step anatomy per micro-batch B: pos+neg forward (2B rows, grad),
+policy-on-ref forward (B rows, grad), frozen-ref forward (B rows,
+no grad), backward to LoRA, AdamW.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
+import numpy as np
+import jax.numpy as jnp
+
+from halva_tpu.config import PRESETS
+from halva_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from halva_tpu.ops import quant as quant_lib
+from halva_tpu.train import lora as lora_lib
+from halva_tpu.train import trainer as trainer_lib
+
+# paper workload: ~21.5k contrastive samples, 1 epoch, effective batch 64
+DATA_SAMPLES = 21_500
+EFFECTIVE_BATCH = 64
+A100_REFERENCE_HOURS = 1.5
+
+
+def build_batch(cfg, b, text_len, rng):
+    def grp():
+        ids = rng.randint(5, 30000, (b, text_len)).astype(np.int32)
+        ids[:, 1] = IMAGE_TOKEN_INDEX
+        seg = np.ones((b, text_len), np.int32)
+        lab = ids.copy()
+        lab[:, : text_len // 2] = IGNORE_INDEX
+        sg = np.zeros((b, text_len), np.int32)
+        sg[:, text_len // 2 : text_len // 2 + 3] = 1
+        sg[:, text_len // 2 + 4 : text_len // 2 + 7] = 2
+        return ids, seg, lab, sg
+
+    i1, s1, l1, g1 = grp()
+    i2, s2, l2, g2 = grp()
+    i3, s3, l3, _ = grp()
+    img = cfg.vision.image_size
+    return {
+        k: jnp.asarray(v)
+        for k, v in dict(
+            input_ids=i1, segment_ids=s1, labels=l1, pos_signs=g1,
+            neg_input_ids=i2, neg_segment_ids=s2, neg_labels=l2,
+            neg_signs=g2, ref_input_ids=i3, ref_segment_ids=s3,
+            ref_labels=l3,
+            images=rng.randn(b, 3, img, img).astype(np.float32),
+            ref_images=rng.randn(b, 3, img, img).astype(np.float32),
+        ).items()
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="llava-v1.5-7b")
+    p.add_argument("--batch", type=int, default=2,
+                   help="per-chip micro-batch (v5e-8 dp=8 -> global 16, "
+                        "grad-accum 4 -> effective 64)")
+    p.add_argument("--text-len", type=int, default=512,
+                   help="pre-splice text length; spliced adds 575")
+    p.add_argument("--lora-r", type=int, default=128)
+    p.add_argument("--loss-chunk", type=int, default=256)
+    p.add_argument("--iters", type=int, default=3)
+    args = p.parse_args()
+
+    cfg = PRESETS[args.preset]
+    quant_lib.set_w8a8(False)  # training uses the dequant gradient path
+
+    # int8 base built host-side (see bench.py for the platform rationale)
+    import bench
+
+    params = bench.init_params_host_int8(cfg)
+    params = lora_lib.add_lora(
+        params, jax.random.PRNGKey(1), rank=args.lora_r,
+        alpha=2.0 * args.lora_r,
+    )
+    tcfg = trainer_lib.TrainConfig(
+        grad_accum_steps=1, num_train_steps=400, attn_impl="auto",
+        remat=True, loss_chunk=args.loss_chunk,
+    )
+    trainable, frozen, opt, opt_state = trainer_lib.init_train_state(
+        params, tcfg
+    )
+    # frozen reference model shares the SAME device buffers as the policy
+    # base: combine(None-free frozen) = base tree without LoRA entries
+    ref = jax.tree.map(lambda x: x, frozen)  # same arrays, no copy
+
+    def strip_nones(t):
+        if isinstance(t, dict):
+            return {
+                k: strip_nones(v) for k, v in t.items()
+                if strip_nones(v) is not None
+            }
+        return t
+
+    ref = strip_nones(ref)
+
+    step, _ = trainer_lib.dpa_step_fns(cfg, tcfg, opt)
+    step = jax.jit(step, donate_argnums=(0, 3))
+
+    rng = np.random.RandomState(0)
+    batch = build_batch(cfg, args.batch, args.text_len, rng)
+
+    t0 = time.time()
+    trainable, opt_state, m = step(trainable, frozen, ref, opt_state, batch)
+    first_loss = float(m.loss)  # host readback fence (axon: block_until_ready no-ops)
+    print(f"compile+first: {time.time()-t0:.1f}s loss={first_loss:.4f}",
+          flush=True)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        trainable, opt_state, m = step(
+            trainable, frozen, ref, opt_state, batch
+        )
+    loss = float(m.loss)
+    dt = (time.time() - t0) / args.iters
+
+    # FLOPs: grad rows = 2B (pos/neg) + B (policy-ref) each cost
+    # fwd + dx-bwd + remat-fwd ~= 3x fwd; frozen-ref B rows cost 1x fwd.
+    n_llm = sum(
+        x.size for x in jax.tree.leaves(frozen) if x is not None
+    )
+    spliced = args.text_len + cfg.num_image_tokens - 1
+    b = args.batch
+    tok_grad = 3 * b * spliced
+    tok_fwd = 1 * b * spliced
+    flops = 2 * n_llm * (3 * tok_grad + 1 * tok_fwd)
+    tfs = flops / dt / 1e12
+
+    # v5e-8 projection: dp=8, per-chip micro-batch = args.batch, so one
+    # multi-chip micro-step processes 8x this work at ~this step time
+    # (FSDP all-gathers ride ICI; LoRA grads are tiny reduce-scatters).
+    global_micro = 8 * b
+    micro_steps = DATA_SAMPLES / global_micro
+    hours = micro_steps * dt / 3600
+    out = {
+        "metric": "dpa_7b_train_step",
+        "value": round(dt * 1e3, 1),
+        "unit": "ms/step",
+        "detail": {
+            "preset": args.preset,
+            "recipe": "int8 base + bf16 LoRA r=%d + loss_chunk=%d + remat"
+            % (args.lora_r, args.loss_chunk),
+            "micro_batch": b,
+            "text_len": args.text_len,
+            "spliced_len": spliced,
+            "loss_first": first_loss,
+            "loss_now": loss,
+            "tf_per_sec_rough": round(tfs, 1),
+            "v5e8_projection_hours": round(hours, 2),
+            "a100x4_reference_hours": A100_REFERENCE_HOURS,
+            "projection_note": "21.5k samples / (8 chips x B%d) micro-steps"
+            % b,
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

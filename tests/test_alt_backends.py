@@ -94,7 +94,9 @@ def test_alibi_model_runs_and_bias_is_active(monkeypatch):
     out = np.asarray(llama.forward(params, cfg, jnp.asarray(ids)))
     assert np.isfinite(out).all()
 
-    # zeroing the bias must change the output (bias path is live)
+    # zeroing the bias must change the output (bias path is live).
+    # attention() is module-level jitted, so clear its trace cache or the
+    # patched alibi_bias is never retraced.
     import halva_tpu.ops.attention as attn_mod
 
     real = attn_mod.alibi_bias
@@ -103,7 +105,12 @@ def test_alibi_model_runs_and_bias_is_active(monkeypatch):
         "alibi_bias",
         lambda h, q, k: jnp.zeros_like(real(h, q, k)),
     )
-    out0 = np.asarray(llama.forward(params, cfg, jnp.asarray(ids)))
+    attn_mod.attention.clear_cache()
+    try:
+        out0 = np.asarray(llama.forward(params, cfg, jnp.asarray(ids)))
+    finally:
+        monkeypatch.undo()
+        attn_mod.attention.clear_cache()
     assert np.abs(out - out0).max() > 1e-6
 
 

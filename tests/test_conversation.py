@@ -69,3 +69,71 @@ def test_plain_style():
     t = get_template("plain")
     got = t.render([("", "<image>cap"), ("", "a photo")])
     assert got == "<image>cap\na photo\n"
+
+
+def _load_reference_conversation():
+    """Import the reference's pure-python conversation module directly as
+    a parity oracle (read-only; stdlib-only imports)."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path("/root/reference/llava/conversation.py")
+    if not path.exists():
+        return None
+    spec = importlib.util.spec_from_file_location("ref_conversation", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_all_registry_keys_byte_parity_with_reference():
+    """Every one of the 13 registry keys renders byte-identically to the
+    reference Conversation state machine (llava/conversation.py:361-377),
+    for a full turn, a generation prompt, and a two-turn dialog."""
+    import pytest as _pytest
+
+    ref = _load_reference_conversation()
+    if ref is None:
+        _pytest.skip("reference tree not mounted")
+
+    assert set(conv_templates) == set(ref.conv_templates)
+
+    dialogs = [
+        [("q", "<image>\nWhat is this?"), ("a", "A cat.")],
+        [("q", "Describe the image in detail."), ("a", None)],
+        [("q", "q1"), ("a", "a1"), ("q", "q2"), ("a", None)],
+    ]
+    # the reference PLAIN renderer crashes on a 2nd non-None message
+    # (sep2=None, conversation.py:98); its reachable surface is a single
+    # caption message (+ empty generation slot)
+    plain_dialogs = [
+        [("q", "a photo of a dog\n")],
+        [("q", "caption text"), ("a", None)],
+    ]
+    for key in conv_templates:
+        ours = conv_templates[key]
+        theirs = ref.conv_templates[key]
+        from halva_tpu.conversation import SeparatorStyle
+
+        use = (
+            plain_dialogs
+            if ours.sep_style == SeparatorStyle.PLAIN
+            else dialogs
+        )
+        for dialog in use:
+            conv = theirs.copy()
+            for who, text in dialog:
+                conv.append_message(
+                    conv.roles[0] if who == "q" else conv.roles[1], text
+                )
+            want = conv.get_prompt()
+            got = ours.render(
+                [
+                    (
+                        ours.roles[0] if who == "q" else ours.roles[1],
+                        text,
+                    )
+                    for who, text in dialog
+                ]
+            )
+            assert got == want, (key, dialog, got, want)

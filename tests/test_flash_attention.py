@@ -141,3 +141,84 @@ def test_grads_gqa():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4
         )
+
+
+def test_alibi_in_kernel_matches_reference():
+    """In-kernel ALiBi (the reference Triton kernel's capability,
+    mpt/flash_attn_triton.py) vs the XLA additive-bias path."""
+    from halva_tpu.ops.attention import alibi_bias
+
+    b, s, h, d = 2, 192, 4, 32
+    q, k, v = _rand((b, s, h, d), 11), _rand((b, s, h, d), 12), _rand(
+        (b, s, h, d), 13
+    )
+    seg = np.ones((b, s), np.int32)
+    seg[1, 150:] = 0
+    seg = jnp.asarray(seg)
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+
+    got = flash_attention(q, k, v, seg, seg, causal=True, alibi=True)
+    mask = make_attention_mask(seg, seg, causal=True)
+    want = attention_reference(
+        q, k, v, mask=mask, bias=alibi_bias(h, pos, pos)
+    )
+    m = np.asarray(seg) != 0
+    np.testing.assert_allclose(
+        np.asarray(got)[m], np.asarray(want)[m], atol=3e-5, rtol=3e-5
+    )
+
+
+def test_alibi_grads_match_reference():
+    from halva_tpu.ops.attention import alibi_bias
+
+    b, s, h, d = 1, 128, 4, 16
+    q, k, v = _rand((b, s, h, d), 14), _rand((b, s, h, d), 15), _rand(
+        (b, s, h, d), 16
+    )
+    seg = jnp.ones((b, s), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+
+    def f_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(q, k, v, seg, seg, causal=True, alibi=True)
+        )
+
+    def f_ref(q, k, v):
+        mask = make_attention_mask(seg, seg, causal=True)
+        return jnp.sum(
+            attention_reference(
+                q, k, v, mask=mask, bias=alibi_bias(h, pos, pos)
+            )
+        )
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4
+        )
+
+
+def test_sliding_window_matches_reference():
+    b, s, h, d = 2, 256, 2, 32
+    w = 64
+    q, k, v = _rand((b, s, h, d), 17), _rand((b, s, h, d), 18), _rand(
+        (b, s, h, d), 19
+    )
+    seg = jnp.ones((b, s), jnp.int32)
+    got = flash_attention(
+        q, k, v, seg, seg, causal=True, sliding_window=w
+    )
+    mask = make_attention_mask(seg, seg, causal=True, sliding_window=w)
+    want = attention_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_alibi_non_pow2_heads_rejected():
+    b, s, h, d = 1, 64, 3, 16
+    q = _rand((b, s, h, d), 20)
+    seg = jnp.ones((b, s), jnp.int32)
+    with pytest.raises(ValueError, match="power-of-two"):
+        flash_attention(q, q, q, seg, seg, causal=True, alibi=True)

@@ -34,7 +34,7 @@ def test_int8_dense_close_to_fp():
     w = jax.random.normal(jax.random.PRNGKey(2), (96, 64)) * 0.05
     p = quantize_kernel(w)
     ref = np.asarray(jnp.dot(x, w))
-    got = np.asarray(int8_dense(x, p))
+    got = np.asarray(int8_dense(x, p["kernel_q"], p["kernel_scale"]))
     denom = np.abs(ref).max()
     # two int8 roundings (activation + weight) stack
     assert np.abs(ref - got).max() / denom < 0.05

@@ -122,3 +122,51 @@ def test_sharded_generate_matches_single_device():
         max_new_tokens=5, eos_id=-1, attn_impl="xla",
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_no_silent_replication_at_7b():
+    """Every matched 7B LLM weight must actually shard under the
+    production {data:4, model:2} mesh (VERDICT r1: pspec_for silently
+    replicates indivisible dims)."""
+    import jax
+
+    from halva_tpu.config import LLAVA_V15_7B, LLAVA_V15_13B
+    from halva_tpu.models import llava
+    from halva_tpu.parallel import mesh as mesh_lib
+    from halva_tpu.parallel import partition
+    from halva_tpu.train import lora as lora_lib
+
+    devices = jax.devices()[:8]
+    mesh = mesh_lib.make_mesh(data=4, model=2, devices=devices)
+    for cfg in (LLAVA_V15_7B, LLAVA_V15_13B):
+        abs_params = jax.eval_shape(
+            lambda c=cfg: lora_lib.add_lora(
+                llava.init_params(jax.random.PRNGKey(0), c),
+                jax.random.PRNGKey(1),
+                rank=128,
+            )
+        )
+        bad = partition.replication_fallbacks(abs_params, mesh)
+        assert not bad, bad
+
+
+def test_replication_fallback_detects_indivisible():
+    import jax
+
+    from halva_tpu.config import LlamaConfig
+    from halva_tpu.models import llama
+    from halva_tpu.parallel import mesh as mesh_lib
+    from halva_tpu.parallel import partition
+
+    devices = jax.devices()[:8]
+    mesh = mesh_lib.make_mesh(data=4, model=2, devices=devices)
+    # intermediate 100 % (model=2) == 0 but hidden 50 % (data=4) != 0
+    cfg = LlamaConfig(
+        vocab_size=64, hidden_size=50, intermediate_size=100,
+        num_layers=1, num_heads=2, max_position_embeddings=64,
+    )
+    abs_params = jax.eval_shape(
+        lambda: {"llm": llama.init_params(jax.random.PRNGKey(0), cfg)}
+    )
+    bad = partition.replication_fallbacks(abs_params, mesh)
+    assert bad and any("embed" in b for b in bad)
