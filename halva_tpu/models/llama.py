@@ -54,10 +54,15 @@ def _mlp_act(cfg: "LlamaConfig"):
 def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """y = x @ kernel [+ bias] [+ lora_scale * (x @ lora_a) @ lora_b].
 
-    Kernels may be weight-only int8 (kernel_q + kernel_scale, see
-    halva_tpu.ops.quant) — dequantized on the fly, one layer at a time.
+    Kernels may be weight-only int8 (kernel_q + kernel_scale) or 4-bit
+    NF4 (kernel_q4 + kernel_scale4) — see halva_tpu.ops.quant;
+    dequantized on the fly, one layer at a time.
     """
-    if "kernel_q" in p:
+    if "kernel_q4" in p:
+        from halva_tpu.ops import quant
+
+        y = quant.nf4_dense(x, p["kernel_q4"], p["kernel_scale4"])
+    elif "kernel_q" in p:
         from halva_tpu.ops import quant
 
         if quant.w8a8_enabled():
@@ -65,17 +70,13 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
             # O(in*out) weight convert at all (see quant.int8_dense).
             y = quant.int8_dense(x, p["kernel_q"], p["kernel_scale"])
         else:
-            # weight-dequant fallback. XLA's dequant-then-dot measured
-            # FASTER than a fused Pallas int8 kernel for llava-7b decode
-            # (369 vs 260 tok/s at batch 16): the convert fuses into the
-            # dot's operand pipeline, so the step is VPU-convert-bound
-            # either way and the custom kernel only adds per-block
-            # overhead (ops/int8_matmul.py remains available).
-            w = (
-                p["kernel_q"].astype(x.dtype)
-                * p["kernel_scale"].astype(x.dtype)
-            )
-            y = jnp.dot(x, w)
+            # weight-dequant path with pinned backward orientation (see
+            # quant.w8_dense). XLA's dequant-then-dot measured FASTER
+            # than a fused Pallas int8 kernel for llava-7b decode (369
+            # vs 260 tok/s at batch 16): the convert fuses into the
+            # dot's operand pipeline (ops/int8_matmul.py remains
+            # available).
+            y = quant.w8_dense(x, p["kernel_q"], p["kernel_scale"])
     else:
         y = jnp.dot(x, p["kernel"].astype(x.dtype))
     if "bias" in p:

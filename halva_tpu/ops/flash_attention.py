@@ -125,9 +125,12 @@ def _fwd_kernel(
     if alibi_heads:
         slope = _alibi_slope(pl.program_id(1), alibi_heads)
 
-    def body(ki, carry):
+    total_blocks = kv_len // block_k  # static (kv_len is block-padded)
+
+    def one_block(ki, carry, check_valid=False):
         o_acc, m, l = carry  # (bq, d) f32, (bq, nl) f32, (bq, nl) f32
-        kv_start = ki * block_k
+        ki_read = jnp.minimum(ki, total_blocks - 1) if check_valid else ki
+        kv_start = ki_read * block_k
         k = k_ref[0, 0, pl.ds(kv_start, block_k), :]
         v = v_ref[0, 0, pl.ds(kv_start, block_k), :]
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
@@ -137,6 +140,9 @@ def _fwd_kernel(
         # kv_start); causal is one scalar compare on the precomputed diff
         shift = q_start - kv_start
         mask = (q_seg == kv_seg) & (q_seg != 0)
+        if check_valid:
+            # odd trailing pair element: clamp the read, zero the block
+            mask &= ki < num_kv_blocks
         if causal:
             mask &= diff >= -shift
         if window:
@@ -156,10 +162,21 @@ def _fwd_kernel(
         )
         return o_new, m_new, l_new
 
+    # 2x-unrolled pairs: the second block's QK matmul is independent of
+    # the first block's softmax chain, so Mosaic can overlap MXU and VPU
+    # across the pair. The second element may fall beyond num_kv_blocks
+    # (odd count): its read is clamped in-bounds and its mask zeroed, so
+    # it contributes exp(NEG_INF - m) = 0.
+    def body(ki2, carry):
+        carry = one_block(2 * ki2, carry)
+        return one_block(2 * ki2 + 1, carry, check_valid=True)
+
     o0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, nl), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, nl), jnp.float32)
-    o_acc, m, l = jax.lax.fori_loop(0, num_kv_blocks, body, (o0, m0, l0))
+    o_acc, m, l = jax.lax.fori_loop(
+        0, (num_kv_blocks + 1) // 2, body, (o0, m0, l0)
+    )
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (o_acc / _btile(l_safe, d)).astype(o_ref.dtype)

@@ -39,10 +39,77 @@ def quantize_embedding(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     return {"embedding_q": q, "embedding_scale": scale.astype(jnp.bfloat16)}
 
 
-def quantize_params(params: Params, quantize_embed: bool = True) -> Params:
+# bitsandbytes NF4 code values (QLoRA paper table; the behavioral
+# contract behind the reference's load_in_4bit/quant_type="nf4" path,
+# llava/train/train_halva.py:1036-1052)
+NF4_CODE = (
+    -1.0, -0.6961928009986877, -0.5250730514526367,
+    -0.39491748809814453, -0.28444138169288635, -0.18477343022823334,
+    -0.09105003625154495, 0.0, 0.07958029955625534,
+    0.16093020141124725, 0.24611230194568634, 0.33791524171829224,
+    0.44070982933044434, 0.5626170039176941, 0.7229568362236023, 1.0,
+)
+
+
+def quantize_kernel_nf4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(..., in, out) -> 4-bit NF4 code indices (uint4) + per-output-
+    channel absmax scales. Nearest-code rounding; dequant =
+    NF4_CODE[idx] * scale."""
+    w32 = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)
+    scale = jnp.where(absmax == 0, 1.0, absmax)
+    normed = w32 / scale
+    code = jnp.asarray(NF4_CODE, jnp.float32)
+    idx = jnp.argmin(
+        jnp.abs(normed[..., None] - code), axis=-1
+    ).astype(jnp.uint4)
+    return {"kernel_q4": idx, "kernel_scale4": scale.astype(jnp.bfloat16)}
+
+
+@jax.custom_vjp
+def nf4_dense(x: jnp.ndarray, kernel_q4: jnp.ndarray,
+              kernel_scale4: jnp.ndarray) -> jnp.ndarray:
+    """4-bit NF4 weight-only matmul (QLoRA-class serving/training base).
+    Pinned backward orientation like w8_dense."""
+    w = _nf4_dequant(kernel_q4, kernel_scale4, x.dtype)
+    return jnp.dot(x, w)
+
+
+def _nf4_dequant(idx, scale, dtype):
+    code = jnp.asarray(NF4_CODE, dtype)
+    return jnp.take(code, idx.astype(jnp.int32), axis=0) * scale.astype(
+        dtype
+    )
+
+
+def _nf4_dense_fwd(x, kernel_q4, kernel_scale4):
+    return nf4_dense(x, kernel_q4, kernel_scale4), (
+        kernel_q4, kernel_scale4,
+    )
+
+
+def _nf4_dense_bwd(res, g):
+    kernel_q4, kernel_scale4 = res
+    w = _nf4_dequant(kernel_q4, kernel_scale4, g.dtype)
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    )
+    return dx, None, None
+
+
+nf4_dense.defvjp(_nf4_dense_fwd, _nf4_dense_bwd)
+
+
+def quantize_params(
+    params: Params, quantize_embed: bool = True, bits: int = 8
+) -> Params:
     """Rewrite every dense kernel (and optionally the embed table) into
-    int8 form. LoRA factors stay in their original dtype (they are tiny
-    and train in bf16/fp32)."""
+    int8 (bits=8) or NF4 (bits=4) form. LoRA factors stay in their
+    original dtype (they are tiny and train in bf16/fp32). The embed
+    table stays int8 even at bits=4 (NF4 gather quality on the embedding
+    is poor and the table is small next to the mlps)."""
+    assert bits in (4, 8), bits
+    qk = quantize_kernel_nf4 if bits == 4 else quantize_kernel
 
     def rewrite(node):
         if not isinstance(node, dict):
@@ -51,7 +118,7 @@ def quantize_params(params: Params, quantize_embed: bool = True) -> Params:
             return node
         if "kernel" in node and node["kernel"].ndim in (2, 3):
             out = {k: v for k, v in node.items() if k != "kernel"}
-            out.update(quantize_kernel(node["kernel"]))
+            out.update(qk(node["kernel"]))
             return out
         if (
             "embedding" in node
@@ -209,6 +276,41 @@ def _int8_dense_bwd(res, g):
 
 
 int8_dense.defvjp(_int8_dense_fwd, _int8_dense_bwd)
+
+
+@jax.custom_vjp
+def w8_dense(x: jnp.ndarray, kernel_q: jnp.ndarray,
+             kernel_scale: jnp.ndarray) -> jnp.ndarray:
+    """Weight-dequant int8 matmul with a PINNED backward orientation.
+
+    Mathematically identical to `x @ (kernel_q * kernel_scale)`, but the
+    custom vjp computes dx by contracting the OUTPUT dim of the raw int8
+    kernel (dot_general ((g.last), (w.dim1))) instead of differentiating
+    through the dequant matmul. Without this, XLA hoists TRANSPOSED int8
+    copies of every stacked weight out of the layer scan for the
+    backward dots — +5.8 GB of loop-invariant temps at 7B (measured:
+    s8[32,4096,4096]{1,2,0} x3 etc. in the OOM breakdown, 2026-08-16),
+    which is the difference between fitting and not fitting the QLoRA
+    recipe on a 16 GB chip.
+    """
+    w = kernel_q.astype(x.dtype) * kernel_scale.astype(x.dtype)
+    return jnp.dot(x, w)
+
+
+def _w8_dense_fwd(x, kernel_q, kernel_scale):
+    return w8_dense(x, kernel_q, kernel_scale), (kernel_q, kernel_scale)
+
+
+def _w8_dense_bwd(res, g):
+    kernel_q, kernel_scale = res
+    w = kernel_q.astype(g.dtype) * kernel_scale.astype(g.dtype)
+    dx = jax.lax.dot_general(
+        g, w, (((g.ndim - 1,), (1,)), ((), ()))
+    )
+    return dx, None, None
+
+
+w8_dense.defvjp(_w8_dense_fwd, _w8_dense_bwd)
 
 
 _W8A8 = None  # tri-state: None = read env once, else bool

@@ -40,9 +40,14 @@ LLM_TARGETS = (
 
 def _iter_dense(params: Params, prefix: str = ""):
     """Yield (path, dense_param_dict) for every dict holding a 'kernel'
-    (bf16/fp32) or 'kernel_q' (int8 — the QLoRA-class base)."""
+    (bf16/fp32), 'kernel_q' (int8) or 'kernel_q4' (NF4) — the latter two
+    are QLoRA-class bases."""
     if isinstance(params, dict):
-        if "kernel" in params or "kernel_q" in params:
+        if (
+            "kernel" in params
+            or "kernel_q" in params
+            or "kernel_q4" in params
+        ):
             yield prefix.rstrip("/"), params
             return
         for k, v in params.items():
@@ -69,11 +74,13 @@ def add_lora(
     for path, p in _iter_dense(params):
         if not any(re.search(t, path) for t in targets):
             continue
-        kern = p.get("kernel", p.get("kernel_q"))
-        # int8 base (QLoRA-class, train_halva.py:1036-1052): adapters
+        kern = p.get("kernel", p.get("kernel_q", p.get("kernel_q4")))
+        # int8/NF4 base (QLoRA-class, train_halva.py:1036-1052): adapters
         # train in bf16 on top of the frozen quantized kernel
         dt = dtype or (
-            jnp.bfloat16 if kern.dtype == jnp.int8 else kern.dtype
+            jnp.bfloat16
+            if kern.dtype in (jnp.int8, jnp.uint4)
+            else kern.dtype
         )
         *lead, d_in, d_out = kern.shape
         key, k1 = jax.random.split(key)

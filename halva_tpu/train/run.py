@@ -63,6 +63,13 @@ class RunConfig:
     mesh_model: int = 1
     resume: bool = True
     metrics_path: Optional[str] = None
+    # VILA-variant knobs (train/vila.py; reference vila/train/
+    # train_halva.py:340-346 component flags + builder.py:43-51 RoPE ext)
+    tune_language_model: bool = False
+    tune_vision_tower: bool = False
+    tune_mm_projector: bool = False
+    model_max_length: Optional[int] = None  # RoPE linear ctx extension
+    save_component_dirs: bool = False  # llm/ vision_tower/ mm_projector/
 
 
 def build_models(rcfg: RunConfig, cfg: LlavaConfig):
@@ -95,6 +102,16 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         raise ValueError(
             f"unknown LLaVA preset {rcfg.model!r}; choose one of "
             f"{llava_presets}"
+        )
+
+    if rcfg.model_max_length:
+        from halva_tpu.train import vila as vila_lib
+
+        cfg = dataclasses.replace(
+            cfg,
+            llm=vila_lib.context_length_extension(
+                cfg.llm, rcfg.model_max_length
+            ),
         )
 
     mesh = mesh_lib.make_mesh(data=rcfg.mesh_data, model=rcfg.mesh_model)
@@ -132,20 +149,43 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         num_train_steps=num_opt_steps,
     )
 
-    policy, ref_params = build_models(rcfg, cfg)
+    policy, _base = build_models(rcfg, cfg)
+    extra_trainable = []
+    if rcfg.tune_language_model:
+        extra_trainable.append(r"^llm/")
+    if rcfg.tune_vision_tower:
+        extra_trainable.append(r"^vision/")
+    if rcfg.tune_mm_projector:
+        extra_trainable.append(r"^projector/")
     trainable, frozen, optimizer, opt_state = trainer_lib.init_train_state(
-        policy, tcfg
+        policy, tcfg, extra_trainable=tuple(extra_trainable)
     )
     # place on mesh
     shard = lambda t: jax.tree.map(
         jax.device_put, t, partition.param_shardings(t, mesh)
     )
-    trainable, frozen, ref_params = (
-        shard(trainable),
-        shard(frozen),
-        shard(ref_params),
-    )
+    trainable, frozen = shard(trainable), shard(frozen)
     opt_state = shard(opt_state)
+    # the frozen reference model is DERIVED from `frozen` inside the step
+    # (trainer.ref_model_tree) — no second 13GB tree on device. Trainable
+    # components beyond LoRA need their ORIGINAL copies overlaid; snapshot
+    # the initial (sharded) arrays — functional updates never mutate them.
+    initial = trainer_lib.combine_params(trainable, frozen)
+
+    def snapshot(t):
+        # REAL copies: trainable buffers are donated to the step, and an
+        # aliased second use raises `f(donate(a), a)` at execute time
+        return jax.tree.map(jnp.copy, t)
+
+    ref_overrides = {}
+    if rcfg.mm_projector_lr or rcfg.tune_mm_projector:
+        ref_overrides["projector"] = snapshot(initial["projector"])
+    if rcfg.tune_vision_tower:
+        ref_overrides["vision"] = snapshot(initial["vision"])
+    if rcfg.tune_language_model:
+        ref_overrides["llm"] = snapshot(initial["llm"])
+    ref_params = ref_overrides or None
+    del initial, _base
 
     step_fn, _ = trainer_lib.dpa_step_fns(cfg, tcfg, optimizer)
     step_fn = jax.jit(step_fn, donate_argnums=(0, 3))
@@ -257,6 +297,14 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         os.path.join(rcfg.output_dir, "adapter.npz"), adapter
     )
     log0("saved adapter with %d tensors", len(adapter))
+    if rcfg.save_component_dirs:
+        from halva_tpu.train import vila as vila_lib
+
+        vila_lib.save_components(
+            os.path.join(rcfg.output_dir, "components"), final
+        )
+        log0("saved per-component checkpoints (llm/vision_tower/"
+             "mm_projector)")
     metrics.close()
     mgr.close()
     return final
@@ -273,6 +321,7 @@ def main(argv=None):
         "mm_projector_lr": float,
         "per_device_batch": int, "grad_accum_steps": int, "lora_r": int,
         "max_length": int, "seed": int, "save_steps": int, "max_steps": int,
+        "model_max_length": int,
         "log_every": int, "mesh_data": int, "mesh_model": int,
     }
     for f in dataclasses.fields(RunConfig):

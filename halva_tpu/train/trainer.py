@@ -82,6 +82,49 @@ def combine_params(train: Params, frozen: Params) -> Params:
     )
 
 
+def ref_model_tree(frozen: Params, overrides: Optional[Params]) -> Params:
+    """The frozen REFERENCE model derived from the policy's frozen
+    sub-tree: strip the None placeholders (LoRA factors and any tuned
+    components), overlay `overrides` (original copies of components that
+    ARE trainable, e.g. the initial projector under mm_projector_lr).
+
+    Rationale: under the default LoRA recipe the reference model IS the
+    policy base, so passing a second full param tree to jit makes the
+    compile-time HBM accounting count the 7B weights twice (measured:
+    the llava-7b step 'used' 17.7G of which ~7G was the aliased ref
+    arg) — deriving it from `frozen` inside the jitted step costs zero
+    extra parameters. This replaces the reference's second DeepSpeed
+    engine (_prepare_deepspeed, halva_trainer.py:231-259).
+    """
+
+    def strip(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                sv = strip(v)
+                if sv is not None:
+                    out[k] = sv
+            return out or None
+        if isinstance(node, (list, tuple)):
+            vals = [strip(v) for v in node]
+            if any(v is None for v in vals):
+                return None  # partially-trainable list: needs an override
+            return type(node)(vals)
+        return node
+
+    ref = strip(frozen) or {}
+    if overrides:
+        for k, v in overrides.items():
+            ref[k] = v
+    for comp in ("llm", "vision", "projector"):
+        if comp not in ref:
+            raise ValueError(
+                f"reference model is missing {comp!r}: component is "
+                "trainable, so pass its original copy via ref overrides"
+            )
+    return ref
+
+
 # --------------------------------------------------------------------------
 # Optimizer
 # --------------------------------------------------------------------------
@@ -294,9 +337,11 @@ def dpa_step_fns(
 
     def train_step(trainable, frozen, ref_params, opt_state, batch):
         # frozen reference model forward — independent of the trainable
-        # leaves, computed once outside the grad
+        # leaves, computed once outside the grad. ref_params may be None
+        # (derive fully from `frozen` — the zero-copy default), a partial
+        # overrides dict, or a full tree (legacy; see ref_model_tree)
         frozen_ref_out, ref_labels_spliced = ref_forward(
-            ref_params, batch
+            ref_model_tree(frozen, ref_params), batch
         )
         frozen_ref_out = jax.lax.stop_gradient(frozen_ref_out)
 
@@ -320,7 +365,7 @@ def dpa_step_fns(
 
     def eval_loss(trainable, frozen, ref_params, batch):
         frozen_ref_out, ref_labels_spliced = ref_forward(
-            ref_params, batch
+            ref_model_tree(frozen, ref_params), batch
         )
         loss, parts = loss_fn(
             trainable,

@@ -130,3 +130,34 @@ VILA_13B_RECIPE = dict(
     warmup_ratio=0.03,
     epochs=1,
 )
+
+
+def main(argv=None):
+    """Dedicated VILA-HALVA train CLI (the reference train_halva_vila.py
+    entry): the shared DPA loop with the published VILA-13B/384 recipe
+    defaults — SigLIP-384 tower + mlp_downsample projector preset,
+    alpha=0.2, lr=2.5e-5, RoPE extension to 4096, tune_mm_projector,
+    per-component checkpoint export. Any flag can be overridden."""
+    from halva_tpu.train import run as run_lib
+
+    defaults = {
+        "--model": "vila-13b-384",
+        "--loss-alpha": "0.2",
+        "--learning-rate": "2.5e-5",
+        "--max-length": "4096",
+        "--model-max-length": "4096",
+        "--tune-mm-projector": "true",
+        "--save-component-dirs": "true",
+        "--output-dir": "out/halva-vila",
+    }
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    for flag, value in defaults.items():
+        if flag not in argv:
+            argv += [flag, value]
+    run_lib.main(argv)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,19 +114,11 @@ def main():
     trainable, frozen, opt, opt_state = trainer_lib.init_train_state(
         params, tcfg
     )
-    # frozen reference model shares the SAME device buffers as the policy
-    # base: combine(None-free frozen) = base tree without LoRA entries
-    ref = jax.tree.map(lambda x: x, frozen)  # same arrays, no copy
-
-    def strip_nones(t):
-        if isinstance(t, dict):
-            return {
-                k: strip_nones(v) for k, v in t.items()
-                if strip_nones(v) is not None
-            }
-        return t
-
-    ref = strip_nones(ref)
+    # ref_params=None: the frozen reference model is DERIVED from
+    # `frozen` inside the jitted step (trainer.ref_model_tree) — passing
+    # the base tree as a second jit argument made the compile-time HBM
+    # accounting count the 7B weights twice (measured +7G, OOM)
+    ref = None
 
     step, _ = trainer_lib.dpa_step_fns(cfg, tcfg, opt)
     step = jax.jit(step, donate_argnums=(0, 3))

@@ -104,3 +104,123 @@ def test_quantized_memory_is_smaller():
         return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(t))
 
     assert nbytes(q) < 0.5 * nbytes(params)
+
+
+def test_nf4_roundtrip_and_dense():
+    from halva_tpu.ops.quant import (
+        NF4_CODE, nf4_dense, quantize_kernel_nf4,
+    )
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (96, 64)) * 0.08
+    q = quantize_kernel_nf4(w)
+    assert q["kernel_q4"].dtype == jnp.uint4
+    # nearest-code property: normalized error bounded by half the largest
+    # code gap times the channel absmax
+    code = np.asarray(NF4_CODE)
+    max_gap = np.max(np.diff(code)) / 2
+    absmax = np.max(np.abs(np.asarray(w)), axis=0)
+    deq = np.asarray(
+        jnp.take(jnp.asarray(code), q["kernel_q4"].astype(jnp.int32),
+                 axis=0)
+        * q["kernel_scale4"].astype(jnp.float32)
+    )
+    # + 1% absmax slack: kernel_scale4 is stored bf16 (~0.4% wobble)
+    assert (
+        np.abs(deq - np.asarray(w)) <= (max_gap + 0.01) * absmax + 1e-6
+    ).all()
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (4, 96), jnp.float32)
+    ref = np.asarray(jnp.dot(x, jnp.asarray(deq)))
+    got = np.asarray(nf4_dense(x, q["kernel_q4"], q["kernel_scale4"]))
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-2)
+
+    # pinned-bwd gradient equals the dequant-matmul gradient
+    g = jax.grad(
+        lambda x: nf4_dense(x, q["kernel_q4"], q["kernel_scale4"]).sum()
+    )(x)
+    gref = jax.grad(lambda x: (x @ jnp.asarray(deq)).sum())(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=1e-4)
+
+
+def test_nf4_model_logits_track():
+    cfg = LLAMA_TINY
+    params = llama.init_params(jax.random.PRNGKey(0), cfg)
+    q4 = quantize_params(params, bits=4)
+    ids = np.random.RandomState(0).randint(0, 200, (2, 12))
+    full = np.asarray(
+        llama.forward(params, cfg, jnp.asarray(ids), attn_impl="xla")
+    )
+    quant4 = np.asarray(
+        llama.forward(q4, cfg, jnp.asarray(ids), attn_impl="xla")
+    )
+    denom = np.abs(full).max()
+    # 4-bit tracks more loosely than int8 but must stay sane
+    assert np.abs(full - quant4).max() / denom < 0.35
+    agree = (full.argmax(-1) == quant4.argmax(-1)).mean()
+    assert agree > 0.5
+
+
+def test_nf4_memory_is_quarter():
+    params = llama.init_params(jax.random.PRNGKey(0), LLAMA_TINY)
+    q4 = quantize_params(params, bits=4, quantize_embed=False)
+
+    def nbytes(t):
+        total = 0
+        for x in jax.tree.leaves(t):
+            bits = 4 if x.dtype == jnp.uint4 else x.dtype.itemsize * 8
+            total += x.size * bits / 8
+        return total
+
+    base = nbytes(
+        {"layers": params["layers"]}
+    )
+    quant = nbytes({"layers": q4["layers"]})
+    assert quant < 0.35 * base
+
+
+def test_nf4_lora_training_step():
+    """QLoRA-4bit: LoRA trains on an NF4 base through the STE-free
+    pinned-bwd path."""
+    from halva_tpu.train import lora as lora_lib
+
+    cfg = LLAMA_TINY
+    params = quantize_params(
+        llama.init_params(jax.random.PRNGKey(0), cfg), bits=4,
+    )
+    params = lora_lib.add_lora(
+        params, jax.random.PRNGKey(1), rank=4, alpha=8.0,
+        targets=lora_lib.LLM_TARGETS,
+    )
+    ids = np.random.RandomState(0).randint(0, 200, (2, 10))
+
+    def loss(lora_tree):
+        merged = jax.tree.map(lambda x: x, params)
+        # graft lora leaves back (same structure)
+        def rec(dst, src):
+            for k, v in src.items():
+                if isinstance(v, dict):
+                    rec(dst[k], v)
+                else:
+                    dst[k] = v
+        rec(merged, lora_tree)
+        logits = llama.forward(
+            merged, cfg, jnp.asarray(ids), attn_impl="xla"
+        )
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    lora_only = {
+        "layers": {
+            "attn": {
+                w: {
+                    k: params["layers"]["attn"][w][k]
+                    for k in ("lora_a", "lora_b", "lora_scale")
+                }
+                for w in ("wq", "wk", "wv", "wo")
+            }
+        }
+    }
+    grads = jax.grad(loss)(lora_only)
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+    )
+    assert np.isfinite(gnorm) and gnorm > 0

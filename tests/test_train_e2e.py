@@ -200,3 +200,74 @@ def test_train_resume(tmp_path):
     # immediately (step counter already at the end)
     final = train(rcfg, tok, dataset=ds)
     assert final is not None
+
+
+def test_vila_train_e2e_components_and_ctx_extension(tmp_path):
+    """The dedicated VILA surface end-to-end through the shared loop:
+    tune_mm_projector trains the projector (not just LoRA),
+    model_max_length applies RoPE linear scaling, and per-component
+    checkpoints (llm/ vision_tower/ mm_projector/) are exported
+    (reference train_halva_vila.py + vila/model/llava_arch.py:138-182)."""
+    import numpy as _np
+
+    from halva_tpu.train import vila as vila_lib
+
+    data_path, ref_path, img_dir = _make_data(
+        tmp_path, tags=("closed", "open")
+    )
+    tok = SPTok()
+    proc = ImageProcessor(size=28, crop_size=28)
+    ds = HallDataset(
+        data_path, ref_path, tok, proc, image_folder=img_dir,
+        max_length=128,
+    )
+    rcfg = RunConfig(
+        model="llava-tiny",
+        output_dir=str(tmp_path / "vila_out"),
+        data_path=data_path,
+        ref_data_path=ref_path,
+        image_folder=img_dir,
+        epochs=1.0,
+        per_device_batch=1,
+        grad_accum_steps=1,
+        learning_rate=1e-3,
+        lora_r=4,
+        max_length=128,
+        mesh_data=8,
+        tune_mm_projector=True,
+        model_max_length=1024,  # > LLAMA_TINY max_position_embeddings
+        save_component_dirs=True,
+        resume=False,
+    )
+    # snapshot the random-init projector to prove it trains
+    from halva_tpu.config import PRESETS
+    from halva_tpu.models import llava as llava_lib
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    before = llava_lib.init_params(
+        _jax.random.PRNGKey(0), PRESETS["llava-tiny"], _jnp.bfloat16
+    )["projector"]
+    final = train(rcfg, tok, dataset=ds)
+    after = final["projector"]
+    diffs = [
+        float(_np.abs(_np.asarray(a, _np.float32)
+                      - _np.asarray(b, _np.float32)).max())
+        for a, b in zip(
+            _jax.tree.leaves(before), _jax.tree.leaves(after)
+        )
+    ]
+    assert max(diffs) > 0, "projector did not train under tune_mm_projector"
+
+    comp = tmp_path / "vila_out" / "components"
+    assert (comp / "llm").is_dir()
+    assert (comp / "vision_tower").is_dir()
+    assert (comp / "mm_projector").is_dir()
+
+    # round-trip the component checkpoint
+    loaded = vila_lib.load_components(str(comp), like=final)
+    got = _np.asarray(
+        _jax.tree.leaves(loaded["projector"])[0], _np.float32
+    )
+    want = _np.asarray(_jax.tree.leaves(after)[0], _np.float32)
+    _np.testing.assert_allclose(got, want)
