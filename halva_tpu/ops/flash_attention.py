@@ -39,6 +39,8 @@ DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 256
 NEG_INF = -1e30
 NUM_LANES = 128
+LOG2E = 1.4426950408889634  # softmax runs in exp2 domain (cheaper on VPU)
+LN2 = 0.6931471805599453
 
 
 def _lanes(bk: int) -> int:
@@ -84,6 +86,7 @@ def _fwd_kernel(
     v_ref,
     qseg_ref,  # (1, 1, bq)
     kvseg_ref,  # (1, 1, Skv)
+    qoff_ref,  # (1, 1) int32 SMEM — global offset of q row 0 (context parallelism)
     o_ref,  # (1, 1, bq, D)
     lse_ref,  # (1, 1, 1, bq)
     *,
@@ -97,7 +100,7 @@ def _fwd_kernel(
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
     qi = pl.program_id(2)
-    q_start = qi * bq
+    q_start = qi * bq + qoff_ref[0, 0]
     nl = _lanes(block_k)
 
     # matmuls run in the input dtype (bf16 -> MXU native) with fp32
@@ -123,9 +126,15 @@ def _fwd_kernel(
         )
 
     if alibi_heads:
-        slope = _alibi_slope(pl.program_id(1), alibi_heads)
+        slope = _alibi_slope(pl.program_id(1), alibi_heads) * LOG2E
 
     total_blocks = kv_len // block_k  # static (kv_len is block-padded)
+
+    # softmax in exp2 domain: exp(x) = exp2(x * log2e); log2e folds into
+    # the QK scale (and the ALiBi slope) so the inner loop's
+    # transcendentals are raw exp2 — the VPU exponential primitive —
+    # instead of exp (= extra multiply per element per block)
+    scale2 = scale * LOG2E
 
     def one_block(ki, carry, check_valid=False):
         o_acc, m, l = carry  # (bq, d) f32, (bq, nl) f32, (bq, nl) f32
@@ -135,7 +144,7 @@ def _fwd_kernel(
         v = v_ref[0, 0, pl.ds(kv_start, block_k), :]
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale2
         # absolute row-col distance for this block = diff + (q_start -
         # kv_start); causal is one scalar compare on the precomputed diff
         shift = q_start - kv_start
@@ -154,8 +163,8 @@ def _fwd_kernel(
 
         m_curr = jnp.max(s, axis=1)[:, None]  # (bq, 1)
         m_new = jnp.maximum(m, m_curr)  # (bq, nl)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - _btile(m_new, block_k))
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - _btile(m_new, block_k))
         l_new = l * alpha + jnp.sum(p, axis=1)[:, None]
         o_new = o_acc * _btile(alpha, d) + jnp.dot(
             p.astype(v.dtype), v, preferred_element_type=jnp.float32
@@ -180,7 +189,8 @@ def _fwd_kernel(
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0, 0] = (o_acc / _btile(l_safe, d)).astype(o_ref.dtype)
-    lse_ref[0, 0, 0] = m[:, 0] + jnp.log(l_safe[:, 0])
+    # m is in exp2 domain; emit the natural-log LSE the backward expects
+    lse_ref[0, 0, 0] = m[:, 0] * LN2 + jnp.log(l_safe[:, 0])
 
 
 def _bwd_dq_kernel(
@@ -189,6 +199,7 @@ def _bwd_dq_kernel(
     v_ref,
     qseg_ref,
     kvseg_ref,
+    qoff_ref,  # (1, 1) int32 SMEM
     do_ref,  # (1, 1, bq, D)
     lse_ref,  # (1, 1, 1, bq)
     delta_ref,  # (1, 1, 1, bq)
@@ -204,7 +215,7 @@ def _bwd_dq_kernel(
     bq = q_ref.shape[2]
     d = q_ref.shape[3]
     qi = pl.program_id(2)
-    q_start = qi * bq
+    q_start = qi * bq + qoff_ref[0, 0]
 
     q = q_ref[0, 0]
     do = do_ref[0, 0]
@@ -221,7 +232,10 @@ def _bwd_dq_kernel(
             num_kv_blocks, (q_start + bq + block_k - 1) // block_k
         )
     if alibi_heads:
-        slope = _alibi_slope(pl.program_id(1), alibi_heads)
+        slope = _alibi_slope(pl.program_id(1), alibi_heads) * LOG2E
+
+    scale2 = scale * LOG2E  # exp2-domain probabilities (see _fwd_kernel)
+    lse2 = lse * LOG2E
 
     def body(ki, dq):
         kv_start = ki * block_k
@@ -229,7 +243,7 @@ def _bwd_dq_kernel(
         v = v_ref[0, 0, pl.ds(kv_start, block_k), :]
         kv_seg = kvseg_ref[0, 0, pl.ds(kv_start, block_k)][None, :]
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale2
         shift = q_start - kv_start
         mask = (q_seg == kv_seg) & (q_seg != 0)
         if causal:
@@ -238,7 +252,7 @@ def _bwd_dq_kernel(
             mask &= diff < (window - shift)
         if alibi_heads:
             s = s - slope * (diff + shift).astype(jnp.float32)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        p = jnp.where(mask, jnp.exp2(s - lse2), 0.0)
         dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
         ds = (p * (dp - delta) * scale).astype(k.dtype)
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
@@ -254,6 +268,7 @@ def _bwd_dkv_kernel(
     v_ref,  # (1, 1, bk, D)
     qseg_ref,  # (1, 1, Sq)
     kvseg_ref,  # (1, 1, bk)
+    qoff_ref,  # (1, 1) int32 SMEM
     do_ref,  # (1, 1, Sq, D)
     lse_ref,  # (1, 1, 1, Sq)
     delta_ref,  # (1, 1, 1, Sq)
@@ -271,6 +286,7 @@ def _bwd_dkv_kernel(
     d = k_ref.shape[3]
     ki = pl.program_id(2)
     kv_start = ki * bk
+    q_off = qoff_ref[0, 0]
 
     k = k_ref[0, 0]
     v = v_ref[0, 0]
@@ -282,22 +298,26 @@ def _bwd_dkv_kernel(
     num_q_blocks = pl.cdiv(q_len, block_q)
     q_block_lo = 0
     if causal:
-        # first q block that can see this kv block
-        q_block_lo = kv_start // block_q
+        # first (local) q block that can see this kv block; with a
+        # context-parallel q offset the kv column is at global kv_start
+        # while local q row i sits at global q_off + i
+        q_block_lo = jnp.maximum(kv_start - q_off, 0) // block_q
     if alibi_heads:
-        slope = _alibi_slope(pl.program_id(1), alibi_heads)
+        slope = _alibi_slope(pl.program_id(1), alibi_heads) * LOG2E
+
+    scale2 = scale * LOG2E  # exp2-domain probabilities (see _fwd_kernel)
 
     def body(qi, carry):
         dk, dv = carry
-        q_start = qi * block_q
+        q_start = qi * block_q  # local (slicing) index
         q = q_ref[0, 0, pl.ds(q_start, block_q), :]
         do = do_ref[0, 0, pl.ds(q_start, block_q), :]
         lse = lse_ref[0, 0, 0, pl.ds(q_start, block_q)][:, None]
         delta = delta_ref[0, 0, 0, pl.ds(q_start, block_q)][:, None]
         q_seg = qseg_ref[0, 0, pl.ds(q_start, block_q)][:, None]
 
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        shift = q_start - kv_start
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale2
+        shift = q_start + q_off - kv_start  # global row-col shift
         mask = (q_seg == kv_seg) & (q_seg != 0)
         if causal:
             mask &= diff >= -shift
@@ -305,7 +325,7 @@ def _bwd_dkv_kernel(
             mask &= diff < (window - shift)
         if alibi_heads:
             s = s - slope * (diff + shift).astype(jnp.float32)
-        p = jnp.where(mask, jnp.exp(s - lse), 0.0)
+        p = jnp.where(mask, jnp.exp2(s - lse * LOG2E), 0.0)
         dv_new = dv + jnp.dot(
             p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
         )
@@ -332,7 +352,7 @@ def _pad_to(x, axis, mult):
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10)
+    jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11)
 )
 def _flash(
     q,  # (B, H, Sq, D)
@@ -340,6 +360,7 @@ def _flash(
     v,
     q_seg,  # (B, Sq)
     kv_seg,  # (B, Skv)
+    q_off,  # (1, 1) int32 — global position of q row 0 (context parallelism)
     causal: bool,
     scale: float,
     block_q: int,
@@ -348,7 +369,7 @@ def _flash(
     window: int,
 ):
     o, _ = _flash_fwd_impl(
-        q, k, v, q_seg, kv_seg, causal, scale, block_q, block_k,
+        q, k, v, q_seg, kv_seg, q_off, causal, scale, block_q, block_k,
         alibi_heads, window,
     )
     return o
@@ -372,6 +393,7 @@ def _specs_fwd(b, h, kvh, sq, skv, d, bq, interp):
             ),
             pl.BlockSpec((1, 1, bq), lambda bi, hi, qi: (bi, 0, qi)),
             pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         interpret=interp,
     )
@@ -382,7 +404,7 @@ def _interp() -> bool:
 
 
 def _flash_fwd_impl(
-    q, k, v, q_seg, kv_seg, causal, scale, bq, bk,
+    q, k, v, q_seg, kv_seg, q_off, causal, scale, bq, bk,
     alibi_heads=0, window=0,
 ):
     b, h, sq, d = q.shape
@@ -411,22 +433,24 @@ def _flash_fwd_impl(
             pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
         ),
         **specs,
-    )(qp, kp, vp, qsp, kvsp)
+    )(qp, kp, vp, qsp, kvsp, q_off)
     lse = lse[:, :, 0, :sq]
-    return o[:, :, :sq], (q, k, v, q_seg, kv_seg, o[:, :, :sq], lse)
+    return o[:, :, :sq], (q, k, v, q_seg, kv_seg, q_off, o[:, :, :sq], lse)
 
 
 def _flash_fwd(
-    q, k, v, q_seg, kv_seg, causal, scale, bq, bk, alibi_heads, window
+    q, k, v, q_seg, kv_seg, q_off, causal, scale, bq, bk, alibi_heads,
+    window,
 ):
     o, res = _flash_fwd_impl(
-        q, k, v, q_seg, kv_seg, causal, scale, bq, bk, alibi_heads, window
+        q, k, v, q_seg, kv_seg, q_off, causal, scale, bq, bk, alibi_heads,
+        window,
     )
     return o, res
 
 
 def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
-    q, k, v, q_seg, kv_seg, o, lse = res
+    q, k, v, q_seg, kv_seg, q_off, o, lse = res
     b, h, sq, d = q.shape
     kvh, skv = k.shape[1], k.shape[2]
     group = h // kvh
@@ -465,6 +489,7 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
             ),
             pl.BlockSpec((1, 1, bq), lambda bi, hi, qi: (bi, 0, qi)),
             pl.BlockSpec((1, 1, skv_p), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
             pl.BlockSpec((1, 1, 1, bq), lambda bi, hi, qi: (bi, hi, 0, qi)),
@@ -474,7 +499,7 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
             (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)
         ),
         interpret=interp,
-    )(qp, kp, vp, qsp, kvsp, dop, lsep, deltap)[:, :, :sq]
+    )(qp, kp, vp, qsp, kvsp, q_off, dop, lsep, deltap)[:, :, :sq]
 
     # ---- dk, dv ---- (accumulated per query-head, summed over groups after)
     dkv_kernel = functools.partial(
@@ -494,6 +519,7 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
             ),
             pl.BlockSpec((1, 1, sq_p), lambda bi, hi, ki: (bi, 0, 0)),
             pl.BlockSpec((1, 1, bk), lambda bi, hi, ki: (bi, 0, ki)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, sq_p, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, 1, sq_p), lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, 1, sq_p), lambda bi, hi, ki: (bi, hi, 0, 0)),
@@ -507,7 +533,7 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
             pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki: (bi, hi, ki, 0)),
         ),
         interpret=interp,
-    )(qp, kp, vp, qsp, kvsp, dop, lsep, deltap)
+    )(qp, kp, vp, qsp, kvsp, q_off, dop, lsep, deltap)
 
     dk_h = dk_h[:, :, :skv]
     dv_h = dv_h[:, :, :skv]
@@ -521,6 +547,7 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
         dq.astype(q.dtype),
         dk.astype(k.dtype),
         dv.astype(v.dtype),
+        None,
         None,
         None,
     )
@@ -541,6 +568,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     alibi: bool = False,
     sliding_window: Optional[int] = None,
+    q_offset=None,  # traced scalar int32, or None
 ) -> jnp.ndarray:
     """Public entry; layout matches halva_tpu.ops.attention.
 
@@ -549,6 +577,11 @@ def flash_attention(
     power-of-two-heads formula — callers with non-pow2 heads should use
     the XLA reference path). sliding_window: Mistral-style local
     attention width, masked in-kernel.
+
+    q_offset: global position of q row 0 (context parallelism: each
+    device holds an Sq-shard of queries against the full gathered KV;
+    causal / window / ALiBi terms use global row indices). May be a
+    traced scalar (e.g. lax.axis_index * shard_len inside shard_map).
     """
     d = q.shape[-1]
     if scale is None:
@@ -564,12 +597,16 @@ def flash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
+    q_off = jnp.reshape(
+        jnp.asarray(0 if q_offset is None else q_offset, jnp.int32), (1, 1)
+    )
     o = _flash(
         qt,
         kt,
         vt,
         q_segment_ids,
         kv_segment_ids,
+        q_off,
         causal,
         float(scale),
         block_q,
