@@ -49,6 +49,7 @@ class RunConfig:
     grad_accum_steps: int = 4
     learning_rate: float = 5e-6
     mm_projector_lr: Optional[float] = None
+    optim: str = "adamw"  # adamw | adamw8bit (bnb Adam8bit equivalent)
     loss_alpha: float = 0.4
     lora_r: int = 128
     lora_alpha: float = 256.0
@@ -142,6 +143,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     tcfg = trainer_lib.TrainConfig(
         learning_rate=rcfg.learning_rate,
         mm_projector_lr=rcfg.mm_projector_lr,
+        optim=rcfg.optim,
         warmup_ratio=rcfg.warmup_ratio,
         weight_decay=rcfg.weight_decay,
         loss_alpha=rcfg.loss_alpha,

@@ -46,6 +46,9 @@ class TrainConfig:
     adam_eps: float = 1e-8
     max_grad_norm: float = 1.0
     lr_schedule: str = "cosine"  # cosine | linear | constant
+    # adamw | adamw8bit (block-quantized moments — the reference's
+    # bitsandbytes adamw_bnb_8bit option, halva_trainer.py:349-361)
+    optim: str = "adamw"
     loss_alpha: float = 0.4
     grad_accum_steps: int = 4
     num_train_steps: int = 1000
@@ -157,12 +160,23 @@ def make_optimizer(
     lr when mm_projector_lr is set (reference create_optimizer param
     groups, halva_trainer.py:276-363)."""
 
+    def scale_by_moments():
+        if tcfg.optim == "adamw8bit":
+            from halva_tpu.train.optim8bit import scale_by_adam8bit
+
+            return scale_by_adam8bit(
+                b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps
+            )
+        if tcfg.optim != "adamw":
+            raise ValueError(f"unknown optim {tcfg.optim!r}")
+        return optax.scale_by_adam(
+            b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps
+        )
+
     def adamw(lr):
         return optax.chain(
             optax.clip_by_global_norm(tcfg.max_grad_norm),
-            optax.scale_by_adam(
-                b1=tcfg.adam_b1, b2=tcfg.adam_b2, eps=tcfg.adam_eps
-            ),
+            scale_by_moments(),
             optax.add_decayed_weights(tcfg.weight_decay),
             optax.scale_by_schedule(lr_schedule(tcfg, lr)),
             optax.scale(-1.0),
