@@ -385,12 +385,14 @@ def forward(
 def init_gen_cache(
     cfg: LlamaConfig, batch: int, max_new: int, dtype=jnp.bfloat16
 ) -> Params:
-    shape = (cfg.num_layers, batch, max_new, cfg.kv_heads, cfg.head_size)
+    """Head-major (L, B, KVH, Sg, Dh), matching the prompt cache (see
+    prefill) so the fused decode kernel consumes both uniformly."""
+    shape = (cfg.num_layers, batch, cfg.kv_heads, max_new, cfg.head_size)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 def _quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(B, S, KVH, Dh) -> int8 values + per-(token, head) bf16 scales.
+    """(..., Dh) -> int8 values + per-leading-dims bf16 scales.
 
     Symmetric absmax over the head dim; scales fold into the (tiny)
     attention logits / probabilities at decode time (_decode_attend), so
@@ -400,7 +402,7 @@ def _quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     absmax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)
     scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
     q = jnp.clip(jnp.round(t32 / scale), -127, 127).astype(jnp.int8)
-    return q, scale[..., 0].astype(jnp.bfloat16)  # (B, S, KVH)
+    return q, scale[..., 0].astype(jnp.bfloat16)
 
 
 def prefill(
@@ -415,10 +417,17 @@ def prefill(
 ) -> Tuple[jnp.ndarray, Params]:
     """Full-sequence forward producing the prompt KV cache.
 
-    Returns (final hidden states, prompt cache {k,v}: (L, B, S, KVH, Dh)).
+    Returns (final hidden states, prompt cache {k,v}: HEAD-MAJOR
+    (L, B, KVH, S, Dh)). Head-major is the layout the fused decode
+    kernel wants (ops/decode_attention.py): per-head sequence blocks
+    are contiguous and batched dots need no in-kernel transpose
+    (measured 3.2 ms -> ~0.2 ms per layer-call at b24). The layout is
+    PRODUCED here, so XLA never inserts a global relayout copy (the
+    round-1 failure mode of relayouting an existing seq-major cache).
     Prompts are right-padded; padding keys carry segment id 0 so decode
     steps never attend to them. With quantize_cache the prompt cache is
-    int8 with per-(token, head) scales ({k,v} int8 + {k_scale,v_scale}).
+    int8 with per-(token, head) scales ({k,v} int8 + {k_scale,v_scale}
+    (L, B, KVH, S)).
     """
     b, s, d = inputs_embeds.shape
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
@@ -444,11 +453,13 @@ def prefill(
             x = x + dense(gated, mp["down"])
         else:
             x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
+        kh = k.transpose(0, 2, 1, 3)  # (B, KVH, S, Dh) head-major
+        vh = v.transpose(0, 2, 1, 3)
         if quantize_cache:
-            kq, ks = _quantize_kv(k)
-            vq, vs = _quantize_kv(v)
+            kq, ks = _quantize_kv(kh)
+            vq, vs = _quantize_kv(vh)
             return x, (kq, vq, ks, vs)
-        return x, (k.astype(cache_dtype), v.astype(cache_dtype))
+        return x, (kh.astype(cache_dtype), vh.astype(cache_dtype))
 
     x, cache_out = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
     hidden = _norm(cfg, x, params["final_norm"]["scale"])
@@ -463,18 +474,23 @@ def prefill(
     else:
         k_all, v_all = cache_out
         cache = {"k": k_all, "v": v_all}
+    # NOTE: on single-chip TPU the caller (ops/generate.py) pins these
+    # outputs to row-major via jit out_shardings — XLA's layout
+    # assignment otherwise picks a permuted physical layout for the
+    # head-major int8 cache and the decode program pays a whole-cache
+    # relayout copy (measured compile OOM, 16.97/15.75G at b24)
     return hidden, cache
 
 
 def _decode_attend(
     q: jnp.ndarray,  # (B, 1, H, Dh)
-    kp: jnp.ndarray,  # (B, Sp, KVH, Dh) prompt keys (bf16 or int8)
+    kp: jnp.ndarray,  # (B, KVH, Sp, Dh) HEAD-MAJOR prompt keys (bf16/int8)
     vp: jnp.ndarray,
-    kg: jnp.ndarray,  # (B, Sg, KVH, Dh) generated keys
+    kg: jnp.ndarray,  # (B, KVH, Sg, Dh) HEAD-MAJOR generated keys
     vg: jnp.ndarray,
     prompt_seg: jnp.ndarray,  # (B, Sp) 0 = invalid
     gen_valid: jnp.ndarray,  # (B, Sg) bool
-    kp_scale: Optional[jnp.ndarray] = None,  # (B, Sp, KVH) int8-KV scales
+    kp_scale: Optional[jnp.ndarray] = None,  # (B, KVH, Sp) int8-KV scales
     vp_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Single-query attention over split prompt/generated caches with one
@@ -483,9 +499,14 @@ def _decode_attend(
     GQA runs grouped: q is folded to (B, KVH, G, Dh) and contracted
     against the raw KV-head caches — no jnp.repeat materialization, so
     decode KV traffic is the true KVH-sized cache for Mistral/Gemma-class
-    checkpoints (for MHA, G == 1 and the shapes are unchanged)."""
+    checkpoints (for MHA, G == 1 and the shapes are unchanged).
+
+    This XLA body is the numerics oracle for the fused Pallas kernel
+    (ops/decode_attention.py, dispatched in decode_step) and the
+    GQA/CPU fallback."""
     b, _, h, dh = q.shape
-    kvh = kp.shape[2]
+    kvh = kp.shape[1]
+    sp = kp.shape[2]
     g = h // kvh
     scale = dh**-0.5
     q3 = q[:, 0].reshape(b, kvh, g, dh)  # head-major groups
@@ -493,27 +514,23 @@ def _decode_attend(
     # fuses into the dot's operand pipeline); per-(token, head) scales
     # fold into the TINY logits / probability tensors instead of a
     # materialized dequantized KV copy.
-    lp = jnp.einsum("bngd,bknd->bngk", q3, kp.astype(q3.dtype),
+    lp = jnp.einsum("bngd,bnkd->bngk", q3, kp.astype(q3.dtype),
                     preferred_element_type=jnp.float32) * scale
     if kp_scale is not None:
-        lp = lp * kp_scale.astype(jnp.float32).transpose(0, 2, 1)[
-            :, :, None, :
-        ]
-    lg = jnp.einsum("bngd,bknd->bngk", q3, kg,
+        lp = lp * kp_scale.astype(jnp.float32)[:, :, None, :]
+    lg = jnp.einsum("bngd,bnkd->bngk", q3, kg,
                     preferred_element_type=jnp.float32) * scale
     lp = jnp.where(prompt_seg[:, None, None, :] != 0, lp, -1e30)
     lg = jnp.where(gen_valid[:, None, None, :], lg, -1e30)
     logits = jnp.concatenate([lp, lg], axis=-1)
     probs = jax.nn.softmax(logits, axis=-1)
-    pp, pg = probs[..., : kp.shape[1]], probs[..., kp.shape[1]:]
+    pp, pg = probs[..., :sp], probs[..., sp:]
     if vp_scale is not None:
-        pp = pp * vp_scale.astype(jnp.float32).transpose(0, 2, 1)[
-            :, :, None, :
-        ]
-    out = jnp.einsum("bngk,bknd->bngd", pp.astype(q3.dtype),
+        pp = pp * vp_scale.astype(jnp.float32)[:, :, None, :]
+    out = jnp.einsum("bngk,bnkd->bngd", pp.astype(q3.dtype),
                      vp.astype(q3.dtype),
                      preferred_element_type=jnp.float32)
-    out = out + jnp.einsum("bngk,bknd->bngd", pg.astype(q3.dtype), vg,
+    out = out + jnp.einsum("bngk,bnkd->bngd", pg.astype(q3.dtype), vg,
                            preferred_element_type=jnp.float32)
     return out.reshape(b, 1, h, dh).astype(q.dtype)
 
@@ -523,17 +540,27 @@ def decode_step(
     cfg: LlamaConfig,
     token_embeds: jnp.ndarray,  # (B, 1, D)
     positions: jnp.ndarray,  # (B,) absolute position of this token
-    prompt_cache: Params,  # read-only {k,v}: (L, B, Sp, KVH, Dh)
+    prompt_cache: Params,  # read-only {k,v}: (L, B, KVH, Sp, Dh) head-major
     prompt_seg: jnp.ndarray,  # (B, Sp) 0 = padding
     gen_cache: Params,  # carried {k,v}: (L, B, Sg, KVH, Dh)
     step: jnp.ndarray,  # () int32 decode step (gen slot to write)
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over the split cache: returns (fp32 logits (B, V),
     updated gen cache). The new token is written at gen slot `step`
-    (lockstep across rows); its RoPE position is per-row `positions`."""
+    (lockstep across rows); its RoPE position is per-row `positions`.
+
+    On TPU, MHA dispatches to the fused Pallas kernel
+    (ops/decode_attention.py:decode_attend_layer), passing the WHOLE
+    stacked caches with the layer index as a scalar-prefetch argument —
+    a per-layer XLA dynamic-slice cannot fuse into a Pallas custom call
+    and materialized 96MB copies per layer (measured +16 ms/step at
+    llava-7b b24). The XLA oracle (_decode_attend) remains the GQA/CPU
+    path; set HALVA_DECODE_ATTN=xla to force it on TPU."""
+    import os
+
     b = token_embeds.shape[0]
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
-    sg = gen_cache["k"].shape[2]
+    sg = gen_cache["k"].shape[3]
     cos, sin = rope_cos_sin(
         positions[:, None], cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
@@ -542,14 +569,14 @@ def decode_step(
     ) & jnp.ones((b, 1), bool)
 
     quantized = "k_scale" in prompt_cache
+    fused = (
+        kvh == h_
+        and jax.default_backend() == "tpu"
+        and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
+    )
 
-    def scan_fn(carry, inputs):
+    def scan_fn(carry, layer_params):
         x, kg_full, vg_full, li = carry
-        if quantized:
-            layer_params, kp, vp, kps, vps = inputs
-        else:
-            layer_params, kp, vp = inputs
-            kps = vps = None
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = _norm(cfg, x, layer_params["input_norm"]["scale"])
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
@@ -558,32 +585,52 @@ def decode_step(
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        kg = jax.lax.dynamic_index_in_dim(kg_full, li, 0, False)
-        vg = jax.lax.dynamic_index_in_dim(vg_full, li, 0, False)
-        kg = jax.lax.dynamic_update_slice(
-            kg, k.astype(kg.dtype), (0, step, 0, 0)
-        )
-        vg = jax.lax.dynamic_update_slice(
-            vg, v.astype(vg.dtype), (0, step, 0, 0)
-        )
+        # write the new KV at (layer li, gen slot `step`), head-major
+        k_hm = k.transpose(0, 2, 1, 3).astype(kg_full.dtype)  # (B,KVH,1,D)
+        v_hm = v.transpose(0, 2, 1, 3).astype(vg_full.dtype)
         kg_full = jax.lax.dynamic_update_slice(
-            kg_full, kg[None], (li, 0, 0, 0, 0)
+            kg_full, k_hm[None], (li, 0, 0, step, 0)
         )
         vg_full = jax.lax.dynamic_update_slice(
-            vg_full, vg[None], (li, 0, 0, 0, 0)
+            vg_full, v_hm[None], (li, 0, 0, step, 0)
         )
 
-        attn_out = _decode_attend(
-            q,
-            kp,
-            vp,
-            kg.astype(q.dtype),
-            vg.astype(q.dtype),
-            prompt_seg,
-            gen_valid,
-            kp_scale=kps,
-            vp_scale=vps,
-        )
+        if fused:
+            from halva_tpu.ops.decode_attention import decode_attend_layer
+
+            attn_out = decode_attend_layer(
+                q, prompt_cache, prompt_seg,
+                kg_full.astype(q.dtype), vg_full.astype(q.dtype),
+                gen_valid, li,
+            )
+        else:
+            kp = jax.lax.dynamic_index_in_dim(
+                prompt_cache["k"], li, 0, False
+            )
+            vp = jax.lax.dynamic_index_in_dim(
+                prompt_cache["v"], li, 0, False
+            )
+            kps = vps = None
+            if quantized:
+                kps = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["k_scale"], li, 0, False
+                )
+                vps = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["v_scale"], li, 0, False
+                )
+            kg = jax.lax.dynamic_index_in_dim(kg_full, li, 0, False)
+            vg = jax.lax.dynamic_index_in_dim(vg_full, li, 0, False)
+            attn_out = _decode_attend(
+                q,
+                kp,
+                vp,
+                kg.astype(q.dtype),
+                vg.astype(q.dtype),
+                prompt_seg,
+                gen_valid,
+                kp_scale=kps,
+                vp_scale=vps,
+            )
         x = x + dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"])
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
         if cfg.gated_mlp:
@@ -593,20 +640,10 @@ def decode_step(
             x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
         return (x, kg_full, vg_full, li + 1), None
 
-    if quantized:
-        xs = (
-            params["layers"],
-            prompt_cache["k"],
-            prompt_cache["v"],
-            prompt_cache["k_scale"],
-            prompt_cache["v_scale"],
-        )
-    else:
-        xs = (params["layers"], prompt_cache["k"], prompt_cache["v"])
     (x, new_kg, new_vg, _), _ = jax.lax.scan(
         scan_fn,
         (token_embeds, gen_cache["k"], gen_cache["v"], jnp.int32(0)),
-        xs,
+        params["layers"],
     )
     hidden = _norm(cfg, x, params["final_norm"]["scale"])
     logits = lm_logits(params, cfg, hidden)[:, 0]

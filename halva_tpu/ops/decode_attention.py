@@ -1,0 +1,267 @@
+"""Pallas decode attention over the full stacked (L-layer) KV caches.
+
+Why a kernel: measured on v5e (scripts/profile_decode.py, llava-7b b24
+Sp=623 int8 KV), the XLA decode step spent ~17.7 ms/step in attention
+against a ~4 ms HBM floor — XLA materializes bf16 dequant copies of the
+int8 prompt cache every step. A first kernel over per-layer cache
+slices still paid ~16 ms/step in XLA `dynamic-slice` copies: a Pallas
+custom call cannot fuse with the slice that feeds it, so every layer's
+(B,H,Sp,D) slice materialized. This version eliminates the slices too:
+the kernel takes the WHOLE stacked (L,B,H,Sp,D) caches and indexes the
+layer dimension inside the BlockSpec index maps via a scalar-prefetch
+layer index — blocks DMA straight from the big HBM arrays.
+
+Cache layouts are HEAD-MAJOR ((L,B,H,S,D), produced by
+models/llama.py:prefill / init_gen_cache): per-head sequence blocks are
+DMA-contiguous and Mosaic's batched dots need batch dims at position 0
+(an in-kernel transpose of seq-major blocks measured 3.2 ms/layer).
+The (tiny) generated cache is attended in the same kernel on the last
+grid step, and the merged, normalized output is written directly.
+
+int8 dequant happens in-register on the VMEM-resident block; the
+per-(head, token) scales multiply the logits/probabilities exactly like
+the XLA oracle (models/llama.py:_decode_attend), so numerics match.
+
+MHA only (q heads == kv heads — llava-7b/13b); GQA callers use the XLA
+path (models/llama.py dispatches).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LOG2E = 1.4426950408889634
+DEFAULT_BLOCK_K = 512
+
+
+def _interp() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _decode_kernel(
+    li_ref,  # (1,) int32 scalar prefetch — layer index
+    q_ref,  # (1, H, D) bf16
+    kp_ref,  # (1, 1, H, bk, D) int8|bf16 block of (L, B, H, Sp, D)
+    vp_ref,
+    seg_ref,  # (1, 1, bk) int32 block of (B, 1, Sp)
+    ks_ref,  # (1, 1, H, bk) bf16 block of (L, B, H, Sp); dummy if !quant
+    vs_ref,
+    kg_ref,  # (1, 1, H, Sg, D) bf16 block of (L, B, H, Sg, D)
+    vg_ref,
+    gv_ref,  # (1, 1, Sg) int32 block of (B, 1, Sg)
+    o_ref,  # (1, H, D)
+    acc_s,  # (H, D) f32 scratch
+    m_s,  # (H, L) f32 scratch (lane-replicated)
+    l_s,  # (H, L) f32 scratch
+    *,
+    scale: float,
+    quantized: bool,
+    nblocks: int,
+    sp: int,
+    block_k: int,
+    lanes: int,
+):
+    del li_ref  # consumed by the index maps
+    ki = pl.program_id(1)
+    h, d = q_ref.shape[1], q_ref.shape[2]
+    bk = kp_ref.shape[3]
+    sg = kg_ref.shape[3]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_s[...] = jnp.zeros((h, d), jnp.float32)
+        # finite init below any real logit: a fully-masked block then
+        # yields p = exp2(NEG_INF - (-1e29)) = 0, not exp2(0) = 1
+        m_s[...] = jnp.full((h, lanes), -1e29, jnp.float32)
+        l_s[...] = jnp.zeros((h, lanes), jnp.float32)
+
+    q = q_ref[0]  # (H, D)
+    kt = kp_ref[0, 0].astype(q.dtype)  # (H, bk, D), convert in-register
+    vt = vp_ref[0, 0].astype(q.dtype)
+
+    # batched matvec: batch over heads, contract D -> (H, bk). Mosaic
+    # requires a non-empty lhs non-contracting set (the singleton M dim)
+    # and batch dims at the same operand positions.
+    lp = jax.lax.dot_general(
+        q[:, None, :],  # (H, 1, D)
+        kt,
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]  # (H, bk)
+    if quantized:
+        lp = lp * ks_ref[0, 0].astype(jnp.float32)  # per-(head, token)
+    lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
+
+    # the last block may read past Sp (Sp need not divide block_k):
+    # mask by absolute column AND segment id; use select (not add) so
+    # inf/NaN garbage in the out-of-bounds tail cannot leak through
+    col_ok = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + ki * block_k
+        < sp
+    )
+    mask = col_ok & (seg_ref[0] != 0)  # (1, bk)
+    lp = jnp.where(mask, lp, NEG_INF)
+
+    m_prev = m_s[...]
+    l_prev = l_s[...]
+    m_cur = jnp.max(lp, axis=1, keepdims=True)  # (H, 1)
+    m_new = jnp.maximum(m_prev, m_cur)  # (H, L)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (h, bk)))
+    if quantized:
+        # vp scales may be garbage past Sp; p is 0 there, but 0*NaN=NaN
+        pv = jnp.where(mask, p * vs_ref[0, 0].astype(jnp.float32), 0.0)
+    else:
+        pv = p
+        vt = jnp.where(mask[0][:, None], vt, jnp.zeros_like(vt))
+    l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+    m_s[...] = m_new
+
+    step_acc = jax.lax.dot_general(
+        pv.astype(q.dtype)[:, None, :],  # (H, 1, bk)
+        vt,
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]  # (H, D)
+    acc_s[...] = acc_s[...] * jnp.broadcast_to(
+        alpha[:, :1], (h, d)
+    ) + step_acc
+
+    @pl.when(ki == nblocks - 1)
+    def _gen_and_finalize():
+        kgt = kg_ref[0, 0]  # (H, Sg, D) bf16
+        vgt = vg_ref[0, 0]
+        lg = jax.lax.dot_general(
+            q[:, None, :],
+            kgt,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :] * (scale * LOG2E)  # (H, Sg)
+        lg = jnp.where(gv_ref[0] != 0, lg, NEG_INF)
+        m_prev2 = m_s[...]
+        l_prev2 = l_s[...]
+        m_cur2 = jnp.max(lg, axis=1, keepdims=True)
+        m_fin = jnp.maximum(m_prev2, m_cur2)
+        alpha2 = jnp.exp2(m_prev2 - m_fin)
+        pg = jnp.exp2(lg - jnp.broadcast_to(m_fin[:, :1], (h, sg)))
+        l_fin = l_prev2 * alpha2 + jnp.sum(pg, axis=1, keepdims=True)
+        acc_fin = acc_s[...] * jnp.broadcast_to(
+            alpha2[:, :1], (h, d)
+        ) + jax.lax.dot_general(
+            pg.astype(q.dtype)[:, None, :],
+            vgt,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]
+        l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+        o_ref[0] = (
+            acc_fin / jnp.broadcast_to(l_safe[:, :1], (h, d))
+        ).astype(o_ref.dtype)
+
+
+def decode_attend_layer(
+    q: jnp.ndarray,  # (B, 1, H, Dh)
+    prompt_cache,  # {k, v: (L, B, H, Sp, Dh) int8|bf16,
+    #                [k_scale, v_scale: (L, B, H, Sp) bf16]}
+    prompt_seg: jnp.ndarray,  # (B, Sp)
+    gen_k: jnp.ndarray,  # (L, B, H, Sg, Dh) bf16
+    gen_v: jnp.ndarray,
+    gen_valid: jnp.ndarray,  # (B, Sg) bool
+    layer: jnp.ndarray,  # () int32 — which layer's cache slice to use
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """One decode-attention layer over the stacked caches, merged prompt
+    + generated softmax, normalized output (B, 1, H, Dh). The layer
+    index rides a scalar-prefetch argument into the BlockSpec index
+    maps, so no per-layer XLA slice of the caches is ever materialized
+    (a 96MB copy per layer per step at llava-7b b24)."""
+    kp = prompt_cache["k"]
+    L, b, h, sp, d = kp.shape
+    sg = gen_k.shape[3]
+    dh = q.shape[3]
+    assert h == q.shape[2], "fused decode attention is MHA-only"
+    scale = dh**-0.5
+    lanes = 128
+    bk = min(block_k, max(128, sp))
+    nb = pl.cdiv(sp, bk)
+
+    quantized = "k_scale" in prompt_cache
+    # NOTE: scalar-prefetch refs arrive AFTER the grid indices in
+    # index_map signatures: (bi, ki, li_ref)
+    if quantized:
+        ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
+        s_spec = pl.BlockSpec(
+            (1, 1, h, bk), lambda bi, ki, li: (li[0], bi, 0, ki)
+        )
+    else:
+        ks = jnp.ones((1, 1, h, 1), jnp.bfloat16)
+        vs = ks
+        s_spec = pl.BlockSpec(
+            (1, 1, h, 1), lambda bi, ki, li: (0, 0, 0, 0)
+        )
+
+    kernel = functools.partial(
+        _decode_kernel,
+        scale=scale,
+        quantized=quantized,
+        nblocks=nb,
+        sp=sp,
+        block_k=bk,
+        lanes=lanes,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((1, h, d), lambda bi, ki, li: (bi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, h, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, h, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
+            ),
+            pl.BlockSpec((1, 1, bk), lambda bi, ki, li: (bi, 0, ki)),
+            s_spec,
+            s_spec,
+            pl.BlockSpec(
+                (1, 1, h, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, h, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
+            ),
+            pl.BlockSpec((1, 1, sg), lambda bi, ki, li: (bi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, d), lambda bi, ki, li: (bi, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, d), jnp.float32),
+            pltpu.VMEM((h, lanes), jnp.float32),
+            pltpu.VMEM((h, lanes), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        interpret=_interp(),
+    )(
+        jnp.reshape(layer.astype(jnp.int32), (1,)),
+        q[:, 0],
+        kp,
+        prompt_cache["v"],
+        prompt_seg.astype(jnp.int32)[:, None, :],
+        ks,
+        vs,
+        gen_k,
+        gen_v,
+        gen_valid.astype(jnp.int32)[:, None, :],
+    )
+    return out[:, None]  # (B, 1, H, D)

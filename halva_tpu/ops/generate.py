@@ -44,11 +44,7 @@ class GenState(NamedTuple):
     gen_cache: Params  # (L, B, max_new, KVH, Dh) generated-token KV
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "attn_impl", "kv_quant"),
-)
-def _prefill_phase(
+def _prefill_impl(
     params: Params,
     cfg: LlavaConfig,
     input_ids: jnp.ndarray,
@@ -92,6 +88,68 @@ def _prefill_phase(
     return first_tok, first_logits, spliced_len, prompt_cache, sp.segment_ids
 
 
+def _pin_row_major() -> bool:
+    """Single-chip TPU serving: pin the prompt cache to row-major at the
+    prefill->decode program boundary. XLA's layout assignment otherwise
+    prefers a permuted physical layout for the head-major int8 cache
+    (623 pads to 640 under int8 tiling; the permutation avoids that),
+    and the two programs then disagree: the decode program materializes
+    a whole-cache relayout copy that broke donation aliasing and pushed
+    llava-7b b24 decode 1.23GB over HBM (measured compile OOM)."""
+    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+
+
+def _row_major_formats(tree):
+    from jax.experimental import layout as layout_lib
+    from jax.sharding import SingleDeviceSharding
+
+    dev = jax.devices()[0]
+
+    def leaf(l):
+        return layout_lib.Format(
+            layout_lib.Layout(major_to_minor=tuple(range(l.ndim))),
+            SingleDeviceSharding(dev),
+        )
+
+    return jax.tree.map(leaf, tree)
+
+
+_PREFILL_JITS: Dict[Any, Any] = {}
+
+
+def _prefill_phase(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,
+    images: jnp.ndarray,
+    prompt_lengths: jnp.ndarray,
+    max_new_tokens: int,
+    attn_impl: str,
+    kv_quant: bool = False,
+):
+    pin = _pin_row_major()
+    key = (
+        cfg, max_new_tokens, attn_impl, kv_quant,
+        input_ids.shape, images.shape, pin,
+    )
+    fn = _PREFILL_JITS.get(key)
+    if fn is None:
+        def impl(p, ids, im, lens):
+            return _prefill_impl(
+                p, cfg, ids, im, lens, max_new_tokens, attn_impl, kv_quant
+            )
+        if pin:
+            outs = jax.eval_shape(
+                impl, params, input_ids, images, prompt_lengths
+            )
+            out_fmt = (None, None, None, _row_major_formats(outs[3]), None)
+            fn = jax.jit(impl, out_shardings=out_fmt)
+        else:
+            fn = jax.jit(impl)
+        _PREFILL_JITS[key] = fn
+    return fn(params, input_ids, images, prompt_lengths)
+
+
 def _select_token(logits, temperature, top_p, key):
     """Greedy (temperature==0) or nucleus sampling (reference generate
     surface: --temperature/--top_p, model_vqa_loader.py:106-108)."""
@@ -111,16 +169,7 @@ def _select_token(logits, temperature, top_p, key):
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("cfg", "max_new_tokens", "eos_id", "temperature",
-                     "top_p"),
-    # donate the prompt cache: if the decode program wants a different
-    # device layout than prefill produced, XLA relayouts IN PLACE instead
-    # of holding a second 5GB copy
-    donate_argnums=(4,),
-)
-def _decode_phase(
+def _decode_impl(
     params: Params,
     cfg: LlavaConfig,
     first_tok: jnp.ndarray,
@@ -194,6 +243,50 @@ def _decode_phase(
         axis=1,
     )
     return final.tokens, num
+
+
+_DECODE_JITS: Dict[Any, Any] = {}
+
+
+def _decode_phase(
+    params: Params,
+    cfg: LlavaConfig,
+    first_tok: jnp.ndarray,
+    spliced_len: jnp.ndarray,
+    prompt_cache: Params,
+    prompt_seg: jnp.ndarray,
+    max_new_tokens: int,
+    eos_id: int,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
+):
+    pin = _pin_row_major()
+    key = (
+        cfg, max_new_tokens, eos_id, temperature, top_p,
+        first_tok.shape, prompt_seg.shape,
+        "k_scale" in prompt_cache, pin, rng is None,
+    )
+    fn = _DECODE_JITS.get(key)
+    if fn is None:
+        def impl(p, ft, sl, pc, ps, r):
+            return _decode_impl(
+                p, cfg, ft, sl, pc, ps, max_new_tokens, eos_id,
+                temperature, top_p, r,
+            )
+
+        kw = {}
+        if pin:
+            # pin the donated prompt cache to the exact (row-major)
+            # format prefill emits: same layout -> donation aliases in
+            # place, no whole-cache relayout copy inside the program
+            kw["in_shardings"] = (
+                None, None, None, _row_major_formats(prompt_cache),
+                None, None,
+            )
+        fn = jax.jit(impl, donate_argnums=(3,), **kw)
+        _DECODE_JITS[key] = fn
+    return fn(params, first_tok, spliced_len, prompt_cache, prompt_seg, rng)
 
 
 def generate(

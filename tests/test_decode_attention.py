@@ -1,0 +1,121 @@
+"""Fused Pallas decode attention (ops/decode_attention.py) vs the XLA
+oracle (models/llama.py:_decode_attend), interpret mode on CPU: bf16 and
+int8-quantized stacked prompt caches, layer-index scalar prefetch,
+non-block-aligned Sp, padded prompts, partially-filled generated cache."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.models.llama import _decode_attend, _quantize_kv
+from halva_tpu.ops.decode_attention import decode_attend_layer
+
+
+def _setup(seed=0, layers=3, b=2, sp=300, h=8, d=64, sg=16):
+    rng = np.random.RandomState(seed)
+
+    def t(*shape):
+        return jnp.asarray(rng.randn(*shape), jnp.float32).astype(
+            jnp.bfloat16
+        )
+
+    q = t(b, 1, h, d)
+    # stacked head-major caches (L, B, H, S, D), as prefill/init_gen emit
+    kp, vp = t(layers, b, h, sp, d), t(layers, b, h, sp, d)
+    kg, vg = t(layers, b, h, sg, d), t(layers, b, h, sg, d)
+    seg = np.ones((b, sp), np.int32)
+    seg[0, 250:] = 0
+    seg[1, 100:] = 0
+    seg = jnp.asarray(seg)
+    gv = jnp.asarray(
+        np.arange(sg)[None, :] <= np.array([3, 7, 0])[:b, None]
+    )
+    return q, kp, vp, kg, vg, seg, gv
+
+
+def _oracle(q, kp, vp, kg, vg, seg, gv, li, quant):
+    kpl, vpl, kgl, vgl = kp[li], vp[li], kg[li], vg[li]
+    if quant:
+        kq, ks = _quantize_kv(kpl)
+        vq, vs = _quantize_kv(vpl)
+        return _decode_attend(
+            q, kq, vq, kgl, vgl, seg, gv, kp_scale=ks, vp_scale=vs
+        )
+    return _decode_attend(q, kpl, vpl, kgl, vgl, seg, gv)
+
+
+def _assert_close(got, want, atol=6e-3):
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(want, np.float32),
+        atol=atol,
+    )
+
+
+def test_fused_matches_oracle_bf16_every_layer():
+    q, kp, vp, kg, vg, seg, gv = _setup()
+    cache = {"k": kp, "v": vp}
+    for li in range(kp.shape[0]):
+        got = decode_attend_layer(
+            q, cache, seg, kg, vg, gv, jnp.int32(li)
+        )
+        want = _oracle(q, kp, vp, kg, vg, seg, gv, li, quant=False)
+        _assert_close(got, want)
+
+
+def test_fused_matches_oracle_int8():
+    q, kp, vp, kg, vg, seg, gv = _setup(seed=1)
+    kq, ks = _quantize_kv(kp)
+    vq, vs = _quantize_kv(vp)
+    cache = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+    for li in (0, 2):
+        got = decode_attend_layer(
+            q, cache, seg, kg, vg, gv, jnp.int32(li)
+        )
+        want = _decode_attend(
+            q, kq[li], vq[li], kg[li], vg[li], seg, gv,
+            kp_scale=ks[li], vp_scale=vs[li],
+        )
+        _assert_close(got, want)
+
+
+def test_fused_non_aligned_and_short_prompt():
+    """Sp below one block, at a block multiple, and non-128-aligned."""
+    for sp in (130, 256, 300):
+        q, kp, vp, kg, vg, seg, gv = _setup(seed=2, sp=sp, layers=2)
+        got = decode_attend_layer(
+            q, {"k": kp, "v": vp}, seg, kg, vg, gv, jnp.int32(1)
+        )
+        want = _oracle(q, kp, vp, kg, vg, seg, gv, 1, quant=False)
+        _assert_close(got, want)
+
+
+def test_fused_single_gen_slot():
+    """Step 0: only gen slot 0 valid on every row."""
+    q, kp, vp, kg, vg, seg, _ = _setup(seed=3, layers=2)
+    gv = jnp.asarray(np.arange(16)[None, :] <= 0) & jnp.ones(
+        (2, 1), bool
+    )
+    got = decode_attend_layer(
+        q, {"k": kp, "v": vp}, seg, kg, vg, gv, jnp.int32(0)
+    )
+    want = _oracle(q, kp, vp, kg, vg, seg, gv, 0, quant=False)
+    _assert_close(got, want)
+
+
+def test_fused_inside_scan():
+    """The production shape: called once per layer inside lax.scan with
+    the traced layer counter as the scalar-prefetch index."""
+    q, kp, vp, kg, vg, seg, gv = _setup(seed=4, layers=3)
+    cache = {"k": kp, "v": vp}
+
+    def body(li, _):
+        return li + 1, decode_attend_layer(
+            q, cache, seg, kg, vg, gv, li
+        )
+
+    _, outs = jax.lax.scan(body, jnp.int32(0), None, length=3)
+    for li in range(3):
+        want = _oracle(q, kp, vp, kg, vg, seg, gv, li, quant=False)
+        _assert_close(outs[li], want)

@@ -95,10 +95,11 @@ def test_decode_attend_int8_kv_close():
     b, h, kvh, dh, sp, sg = 2, 8, 4, 32, 24, 6
     ks = jax.random.split(rng, 5)
     q = jax.random.normal(ks[0], (b, 1, h, dh), jnp.float32)
-    kp = jax.random.normal(ks[1], (b, sp, kvh, dh), jnp.float32)
-    vp = jax.random.normal(ks[2], (b, sp, kvh, dh), jnp.float32)
-    kg = jax.random.normal(ks[3], (b, sg, kvh, dh), jnp.float32)
-    vg = jax.random.normal(ks[4], (b, sg, kvh, dh), jnp.float32)
+    # both caches are head-major: (B, KVH, S, Dh)
+    kp = jax.random.normal(ks[1], (b, kvh, sp, dh), jnp.float32)
+    vp = jax.random.normal(ks[2], (b, kvh, sp, dh), jnp.float32)
+    kg = jax.random.normal(ks[3], (b, kvh, sg, dh), jnp.float32)
+    vg = jax.random.normal(ks[4], (b, kvh, sg, dh), jnp.float32)
     seg = jnp.ones((b, sp), jnp.int32).at[:, -3:].set(0)
     gen_valid = jnp.ones((b, sg), bool).at[:, -2:].set(False)
 
