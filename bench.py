@@ -108,6 +108,36 @@ def init_params_host_int8(cfg, seed=0):
     return jax.tree.map(jnp.asarray, host)
 
 
+def init_params_host_int4(cfg, seed=0):
+    """int8 build, then the stacked (L, in, out) LLM layer kernels drop
+    to symmetric int4 (ops/w4_matmul serving path): weight bytes halve
+    again (llava-7b decode is weight-bandwidth-bound at int8 — 8.3 of a
+    20.8 ms b24 step). Embeddings, lm_head, vision tower and projector
+    (2D kernels) stay int8."""
+    rng = np.random.RandomState(seed)
+
+    def rewrite(node):
+        if isinstance(node, dict):
+            if "kernel_q" in node and node["kernel_q"].ndim == 3:
+                shp = node["kernel_q"].shape  # (L, in, out)
+                out = {
+                    k: v for k, v in node.items()
+                    if k not in ("kernel_q", "kernel_scale")
+                }
+                out["kernel_q4i"] = jnp.asarray(
+                    rng.randint(-7, 8, shp, np.int8), jnp.int4
+                )
+                out["kernel_scale4i"] = jnp.asarray(
+                    np.full((shp[0], 1, shp[2]), 0.02 / 7, np.float32)
+                    .astype(jnp.bfloat16)
+                )
+                return out
+            return {k: rewrite(v) for k, v in node.items()}
+        return node
+
+    return rewrite(init_params_host_int8(cfg, seed))
+
+
 def make_inputs(cfg, batch):
     rng = np.random.RandomState(0)
     prompt_len = 48  # text part; splice adds 575
@@ -182,7 +212,11 @@ def main():
     # single-chip decode is weights-bound at batch 1 (measured 0.36
     # imgs/s = 1.45x baseline on this chip, 2026-08-16).
     weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int8")
-    if weights == "int8":
+    if weights == "int4":
+        # stacked-int4 LLM layers (ops/w4_matmul serving path)
+        params = init_params_host_int4(cfg)
+        batches = [32, 24, 16, 8, 4, 2, 1]
+    elif weights == "int8":
         params = init_params_host_int8(cfg)
         # batch 24 measured optimal on v5e (2026-08-16: b16 4.66, b24
         # 5.26, b32 4.05 imgs/s — W8A8 + int8 prompt-KV)
@@ -199,14 +233,16 @@ def main():
     try:
         imgs_per_sec, batch, dt = _measure(cfg, params, batches)
     except RuntimeError as e:
-        if weights == "int8":
-            # safety net: re-exec as a fresh bf16 process. In-process
-            # fallback is unsafe here: device memory from the int8 tree
-            # cannot be freed (Array.delete is a no-op on this platform)
-            # and a doomed bf16 alloc has crashed the TPU worker before.
+        if weights in ("int8", "int4"):
+            # safety net: re-exec as a fresh fallback process (int4 ->
+            # int8 -> bf16). In-process fallback is unsafe here: device
+            # memory from the quantized tree cannot be freed
+            # (Array.delete is a no-op on this platform) and a doomed
+            # alloc has crashed the TPU worker before.
             import subprocess
 
-            env = dict(os.environ, HALVA_BENCH_WEIGHTS="bfloat16")
+            nxt = "int8" if weights == "int4" else "bfloat16"
+            env = dict(os.environ, HALVA_BENCH_WEIGHTS=nxt)
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env
             )

@@ -58,7 +58,16 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     NF4 (kernel_q4 + kernel_scale4) — see halva_tpu.ops.quant;
     dequantized on the fly, one layer at a time.
     """
-    if "kernel_q4" in p:
+    if "kernel_q4i" in p:
+        # symmetric int4 (serving W4 path, ops/w4_matmul.py). This XLA
+        # branch (materialized dequant) serves prefill/full-forward where
+        # the copy amortizes over the whole sequence; the decode scan
+        # dispatches to the stacked Pallas kernel instead.
+        w = p["kernel_q4i"].astype(x.dtype) * p["kernel_scale4i"].astype(
+            x.dtype
+        )
+        y = jnp.dot(x, w)
+    elif "kernel_q4" in p:
         from halva_tpu.ops import quant
 
         y = quant.nf4_dense(x, p["kernel_q4"], p["kernel_scale4"])
@@ -574,6 +583,16 @@ def decode_step(
         and jax.default_backend() == "tpu"
         and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     )
+    # W4 serving weights: dense layers carry stacked int4 (ops/w4_matmul).
+    # The decode scan then runs WITHOUT xs weight slices — every matmul
+    # streams int4 blocks from the stacked arrays via the layer index
+    # (an XLA per-layer slice would materialize, like the KV case).
+    w4 = "kernel_q4i" in params["layers"]["attn"]["wq"]
+    if w4 and (kvh == h_):
+        return _decode_step_w4(
+            params, cfg, token_embeds, positions, prompt_cache,
+            prompt_seg, gen_cache, step, cos, sin, gen_valid,
+        )
 
     def scan_fn(carry, layer_params):
         x, kg_full, vg_full, li = carry
@@ -644,6 +663,97 @@ def decode_step(
         scan_fn,
         (token_embeds, gen_cache["k"], gen_cache["v"], jnp.int32(0)),
         params["layers"],
+    )
+    hidden = _norm(cfg, x, params["final_norm"]["scale"])
+    logits = lm_logits(params, cfg, hidden)[:, 0]
+    return logits, {"k": new_kg, "v": new_vg}
+
+
+def _decode_step_w4(
+    params: Params,
+    cfg: LlamaConfig,
+    token_embeds: jnp.ndarray,
+    positions: jnp.ndarray,
+    prompt_cache: Params,
+    prompt_seg: jnp.ndarray,
+    gen_cache: Params,
+    step: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    gen_valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Params]:
+    """decode_step body for stacked-int4 serving weights: the scan
+    carries only the layer counter — every matmul streams int4 blocks of
+    the stacked (L, K, N) weights through ops/w4_matmul.w4_dense_stacked
+    and attention through ops/decode_attention.decode_attend_layer, so
+    no per-layer weight or cache slice is ever materialized. MHA only."""
+    from halva_tpu.ops.decode_attention import decode_attend_layer
+    from halva_tpu.ops.w4_matmul import w4_dense_stacked
+
+    b = token_embeds.shape[0]
+    h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    lyr = params["layers"]
+
+    def idx(a, li):
+        return jax.lax.dynamic_index_in_dim(a, li, 0, False)
+
+    def scan_fn(carry, _):
+        x, kg_full, vg_full, li = carry
+        y = _norm(cfg, x, idx(lyr["input_norm"]["scale"], li))
+        y2 = y[:, 0]  # (B, D)
+        q = w4_dense_stacked(y2, lyr["attn"]["wq"], li).reshape(
+            b, 1, h_, dh
+        )
+        k = w4_dense_stacked(y2, lyr["attn"]["wk"], li).reshape(
+            b, 1, kvh, dh
+        )
+        v = w4_dense_stacked(y2, lyr["attn"]["wv"], li).reshape(
+            b, 1, kvh, dh
+        )
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        k_hm = k.transpose(0, 2, 1, 3).astype(kg_full.dtype)
+        v_hm = v.transpose(0, 2, 1, 3).astype(vg_full.dtype)
+        kg_full = jax.lax.dynamic_update_slice(
+            kg_full, k_hm[None], (li, 0, 0, step, 0)
+        )
+        vg_full = jax.lax.dynamic_update_slice(
+            vg_full, v_hm[None], (li, 0, 0, step, 0)
+        )
+
+        attn_out = decode_attend_layer(
+            q, prompt_cache, prompt_seg,
+            kg_full.astype(q.dtype), vg_full.astype(q.dtype),
+            gen_valid, li,
+        )
+        x = x + w4_dense_stacked(
+            attn_out.reshape(b, h_ * dh), lyr["attn"]["wo"], li
+        )[:, None]
+        y = _norm(cfg, x, idx(lyr["post_attn_norm"]["scale"], li))
+        y2 = y[:, 0]
+        if cfg.gated_mlp:
+            gated = _mlp_act(cfg)(
+                w4_dense_stacked(y2, lyr["mlp"]["gate"], li)
+            ) * w4_dense_stacked(y2, lyr["mlp"]["up"], li)
+            x = x + w4_dense_stacked(gated, lyr["mlp"]["down"], li)[
+                :, None
+            ]
+        else:
+            x = x + w4_dense_stacked(
+                _mlp_act(cfg)(
+                    w4_dense_stacked(y2, lyr["mlp"]["up"], li)
+                ),
+                lyr["mlp"]["down"],
+                li,
+            )[:, None]
+        return (x, kg_full, vg_full, li + 1), None
+
+    (x, new_kg, new_vg, _), _ = jax.lax.scan(
+        scan_fn,
+        (token_embeds, gen_cache["k"], gen_cache["v"], jnp.int32(0)),
+        None,
+        length=cfg.num_layers,
     )
     hidden = _norm(cfg, x, params["final_norm"]["scale"])
     logits = lm_logits(params, cfg, hidden)[:, 0]

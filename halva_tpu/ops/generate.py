@@ -289,6 +289,9 @@ def _decode_phase(
     return fn(params, first_tok, spliced_len, prompt_cache, prompt_seg, rng)
 
 
+_GENERATE_JITS: Dict[Any, Any] = {}
+
+
 def generate(
     params: Params,
     cfg: LlavaConfig,
@@ -305,6 +308,17 @@ def generate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, max_new), num_generated (B,)).
 
+    Prefill + decode run as ONE jit program. They used to be two jits
+    with the KV cache crossing the boundary; XLA assigns each program's
+    entry/exit layouts independently, chose a permuted physical layout
+    for the head-major int8 cache on one side only, and the decode
+    program paid a whole-cache relayout copy (compile OOM at b24:
+    16.97/15.75G). Pinning boundary Formats worked within one process
+    but is brittle against persistently-cached executables from older
+    builds; a single program has no boundary to disagree over — and the
+    cache/donation bookkeeping disappears with it. The split phases
+    remain available (scripts/profile_decode.py) for diagnostics.
+
     kv_quant: store the prompt KV cache in int8 (per-token-head scales) —
     halves decode KV HBM traffic and prompt-cache memory; the generated
     cache stays bf16.
@@ -316,23 +330,32 @@ def generate(
     NOTE: the first sampled/greedy token comes from the prefill phase
     argmax; under sampling the first generated token is also sampled.
     """
-    first_tok, first_logits, spliced_len, prompt_cache, prompt_seg = (
-        _prefill_phase(
-            params, cfg, input_ids, images, prompt_lengths,
-            max_new_tokens, attn_impl, kv_quant,
-        )
-    )
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    if temperature > 0.0:
-        first_tok = _select_token(
-            first_logits, temperature, top_p,
-            jax.random.fold_in(rng, 0x7FFFFFFF),
-        )
-    return _decode_phase(
-        params, cfg, first_tok, spliced_len, prompt_cache, prompt_seg,
-        max_new_tokens, eos_id, temperature, top_p, rng,
+    key = (
+        cfg, max_new_tokens, eos_id, attn_impl, kv_quant, temperature,
+        top_p, input_ids.shape, images.shape,
     )
+    fn = _GENERATE_JITS.get(key)
+    if fn is None:
+        def impl(p, ids, im, lens, r):
+            ft, fl, sl, pc, ps = _prefill_impl(
+                p, cfg, ids, im, lens, max_new_tokens, attn_impl,
+                kv_quant,
+            )
+            if temperature > 0.0:
+                ft = _select_token(
+                    fl, temperature, top_p,
+                    jax.random.fold_in(r, 0x7FFFFFFF),
+                )
+            return _decode_impl(
+                p, cfg, ft, sl, pc, ps, max_new_tokens, eos_id,
+                temperature, top_p, r,
+            )
+
+        fn = jax.jit(impl)
+        _GENERATE_JITS[key] = fn
+    return fn(params, input_ids, images, prompt_lengths, rng)
 
 
 def generate_greedy(

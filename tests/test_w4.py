@@ -1,0 +1,103 @@
+"""W4 (stacked int4) serving path: kernel vs XLA dequant oracle, and a
+full decode_step parity run on a tiny MHA model whose weights are built
+on the int4 grid (quantization is then lossless, so W4 decode must
+match the bf16 model up to bf16 rounding)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import LlamaConfig
+from halva_tpu.models import llama
+from halva_tpu.ops.w4_matmul import (
+    quantize_kernel_int4_stacked,
+    w4_dense_stacked,
+)
+
+
+def test_w4_kernel_matches_dequant():
+    rng = np.random.RandomState(0)
+    L, K, N, B = 3, 64, 256, 4
+    w = jnp.asarray(rng.randn(L, K, N), jnp.float32)
+    x = jnp.asarray(rng.randn(B, K), jnp.float32).astype(jnp.bfloat16)
+    q = quantize_kernel_int4_stacked(w)
+    for li in (0, 2):
+        got = w4_dense_stacked(x, q, jnp.int32(li), block_n=128)
+        w_deq = q["kernel_q4i"][li].astype(jnp.bfloat16) * q[
+            "kernel_scale4i"
+        ][li].astype(jnp.bfloat16)
+        want = jnp.dot(x, w_deq)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(want, np.float32),
+            atol=0.3,
+            rtol=0.05,
+        )
+
+
+def _tiny_cfg():
+    return LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_layers=2,
+        num_heads=2,
+        max_position_embeddings=128,
+    )
+
+
+def _grid_params(cfg, seed=0):
+    """Params whose dense kernels sit exactly on the int4 grid."""
+    params = llama.init_params(jax.random.PRNGKey(seed), cfg, jnp.float32)
+    rng = np.random.RandomState(seed)
+
+    def snap(node):
+        if isinstance(node, dict):
+            if "kernel" in node and node["kernel"].ndim == 3:
+                shp = node["kernel"].shape
+                q = rng.randint(-7, 8, shp).astype(np.float32)
+                node = dict(node)
+                node["kernel"] = jnp.asarray(q * 0.015625)  # q * 2^-6
+                return node
+            return {k: snap(v) for k, v in node.items()}
+        return node
+
+    return snap(params)
+
+
+def _to_w4(params):
+    def rewrite(node):
+        if isinstance(node, dict):
+            if "kernel" in node and node["kernel"].ndim == 3:
+                return quantize_kernel_int4_stacked(node["kernel"])
+            return {k: rewrite(v) for k, v in node.items()}
+        return node
+
+    return rewrite(params)
+
+
+def test_w4_decode_step_matches_float():
+    cfg = _tiny_cfg()
+    pf = _grid_params(cfg)
+    pw4 = _to_w4(pf)
+    b, sp, sg = 2, 24, 4
+    rng = np.random.RandomState(1)
+    embeds = jnp.asarray(rng.randn(b, sp, cfg.hidden_size) * 0.1,
+                         jnp.float32)
+    seg = jnp.ones((b, sp), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(sp, dtype=jnp.int32), (b, sp))
+
+    tok = jnp.asarray(rng.randn(b, 1, cfg.hidden_size) * 0.1,
+                      jnp.float32)
+    outs = {}
+    for name, p in (("f32", pf), ("w4", pw4)):
+        _, cache = llama.prefill(p, cfg, embeds, seg, pos)
+        gen = llama.init_gen_cache(cfg, b, sg, dtype=jnp.float32)
+        logits, _ = llama.decode_step(
+            p, cfg, tok, jnp.full((b,), sp, jnp.int32), cache, seg,
+            gen, jnp.int32(0),
+        )
+        outs[name] = np.asarray(logits)
+    np.testing.assert_allclose(outs["w4"], outs["f32"], atol=0.05,
+                               rtol=0.05)
