@@ -124,12 +124,17 @@ def init_params_host_int4(cfg, seed=0):
                     k: v for k, v in node.items()
                     if k not in ("kernel_q", "kernel_scale")
                 }
-                out["kernel_q4i"] = jnp.asarray(
-                    rng.randint(-7, 8, shp, np.int8), jnp.int4
+                q = rng.randint(-7, 8, shp).astype(np.int32)
+                lo = q[:, :, : shp[2] // 2] & 0xF
+                hi = q[:, :, shp[2] // 2 :] & 0xF
+                packed = (hi << 4) | lo
+                out["kernel_q4p"] = jnp.asarray(
+                    (packed - 256 * (packed > 127)).astype(np.int8)
                 )
-                out["kernel_scale4i"] = jnp.asarray(
-                    np.full((shp[0], 1, shp[2]), 0.02 / 7, np.float32)
-                    .astype(jnp.bfloat16)
+                out["kernel_scale4p"] = jnp.asarray(
+                    np.full(
+                        (shp[0], 2, 1, shp[2] // 2), 0.02 / 7, np.float32
+                    ).astype(jnp.bfloat16)
                 )
                 return out
             return {k: rewrite(v) for k, v in node.items()}

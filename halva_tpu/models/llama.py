@@ -58,13 +58,18 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     NF4 (kernel_q4 + kernel_scale4) — see halva_tpu.ops.quant;
     dequantized on the fly, one layer at a time.
     """
-    if "kernel_q4i" in p:
-        # symmetric int4 (serving W4 path, ops/w4_matmul.py). This XLA
-        # branch (materialized dequant) serves prefill/full-forward where
-        # the copy amortizes over the whole sequence; the decode scan
-        # dispatches to the stacked Pallas kernel instead.
-        w = p["kernel_q4i"].astype(x.dtype) * p["kernel_scale4i"].astype(
-            x.dtype
+    if "kernel_q4p" in p:
+        # packed symmetric int4 (serving W4 path, ops/w4_matmul.py).
+        # This XLA branch (materialized dequant) serves prefill/full-
+        # forward where the copy amortizes over the whole sequence; the
+        # decode scan dispatches to the stacked Pallas kernel instead.
+        from halva_tpu.ops.w4_matmul import unpack_int4
+
+        lo, hi = unpack_int4(p["kernel_q4p"])
+        s = p["kernel_scale4p"].astype(x.dtype)  # (2, 1, N/2)
+        w = jnp.concatenate(
+            [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
+            axis=-1,
         )
         y = jnp.dot(x, w)
     elif "kernel_q4" in p:
@@ -587,7 +592,7 @@ def decode_step(
     # The decode scan then runs WITHOUT xs weight slices — every matmul
     # streams int4 blocks from the stacked arrays via the layer index
     # (an XLA per-layer slice would materialize, like the KV case).
-    w4 = "kernel_q4i" in params["layers"]["attn"]["wq"]
+    w4 = "kernel_q4p" in params["layers"]["attn"]["wq"]
     if w4 and (kvh == h_):
         return _decode_step_w4(
             params, cfg, token_embeds, positions, prompt_cache,

@@ -1,34 +1,40 @@
-"""Pallas W4 (int4 weight-only) matmul over stacked per-layer weights.
+"""Pallas W4 (4-bit weight-only) matmul over stacked per-layer weights.
 
 Serving-decode kernel: llava-7b decode at b24 is weight-bandwidth-bound
 (scripts/profile_decode.py: 8.3 ms/step with attention stubbed ~= the
 6.7 GB int8 weight read at HBM speed). int8 is already at its byte
 floor through XLA (slice+convert+dot fuse), so halving weight bytes
-requires 4-bit storage — and a Pallas kernel, because an XLA int4 dot
-materializes the bf16 dequant copy (the same trap measured for the int8
-KV cache). Like ops/decode_attention.py, the layer index rides a
-scalar-prefetch argument so the kernel streams blocks straight from the
-stacked (L, K, N) int4 arrays with no per-layer XLA slice.
+requires 4-bit storage — and a Pallas kernel, because an XLA dot over
+4-bit weights materializes the bf16 dequant copy (the same trap
+measured for the int8 KV cache). Like ops/decode_attention.py, the
+layer index rides a scalar-prefetch argument so the kernel streams
+blocks straight from the stacked arrays with no per-layer XLA slice.
 
-Quantization: symmetric per-output-channel int4 (scale = absmax/7),
-values in [-7, 7]. This is the MXU/VPU-friendly counterpart of the
-reference's bitsandbytes 4-bit serving surface (train_halva.py:
-1036-1052); the NF4 code-value variant lives in ops/quant.py (XLA
-path, used for QLoRA training where the dequant copy amortizes over a
-2048-token forward).
+Storage: TWO int4 values packed per int8 byte. The native jnp.int4
+dtype is avoided deliberately — on the axon relay platform a
+device_put/relayout of an int4 array recurses into the dispatcher
+(RecursionError) the moment a jit executable wants a layout change.
+Packing is split-half, not interleaved: byte[k, j] holds weight
+[k, j] in its LOW nibble and weight [k, j + N/2] in its HIGH nibble, so
+the kernel unpacks with two shifts into two independent (K, N/2)
+operands and never shuffles lanes. Quantization is symmetric
+per-output-channel (scale = absmax/7, values in [-7, 7]) — the
+MXU/VPU-friendly counterpart of the reference's bitsandbytes 4-bit
+serving surface (train_halva.py:1036-1052); the NF4 code-value variant
+lives in ops/quant.py (XLA path, used for QLoRA training where the
+dequant copy amortizes over a 2048-token forward).
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_N = 512
+DEFAULT_BLOCK_NP = 256  # packed columns per block (= 512 output channels)
 
 
 def _interp() -> bool:
@@ -36,48 +42,75 @@ def _interp() -> bool:
 
 
 def quantize_kernel_int4_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """(L, K, N) float -> {kernel_q4 (L, K, N) int4,
-    kernel_scale4i (L, 1, N) f32-as-bf16 per-output-channel scales}."""
+    """(L, K, N) float -> {kernel_q4p (L, K, N/2) int8 (packed nibble
+    pair), kernel_scale4p (L, 2, 1, N/2) bf16 per-output-channel scales
+    (index 0: channels [0, N/2), index 1: channels [N/2, N))}."""
+    L, k, n = w.shape
+    assert n % 2 == 0, n
     w32 = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=-2, keepdims=True)  # (L, 1, N)
     scale = jnp.where(absmax == 0.0, 1.0, absmax / 7.0)
-    q = jnp.clip(jnp.round(w32 / scale), -7, 7).astype(jnp.int4)
+    q = jnp.clip(jnp.round(w32 / scale), -7, 7).astype(jnp.int32)
+    lo = q[:, :, : n // 2] & 0xF
+    hi = q[:, :, n // 2 :] & 0xF
+    packed = (hi << 4) | lo  # 0..255
+    packed_i8 = (packed - 256 * (packed > 127)).astype(jnp.int8)
+    s = scale.reshape(L, 1, 2, n // 2).transpose(0, 2, 1, 3)
     return {
-        "kernel_q4i": q,
-        "kernel_scale4i": scale.astype(jnp.bfloat16),
+        "kernel_q4p": packed_i8,
+        "kernel_scale4p": s.astype(jnp.bfloat16),
     }
+
+
+def unpack_int4(p: jnp.ndarray):
+    """int8 packed byte -> (lo, hi) sign-extended int32 nibbles.
+
+    Shifts run in int32: Mosaic does not legalize arith.shli on int8
+    vectors (measured: 'failed to legalize operation arith.shli'), and
+    numpy-semantics right_shift on signed int32 is arithmetic."""
+    p32 = p.astype(jnp.int32)
+    lo = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    hi = jnp.right_shift(p32, 4)
+    return lo, hi
 
 
 def _w4_kernel(
     li_ref,  # (1,) int32 scalar prefetch
     x_ref,  # (B, K) bf16
-    w_ref,  # (1, K, bn) int4
-    s_ref,  # (1, 1, bn) bf16
-    o_ref,  # (B, bn)
+    w_ref,  # (1, K, bnp) int8 packed
+    s_ref,  # (1, 2, 1, bnp) bf16
+    o_ref,  # (2, B, bnp) — [0]: low-half channels, [1]: high-half
 ):
-    x = x_ref[...]
-    w = w_ref[0].astype(x.dtype)  # int4 -> bf16 in-register
-    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
-    o_ref[...] = (y * s_ref[0, 0].astype(jnp.float32)[None, :]).astype(
-        o_ref.dtype
-    )
     del li_ref
+    x = x_ref[...]
+    lo, hi = unpack_int4(w_ref[0])
+    s = s_ref[0].astype(jnp.float32)  # (2, 1, bnp)
+    y_lo = jnp.dot(
+        x, lo.astype(x.dtype), preferred_element_type=jnp.float32
+    ) * s[0]
+    y_hi = jnp.dot(
+        x, hi.astype(x.dtype), preferred_element_type=jnp.float32
+    ) * s[1]
+    o_ref[0] = y_lo.astype(o_ref.dtype)
+    o_ref[1] = y_hi.astype(o_ref.dtype)
 
 
 def w4_dense_stacked(
     x: jnp.ndarray,  # (B, K) bf16
-    stacked: Dict[str, jnp.ndarray],  # kernel_q4i (L,K,N), scale (L,1,N)
+    stacked: Dict[str, jnp.ndarray],  # kernel_q4p (L,K,N/2) + scales
     layer: jnp.ndarray,  # () int32
-    block_n: int = DEFAULT_BLOCK_N,
+    block_np: int = DEFAULT_BLOCK_NP,
 ) -> jnp.ndarray:
-    """y = x @ dequant(W4[layer]) — one GEMV-class matmul streaming int4
-    blocks of the stacked weights (no per-layer slice materialization)."""
-    w = stacked["kernel_q4i"]
-    L, k, n = w.shape
+    """y = x @ dequant(W4[layer]) — streams packed int4 blocks of the
+    stacked weights (no per-layer slice materialization)."""
+    w = stacked["kernel_q4p"]
+    L, k, np_ = w.shape
     b = x.shape[0]
-    bn = min(block_n, n)
-    assert n % bn == 0, (n, bn)
-    nb = n // bn
+    bnp = min(block_np, np_)
+    # np_ need not divide bnp (e.g. MLP intermediate 11008 -> 5504): the
+    # last output block is clipped on write; out-of-bounds input garbage
+    # only feeds the clipped region
+    nb = pl.cdiv(np_, bnp)
 
     out = pl.pallas_call(
         _w4_kernel,
@@ -86,17 +119,19 @@ def w4_dense_stacked(
             grid=(nb,),
             in_specs=[
                 pl.BlockSpec((b, k), lambda ni, li: (0, 0)),
-                pl.BlockSpec((1, k, bn), lambda ni, li: (li[0], 0, ni)),
-                pl.BlockSpec((1, 1, bn), lambda ni, li: (li[0], 0, ni)),
+                pl.BlockSpec((1, k, bnp), lambda ni, li: (li[0], 0, ni)),
+                pl.BlockSpec(
+                    (1, 2, 1, bnp), lambda ni, li: (li[0], 0, 0, ni)
+                ),
             ],
-            out_specs=pl.BlockSpec((b, bn), lambda ni, li: (0, ni)),
+            out_specs=pl.BlockSpec((2, b, bnp), lambda ni, li: (0, 0, ni)),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((2, b, np_), x.dtype),
         interpret=_interp(),
     )(
         jnp.reshape(layer.astype(jnp.int32), (1,)),
         x,
         w,
-        stacked["kernel_scale4i"],
+        stacked["kernel_scale4p"],
     )
-    return out
+    return jnp.concatenate([out[0], out[1]], axis=-1)  # (B, N)

@@ -12,8 +12,26 @@ from halva_tpu.config import LlamaConfig
 from halva_tpu.models import llama
 from halva_tpu.ops.w4_matmul import (
     quantize_kernel_int4_stacked,
+    unpack_int4,
     w4_dense_stacked,
 )
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.randn(2, 16, 32), jnp.float32)
+    q = quantize_kernel_int4_stacked(w)
+    lo, hi = unpack_int4(q["kernel_q4p"])
+    assert int(jnp.min(lo)) >= -7 and int(jnp.max(lo)) <= 7
+    assert int(jnp.min(hi)) >= -7 and int(jnp.max(hi)) <= 7
+    s = q["kernel_scale4p"].astype(jnp.float32)
+    w_rt = jnp.concatenate(
+        [lo.astype(jnp.float32) * s[:, 0], hi.astype(jnp.float32) * s[:, 1]],
+        axis=-1,
+    )
+    # quantization error bounded by scale/2 per element
+    err = jnp.max(jnp.abs(w_rt - w) / (jnp.max(jnp.abs(w)) + 1e-9))
+    assert float(err) < 0.08, float(err)
 
 
 def test_w4_kernel_matches_dequant():
@@ -23,15 +41,18 @@ def test_w4_kernel_matches_dequant():
     x = jnp.asarray(rng.randn(B, K), jnp.float32).astype(jnp.bfloat16)
     q = quantize_kernel_int4_stacked(w)
     for li in (0, 2):
-        got = w4_dense_stacked(x, q, jnp.int32(li), block_n=128)
-        w_deq = q["kernel_q4i"][li].astype(jnp.bfloat16) * q[
-            "kernel_scale4i"
-        ][li].astype(jnp.bfloat16)
+        got = w4_dense_stacked(x, q, jnp.int32(li), block_np=64)
+        lo, hi = unpack_int4(q["kernel_q4p"][li])
+        s = q["kernel_scale4p"][li].astype(jnp.bfloat16)
+        w_deq = jnp.concatenate(
+            [lo.astype(jnp.bfloat16) * s[0], hi.astype(jnp.bfloat16) * s[1]],
+            axis=-1,
+        )
         want = jnp.dot(x, w_deq)
         np.testing.assert_allclose(
             np.asarray(got, np.float32),
             np.asarray(want, np.float32),
-            atol=0.3,
+            atol=0.1,
             rtol=0.05,
         )
 
