@@ -13,7 +13,11 @@ bs=1 fp16 llava-7b on A100 decodes ~35 tok/s => ~0.25 imgs/sec at this
 token budget including prefill. vs_baseline = our imgs/sec / 0.25.
 
 Env knobs: HALVA_BENCH_PRESET (llava-v1.5-7b | llava-small),
-HALVA_BENCH_BATCH (override adaptive batch), HALVA_BENCH_TOKENS.
+HALVA_BENCH_BATCH (override adaptive batch), HALVA_BENCH_TOKENS,
+HALVA_BENCH_WEIGHTS (int4 | int8 | bfloat16 — default int4: W4 packed
+weights halve weight HBM, which buys the larger serving batch; the
+JSON reports the mode + batch actually used, and failures re-exec down
+the chain int4 -> int8 -> bf16).
 """
 
 import json
@@ -216,11 +220,13 @@ def main():
     # the production path for llava-7b on a single 16GB v5e chip. bf16
     # single-chip decode is weights-bound at batch 1 (measured 0.36
     # imgs/s = 1.45x baseline on this chip, 2026-08-16).
-    weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int8")
+    weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int4")
     if weights == "int4":
-        # stacked-int4 LLM layers (ops/w4_matmul serving path)
+        # stacked-int4 LLM layers (ops/w4_matmul serving path): weight
+        # HBM halves, buying batch 48-56 (measured 2026-08-17: b32 6.65,
+        # b48 7.06, b56 7.10 imgs/s vs int8 b24 6.28)
         params = init_params_host_int4(cfg)
-        batches = [32, 24, 16, 8, 4, 2, 1]
+        batches = [56, 48, 32, 24, 16, 8, 4, 2, 1]
     elif weights == "int8":
         params = init_params_host_int8(cfg)
         # batch 24 measured optimal on v5e (2026-08-16: b16 4.66, b24
