@@ -43,6 +43,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="base",
                    choices=["base", "noattn", "nohead", "sg8", "nf4"])
+    p.add_argument("--weights", default="int8", choices=["int8", "int4"])
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--tokens", type=int, default=128)
     p.add_argument("--iters", type=int, default=3)
@@ -96,6 +97,8 @@ def main():
             return node
         params = to_nf4(params_i8)
         del params_i8
+    elif args.weights == "int4":
+        params = bench.init_params_host_int4(cfg)
     else:
         params = bench.init_params_host_int8(cfg)
 
@@ -143,6 +146,7 @@ def main():
 
     print(json.dumps({
         "variant": args.variant,
+        "weights": args.weights,
         "batch": args.batch,
         "max_new": max_new,
         "prefill_s": round(prefill_s, 4),
