@@ -88,32 +88,6 @@ def _prefill_impl(
     return first_tok, first_logits, spliced_len, prompt_cache, sp.segment_ids
 
 
-def _pin_row_major() -> bool:
-    """Single-chip TPU serving: pin the prompt cache to row-major at the
-    prefill->decode program boundary. XLA's layout assignment otherwise
-    prefers a permuted physical layout for the head-major int8 cache
-    (623 pads to 640 under int8 tiling; the permutation avoids that),
-    and the two programs then disagree: the decode program materializes
-    a whole-cache relayout copy that broke donation aliasing and pushed
-    llava-7b b24 decode 1.23GB over HBM (measured compile OOM)."""
-    return jax.default_backend() == "tpu" and len(jax.devices()) == 1
-
-
-def _row_major_formats(tree):
-    from jax.experimental import layout as layout_lib
-    from jax.sharding import SingleDeviceSharding
-
-    dev = jax.devices()[0]
-
-    def leaf(l):
-        return layout_lib.Format(
-            layout_lib.Layout(major_to_minor=tuple(range(l.ndim))),
-            SingleDeviceSharding(dev),
-        )
-
-    return jax.tree.map(leaf, tree)
-
-
 _PREFILL_JITS: Dict[Any, Any] = {}
 
 
@@ -127,10 +101,14 @@ def _prefill_phase(
     attn_impl: str,
     kv_quant: bool = False,
 ):
-    pin = _pin_row_major()
+    """Standalone prefill jit — tests and prefill-only timing. The
+    production path is generate(): splitting prefill/decode into two
+    programs lets XLA assign mismatched boundary layouts to the KV cache
+    (whole-cache relayout copies, broken donation, brittle interplay
+    with persistently-cached executables — see generate's docstring)."""
     key = (
         cfg, max_new_tokens, attn_impl, kv_quant,
-        input_ids.shape, images.shape, pin,
+        input_ids.shape, images.shape,
     )
     fn = _PREFILL_JITS.get(key)
     if fn is None:
@@ -138,14 +116,8 @@ def _prefill_phase(
             return _prefill_impl(
                 p, cfg, ids, im, lens, max_new_tokens, attn_impl, kv_quant
             )
-        if pin:
-            outs = jax.eval_shape(
-                impl, params, input_ids, images, prompt_lengths
-            )
-            out_fmt = (None, None, None, _row_major_formats(outs[3]), None)
-            fn = jax.jit(impl, out_shardings=out_fmt)
-        else:
-            fn = jax.jit(impl)
+
+        fn = jax.jit(impl)
         _PREFILL_JITS[key] = fn
     return fn(params, input_ids, images, prompt_lengths)
 
@@ -261,11 +233,11 @@ def _decode_phase(
     top_p: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
 ):
-    pin = _pin_row_major()
+    """Standalone decode jit — tests only; see _prefill_phase's note."""
     key = (
         cfg, max_new_tokens, eos_id, temperature, top_p,
         first_tok.shape, prompt_seg.shape,
-        "k_scale" in prompt_cache, pin, rng is None,
+        "k_scale" in prompt_cache, rng is None,
     )
     fn = _DECODE_JITS.get(key)
     if fn is None:
@@ -275,16 +247,7 @@ def _decode_phase(
                 temperature, top_p, r,
             )
 
-        kw = {}
-        if pin:
-            # pin the donated prompt cache to the exact (row-major)
-            # format prefill emits: same layout -> donation aliases in
-            # place, no whole-cache relayout copy inside the program
-            kw["in_shardings"] = (
-                None, None, None, _row_major_formats(prompt_cache),
-                None, None,
-            )
-        fn = jax.jit(impl, donate_argnums=(3,), **kw)
+        fn = jax.jit(impl, donate_argnums=(3,))
         _DECODE_JITS[key] = fn
     return fn(params, first_tok, spliced_len, prompt_cache, prompt_seg, rng)
 
