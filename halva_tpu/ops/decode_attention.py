@@ -38,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 LOG2E = 1.4426950408889634
+# one (1,1,H,bk,D) int8 block is bk*4KB. 512 (2MB) is the measured
+# ceiling: 1024-row blocks (4MB k + 4MB v + gen + scratch, double-
+# buffered) blow VMEM and fail remote compile
 DEFAULT_BLOCK_K = 512
 
 
@@ -189,7 +192,10 @@ def decode_attend_layer(
     assert h == q.shape[2], "fused decode attention is MHA-only"
     scale = dh**-0.5
     lanes = 128
-    bk = min(block_k, max(128, sp))
+    # block rows must be 8-aligned (Mosaic rejects e.g. bk=623): round
+    # short prompts UP to a 512-multiple; the in-kernel col mask covers
+    # the out-of-bounds tail
+    bk = min(block_k, max(512, -(-sp // 512) * 512))
     nb = pl.cdiv(sp, bk)
 
     quantized = "k_scale" in prompt_cache
