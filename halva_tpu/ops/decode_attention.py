@@ -56,8 +56,10 @@ def _decode_kernel(
     seg_ref,  # (1, 1, bk) int32 block of (B, 1, Sp)
     ks_ref,  # (1, 1, H, bk) bf16 block of (L, B, H, Sp); dummy if !quant
     vs_ref,
-    kg_ref,  # (1, 1, H, Sg, D) bf16 block of (L, B, H, Sg, D)
+    kg_ref,  # (1, 1, H, Sg, D) bf16|int8 block of (L, B, H, Sg, D)
     vg_ref,
+    gks_ref,  # (1, 1, H, Sg) bf16 gen scales; dummy if !quantized_gen
+    gvs_ref,
     gv_ref,  # (1, 1, Sg) int32 block of (B, 1, Sg)
     o_ref,  # (1, H, D)
     acc_s,  # (H, D) f32 scratch
@@ -66,6 +68,7 @@ def _decode_kernel(
     *,
     scale: float,
     quantized: bool,
+    quantized_gen: bool,
     nblocks: int,
     sp: int,
     block_k: int,
@@ -139,14 +142,17 @@ def _decode_kernel(
 
     @pl.when(ki == nblocks - 1)
     def _gen_and_finalize():
-        kgt = kg_ref[0, 0]  # (H, Sg, D) bf16
-        vgt = vg_ref[0, 0]
+        kgt = kg_ref[0, 0].astype(q.dtype)  # (H, Sg, D)
+        vgt = vg_ref[0, 0].astype(q.dtype)
         lg = jax.lax.dot_general(
             q[:, None, :],
             kgt,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :] * (scale * LOG2E)  # (H, Sg)
+        )[:, 0, :]  # (H, Sg)
+        if quantized_gen:
+            lg = lg * gks_ref[0, 0].astype(jnp.float32)
+        lg = lg * (scale * LOG2E)
         lg = jnp.where(gv_ref[0] != 0, lg, NEG_INF)
         m_prev2 = m_s[...]
         l_prev2 = l_s[...]
@@ -155,10 +161,14 @@ def _decode_kernel(
         alpha2 = jnp.exp2(m_prev2 - m_fin)
         pg = jnp.exp2(lg - jnp.broadcast_to(m_fin[:, :1], (h, sg)))
         l_fin = l_prev2 * alpha2 + jnp.sum(pg, axis=1, keepdims=True)
+        if quantized_gen:
+            pgv = pg * gvs_ref[0, 0].astype(jnp.float32)
+        else:
+            pgv = pg
         acc_fin = acc_s[...] * jnp.broadcast_to(
             alpha2[:, :1], (h, d)
         ) + jax.lax.dot_general(
-            pg.astype(q.dtype)[:, None, :],
+            pgv.astype(q.dtype)[:, None, :],
             vgt,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -174,10 +184,10 @@ def decode_attend_layer(
     prompt_cache,  # {k, v: (L, B, H, Sp, Dh) int8|bf16,
     #                [k_scale, v_scale: (L, B, H, Sp) bf16]}
     prompt_seg: jnp.ndarray,  # (B, Sp)
-    gen_k: jnp.ndarray,  # (L, B, H, Sg, Dh) bf16
-    gen_v: jnp.ndarray,
-    gen_valid: jnp.ndarray,  # (B, Sg) bool
-    layer: jnp.ndarray,  # () int32 — which layer's cache slice to use
+    gen_cache=None,  # {k, v: (L, B, H, Sg, Dh) bf16|int8,
+    #                  [k_scale, v_scale: (L, B, H, Sg) bf16]}
+    gen_valid: jnp.ndarray = None,  # (B, Sg) bool
+    layer: jnp.ndarray = None,  # () int32 — layer's cache slice to use
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
     """One decode-attention layer over the stacked caches, merged prompt
@@ -186,6 +196,7 @@ def decode_attend_layer(
     maps, so no per-layer XLA slice of the caches is ever materialized
     (a 96MB copy per layer per step at llava-7b b24)."""
     kp = prompt_cache["k"]
+    gen_k, gen_v = gen_cache["k"], gen_cache["v"]
     L, b, h, sp, d = kp.shape
     sg = gen_k.shape[3]
     dh = q.shape[3]
@@ -199,6 +210,7 @@ def decode_attend_layer(
     nb = pl.cdiv(sp, bk)
 
     quantized = "k_scale" in prompt_cache
+    quantized_gen = "k_scale" in gen_cache
     # NOTE: scalar-prefetch refs arrive AFTER the grid indices in
     # index_map signatures: (bi, ki, li_ref)
     if quantized:
@@ -212,11 +224,23 @@ def decode_attend_layer(
         s_spec = pl.BlockSpec(
             (1, 1, h, 1), lambda bi, ki, li: (0, 0, 0, 0)
         )
+    if quantized_gen:
+        gks, gvs = gen_cache["k_scale"], gen_cache["v_scale"]
+        gs_spec = pl.BlockSpec(
+            (1, 1, h, sg), lambda bi, ki, li: (li[0], bi, 0, 0)
+        )
+    else:
+        gks = jnp.ones((1, 1, h, 1), jnp.bfloat16)
+        gvs = gks
+        gs_spec = pl.BlockSpec(
+            (1, 1, h, 1), lambda bi, ki, li: (0, 0, 0, 0)
+        )
 
     kernel = functools.partial(
         _decode_kernel,
         scale=scale,
         quantized=quantized,
+        quantized_gen=quantized_gen,
         nblocks=nb,
         sp=sp,
         block_k=bk,
@@ -242,6 +266,8 @@ def decode_attend_layer(
             pl.BlockSpec(
                 (1, 1, h, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
             ),
+            gs_spec,
+            gs_spec,
             pl.BlockSpec((1, 1, sg), lambda bi, ki, li: (bi, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
@@ -268,6 +294,8 @@ def decode_attend_layer(
         vs,
         gen_k,
         gen_v,
+        gks,
+        gvs,
         gen_valid.astype(jnp.int32)[:, None, :],
     )
     return out[:, None]  # (B, 1, H, D)

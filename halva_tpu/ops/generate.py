@@ -157,15 +157,15 @@ def _decode_impl(
     b = first_tok.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    # generated cache stays bf16 even when the (much larger) prompt cache
-    # is int8: it is small (max_new slots) and updated in place every step
-    gen_dtype = (
-        jnp.bfloat16
-        if "k_scale" in prompt_cache
-        else prompt_cache["k"].dtype
-    )
+    # the generated cache follows the prompt cache's quantization: int8
+    # gen halves its decode read traffic (3.8 GB/step bf16 at b56 Sg=128)
+    quant = "k_scale" in prompt_cache
     gen_cache = llama.init_gen_cache(
-        cfg.llm, b, max_new_tokens, dtype=gen_dtype
+        cfg.llm,
+        b,
+        max_new_tokens,
+        dtype=prompt_cache["k"].dtype if not quant else jnp.bfloat16,
+        quantized=quant,
     )
 
     init = GenState(

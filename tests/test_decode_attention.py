@@ -58,7 +58,7 @@ def test_fused_matches_oracle_bf16_every_layer():
     cache = {"k": kp, "v": vp}
     for li in range(kp.shape[0]):
         got = decode_attend_layer(
-            q, cache, seg, kg, vg, gv, jnp.int32(li)
+            q, cache, seg, {"k": kg, "v": vg}, gv, jnp.int32(li)
         )
         want = _oracle(q, kp, vp, kg, vg, seg, gv, li, quant=False)
         _assert_close(got, want)
@@ -71,7 +71,7 @@ def test_fused_matches_oracle_int8():
     cache = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
     for li in (0, 2):
         got = decode_attend_layer(
-            q, cache, seg, kg, vg, gv, jnp.int32(li)
+            q, cache, seg, {"k": kg, "v": vg}, gv, jnp.int32(li)
         )
         want = _decode_attend(
             q, kq[li], vq[li], kg[li], vg[li], seg, gv,
@@ -85,7 +85,7 @@ def test_fused_non_aligned_and_short_prompt():
     for sp in (130, 256, 300):
         q, kp, vp, kg, vg, seg, gv = _setup(seed=2, sp=sp, layers=2)
         got = decode_attend_layer(
-            q, {"k": kp, "v": vp}, seg, kg, vg, gv, jnp.int32(1)
+            q, {"k": kp, "v": vp}, seg, {"k": kg, "v": vg}, gv, jnp.int32(1)
         )
         want = _oracle(q, kp, vp, kg, vg, seg, gv, 1, quant=False)
         _assert_close(got, want)
@@ -98,7 +98,7 @@ def test_fused_single_gen_slot():
         (2, 1), bool
     )
     got = decode_attend_layer(
-        q, {"k": kp, "v": vp}, seg, kg, vg, gv, jnp.int32(0)
+        q, {"k": kp, "v": vp}, seg, {"k": kg, "v": vg}, gv, jnp.int32(0)
     )
     want = _oracle(q, kp, vp, kg, vg, seg, gv, 0, quant=False)
     _assert_close(got, want)
@@ -112,10 +112,30 @@ def test_fused_inside_scan():
 
     def body(li, _):
         return li + 1, decode_attend_layer(
-            q, cache, seg, kg, vg, gv, li
+            q, cache, seg, {"k": kg, "v": vg}, gv, li
         )
 
     _, outs = jax.lax.scan(body, jnp.int32(0), None, length=3)
     for li in range(3):
         want = _oracle(q, kp, vp, kg, vg, seg, gv, li, quant=False)
         _assert_close(outs[li], want)
+
+
+def test_fused_int8_gen_cache():
+    """Quantized generated cache (int8 values + per-(head, slot) scales)
+    through the kernel vs the oracle with the same quantized gen."""
+    q, kp, vp, kg, vg, seg, gv = _setup(seed=5)
+    kq, ks = _quantize_kv(kp)
+    vq, vs = _quantize_kv(vp)
+    gkq, gks = _quantize_kv(kg)
+    gvq, gvs = _quantize_kv(vg)
+    pc = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+    gc = {"k": gkq, "v": gvq, "k_scale": gks, "v_scale": gvs}
+    for li in (0, 2):
+        got = decode_attend_layer(q, pc, seg, gc, gv, jnp.int32(li))
+        want = _decode_attend(
+            q, kq[li], vq[li], gkq[li], gvq[li], seg, gv,
+            kp_scale=ks[li], vp_scale=vs[li],
+            kg_scale=gks[li], vg_scale=gvs[li],
+        )
+        _assert_close(got, want)
