@@ -112,6 +112,11 @@ class LlavaConfig:
     vision_tower_type: str = "vit"  # vit (CLIP/SigLIP/Intern) | radio
     radio_pixel_unshuffle: int = 0  # 0/1 off; 2 = 4x token reduction
     radio_skip_final_norm: bool = False
+    # vocab-extension flags recorded in the checkpoint config (reference
+    # llava/model/builder.py:89-96 re-adds these tokens at eval load;
+    # models/vocab.py holds the mean-init resize)
+    mm_use_im_start_end: bool = False
+    mm_use_im_patch_token: bool = False
 
     @property
     def vision_feature_size(self) -> int:

@@ -42,6 +42,18 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--answers-file", required=True)
+    # slice-level eval parallelism (replaces the reference's one-
+    # process-per-GPU fanout, eval_hall/model_vqa_loader.py:19-27):
+    # decode sharded over a {data, model} device mesh. --mesh-data N
+    # splits the batch over N chips; --mesh-model M > 1 adds tensor
+    # parallelism for weights too big per chip (13B+).
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel mesh axis (0 = no mesh)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel mesh axis")
+    p.add_argument("--prefetch-workers", type=int, default=4,
+                   help="host image-preprocess threads overlapped with "
+                        "device decode (0 = serial)")
 
 
 def _build_generator(args):
@@ -51,14 +63,30 @@ def _build_generator(args):
     from halva_tpu.mm_utils import clip_vit_l_336_processor
     from halva_tpu.models.builder import load_pretrained_model
 
+    tok_src = args.tokenizer or args.model_base or args.model_path
+    tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
+    # tokenizer passes through the loader so mm_use_im_start_end
+    # checkpoints get their token re-add + mean-init embedding resize
+    # (reference llava/model/builder.py:89-96)
     params, cfg = load_pretrained_model(
         args.model_path,
         args.model_base,
         vision_tower_path=args.vision_tower_path,
         quant=args.quant,
+        tokenizer=tokenizer,
     )
-    tok_src = args.tokenizer or args.model_base or args.model_path
-    tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
+    mesh = None
+    if getattr(args, "mesh_data", 0):
+        from halva_tpu.parallel.mesh import make_mesh
+
+        import jax
+
+        n = args.mesh_data * args.mesh_model
+        mesh = make_mesh(
+            data=args.mesh_data,
+            model=args.mesh_model,
+            devices=jax.devices()[:n],
+        )
     return BatchedGenerator(
         params,
         cfg,
@@ -69,6 +97,8 @@ def _build_generator(args):
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
         top_p=args.top_p,
+        mesh=mesh,
+        prefetch_workers=getattr(args, "prefetch_workers", 0),
     )
 
 

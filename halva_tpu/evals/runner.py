@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import time
 import uuid
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
@@ -98,7 +99,23 @@ class BatchedGenerator:
         temperature: float = 0.0,
         top_p: float = 1.0,
         seed: int = 0,
+        mesh=None,
+        prefetch_workers: int = 0,
     ):
+        if mesh is not None:
+            dp = mesh.shape.get("data", 1)
+            if batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide the mesh "
+                    f"data axis ({dp})"
+                )
+            from halva_tpu.parallel import partition
+
+            # place weights once: replicated over "data", TP over
+            # "model" (partition.EVAL_LOGICAL_TO_MESH)
+            params = partition.eval_shard_params(params, mesh)
+        self.mesh = mesh
+        self.prefetch_workers = prefetch_workers
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -114,21 +131,58 @@ class BatchedGenerator:
         self.seed = seed
         self.eos_id = tokenizer.eos_token_id
 
-    def _encode(self, req: EvalRequest):
-        with_image = req.image_path is not None
+    def _tokenize(self, req: EvalRequest):
         prompt = build_prompt(
-            req.text, self.template, with_image=with_image
+            req.text,
+            self.template,
+            mm_use_im_start_end=getattr(
+                self.cfg, "mm_use_im_start_end", False
+            ),
+            with_image=req.image_path is not None,
         )
-        ids = tokenizer_image_token(prompt, self.tok)
-        if with_image:
+        return tokenizer_image_token(prompt, self.tok)
+
+    def _load_image(self, req: EvalRequest):
+        if req.image_path is not None:
             img = Image.open(req.image_path).convert("RGB")
-            pixels = process_images([img], self.proc, self.aspect)[0]
+            return process_images([img], self.proc, self.aspect)[0]
+        # text-only: zero image; the splice masks the image block for
+        # rows without the sentinel
+        sz = self.proc.crop_size
+        return np.zeros((3, sz, sz), np.float32)
+
+    def _build_batch(self, requests, ids_all, idxs, pool):
+        """Host work for one batch: image decode + pad. Tail batches pad
+        with DEAD rows (prompt_length 0, zero image) — generate() marks
+        them done at step 0, so no real row is ever decoded twice
+        (replaces the old tile-the-last-row padding: up to B-1 duplicate
+        decodes on short eval sets like MMHal's 96 questions)."""
+        t0 = time.perf_counter()
+        if pool is not None:
+            imgs_l = list(
+                pool.map(lambda i: self._load_image(requests[i]), idxs)
+            )
         else:
-            # text-only: zero image; the splice masks the image block for
-            # rows without the sentinel
-            sz = self.proc.crop_size
-            pixels = np.zeros((3, sz, sz), np.float32)
-        return ids, pixels
+            imgs_l = [self._load_image(requests[i]) for i in idxs]
+        ids_list = [ids_all[i] for i in idxs]
+        lens = np.array([len(x) for x in ids_list], np.int32)
+        tgt = -(-int(lens.max()) // self.bucket) * self.bucket
+        batch_ids = np.zeros((len(idxs), tgt), np.int32)
+        for j, ids in enumerate(ids_list):
+            batch_ids[j, : len(ids)] = ids
+        imgs = np.stack(imgs_l).astype(np.float32)
+        nb = self.batch_size
+        if len(idxs) < nb:
+            pad = nb - len(idxs)
+            batch_ids = np.concatenate(
+                [batch_ids, np.zeros((pad, tgt), np.int32)]
+            )
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)]
+            )
+            lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+        host_s = time.perf_counter() - t0
+        return idxs, batch_ids, imgs, lens, host_s
 
     def run(
         self,
@@ -137,59 +191,83 @@ class BatchedGenerator:
     ) -> List[str]:
         """Greedy-decode all requests; returns text per request (input
         order). Batches are filled in length-sorted order so each compiled
-        (bucket, batch) program is reused maximally."""
-        encoded = [self._encode(r) for r in requests]
-        order = sorted(
-            range(len(requests)), key=lambda i: len(encoded[i][0])
-        )
+        (bucket, batch) program is reused maximally. With
+        prefetch_workers > 0, per-batch host work (PIL decode + resize +
+        normalize) runs in a lookahead thread (+ an image thread pool) so
+        it overlaps device decode; stats land in self.last_stats."""
+        import jax as _jax
+
+        from halva_tpu.utils.prefetch import prefetch
+
+        # tokenization is cheap and the length sort needs every length
+        # up front; image decode (the expensive part) stays per-batch
+        ids_all = [self._tokenize(r) for r in requests]
+        order = sorted(range(len(requests)), key=lambda i: len(ids_all[i]))
         results: List[Optional[str]] = [None] * len(requests)
 
+        pool = None
+        if self.prefetch_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.prefetch_workers)
+
+        batches = [
+            order[s : s + self.batch_size]
+            for s in range(0, len(order), self.batch_size)
+        ]
+        it = (
+            self._build_batch(requests, ids_all, idxs, pool)
+            for idxs in batches
+        )
+        if self.prefetch_workers > 0:
+            it = prefetch(it, depth=2)
+
         stop = get_template(self.template).stop_str()
-        for start in range(0, len(order), self.batch_size):
-            idxs = order[start : start + self.batch_size]
-            ids_list = [encoded[i][0] for i in idxs]
-            imgs = np.stack([encoded[i][1] for i in idxs])
-            lens = np.array([len(x) for x in ids_list], np.int32)
-            tgt = -(-int(lens.max()) // self.bucket) * self.bucket
-            batch_ids = np.zeros((len(idxs), tgt), np.int32)
-            for j, ids in enumerate(ids_list):
-                batch_ids[j, : len(ids)] = ids
-            # pad the batch to full batch_size so one program serves all
-            nb = self.batch_size
-            if len(idxs) < nb:
-                pad = nb - len(idxs)
-                batch_ids = np.concatenate(
-                    [batch_ids, np.tile(batch_ids[-1:], (pad, 1))]
+        host_s = device_s = 0.0
+        try:
+            for bi, (idxs, batch_ids, imgs, lens, bh) in enumerate(it):
+                host_s += bh
+                t0 = time.perf_counter()
+                tokens, num = generate(
+                    self.params,
+                    self.cfg,
+                    jnp.asarray(batch_ids),
+                    jnp.asarray(imgs),
+                    jnp.asarray(lens),
+                    max_new_tokens=self.max_new_tokens,
+                    eos_id=self.eos_id,
+                    attn_impl=self.attn_impl,
+                    temperature=self.temperature,
+                    top_p=self.top_p,
+                    rng=_jax.random.PRNGKey(
+                        self.seed + bi * self.batch_size
+                    ),
+                    mesh=self.mesh,
                 )
-                imgs = np.concatenate([imgs, np.tile(imgs[-1:], (pad, 1, 1, 1))])
-                lens = np.concatenate([lens, np.tile(lens[-1:], pad)])
-
-            import jax as _jax
-
-            tokens, num = generate(
-                self.params,
-                self.cfg,
-                jnp.asarray(batch_ids),
-                jnp.asarray(imgs.astype(np.float32)),
-                jnp.asarray(lens),
-                max_new_tokens=self.max_new_tokens,
-                eos_id=self.eos_id,
-                attn_impl=self.attn_impl,
-                temperature=self.temperature,
-                top_p=self.top_p,
-                rng=_jax.random.PRNGKey(self.seed + start),
-            )
-            texts = decode_tokens(
-                np.asarray(tokens),
-                np.asarray(num),
-                self.tok,
-                self.eos_id,
-                stop_strs=(stop,),
-            )
-            for j, i in enumerate(idxs):
-                results[i] = texts[j]
-                if on_result:
-                    on_result(requests[i], texts[j])
+                tokens = np.asarray(tokens)  # host readback = fence
+                device_s += time.perf_counter() - t0
+                texts = decode_tokens(
+                    tokens,
+                    np.asarray(num),
+                    self.tok,
+                    self.eos_id,
+                    stop_strs=(stop,),
+                )
+                for j, i in enumerate(idxs):
+                    results[i] = texts[j]
+                    if on_result:
+                        on_result(requests[i], texts[j])
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+        n = max(1, len(requests))
+        self.last_stats = {
+            "host_ms_per_img": round(host_s / n * 1e3, 2),
+            "device_ms_per_img": round(device_s / n * 1e3, 2),
+            "host_s": round(host_s, 3),
+            "device_s": round(device_s, 3),
+            "overlapped": self.prefetch_workers > 0,
+        }
         return [r if r is not None else "" for r in results]
 
 

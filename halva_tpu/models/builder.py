@@ -63,11 +63,16 @@ def load_hf_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
 
 
 def config_from_hf(model_dir: str) -> LlavaConfig:
+    import dataclasses
+
     with open(os.path.join(model_dir, "config.json")) as f:
         hf = json.load(f)
-    if hf.get("hidden_size") == 5120:
-        return LLAVA_V15_13B
-    return LLAVA_V15_7B
+    cfg = LLAVA_V15_13B if hf.get("hidden_size") == 5120 else LLAVA_V15_7B
+    return dataclasses.replace(
+        cfg,
+        mm_use_im_start_end=bool(hf.get("mm_use_im_start_end", False)),
+        mm_use_im_patch_token=bool(hf.get("mm_use_im_patch_token", False)),
+    )
 
 
 def llava_params_from_hf(
@@ -227,12 +232,19 @@ def load_pretrained_model(
     dtype=jnp.bfloat16,
     vision_tower_path: Optional[str] = None,
     quant: str = "none",  # none | int8 (host-side, pre-transfer)
+    tokenizer=None,
 ) -> Tuple[Params, LlavaConfig]:
     """The reference's eval loader contract (builder.py:11):
 
     - model_base given (LoRA checkpoint): load base, apply
       non_lora_trainables + PEFT adapter (or our adapter.npz), merge.
     - else: plain full checkpoint.
+
+    With `tokenizer` given, checkpoints whose config records
+    mm_use_im_start_end / mm_use_im_patch_token get the reference eval
+    loader's token re-add + mean-init embedding resize
+    (llava/model/builder.py:89-96 -> models/vocab.py), BEFORE any
+    quantization.
     """
     if model_base is not None:
         cfg = config_from_hf(model_base)
@@ -272,6 +284,18 @@ def load_pretrained_model(
                 "checkpoint has no vision tower; pass vision_tower_path"
             )
         params = attach_vision_tower(params, vision_tower_path, cfg)
+    if tokenizer is not None and (
+        cfg.mm_use_im_start_end or cfg.mm_use_im_patch_token
+    ):
+        from halva_tpu.models.vocab import extend_tokenizer_and_embeddings
+
+        params, cfg, _ = extend_tokenizer_and_embeddings(
+            params,
+            cfg,
+            tokenizer,
+            mm_use_im_patch_token=cfg.mm_use_im_patch_token,
+            mm_use_im_start_end=cfg.mm_use_im_start_end,
+        )
     if quant == "int8":
         # quantize on HOST before any device transfer (the device cannot
         # hold bf16 + int8 trees at once; see quantize_params_host note)

@@ -406,7 +406,15 @@ def init_gen_cache(
     """Head-major (L, B, KVH, Sg, Dh), matching the prompt cache (see
     prefill) so the fused decode kernel consumes both uniformly.
     quantized: int8 values + per-(head, slot) scales — halves gen-cache
-    decode traffic (3.8 GB/step at llava-7b b56 Sg=128 bf16)."""
+    decode traffic (3.8 GB/step at llava-7b b56 Sg=128 bf16).
+
+    Sg is max_new rounded UP to a 32-multiple: the fused decode kernel
+    reads the gen cache as one block with Sg as the sublane dim, and
+    Mosaic tiles sublanes at 8 (f32) / 16 (bf16) / 32 (int8) — an
+    unaligned caller-chosen max_new would only surface on real TPU
+    (CPU tests run in interpret mode). Padded slots stay gen_valid=False
+    (decode_step masks slots > step)."""
+    max_new = -(-max_new // 32) * 32
     shape = (cfg.num_layers, batch, cfg.kv_heads, max_new, cfg.head_size)
     if quantized:
         sshape = shape[:-1]
@@ -502,11 +510,11 @@ def prefill(
     else:
         k_all, v_all = cache_out
         cache = {"k": k_all, "v": v_all}
-    # NOTE: on single-chip TPU the caller (ops/generate.py) pins these
-    # outputs to row-major via jit out_shardings — XLA's layout
-    # assignment otherwise picks a permuted physical layout for the
-    # head-major int8 cache and the decode program pays a whole-cache
-    # relayout copy (measured compile OOM, 16.97/15.75G at b24)
+    # NOTE: in production the cache never crosses a jit boundary —
+    # ops/generate.py compiles prefill+decode as ONE program (its
+    # docstring records the two-program layout-mismatch failure mode).
+    # The standalone _prefill_phase jit is diagnostics/tests only and
+    # pins no layouts.
     return hidden, cache
 
 
@@ -579,6 +587,7 @@ def decode_step(
     prompt_seg: jnp.ndarray,  # (B, Sp) 0 = padding
     gen_cache: Params,  # carried {k,v}: (L, B, Sg, KVH, Dh)
     step: jnp.ndarray,  # () int32 decode step (gen slot to write)
+    allow_fused: bool = True,
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over the split cache: returns (fp32 logits (B, V),
     updated gen cache). The new token is written at gen slot `step`
@@ -590,7 +599,12 @@ def decode_step(
     a per-layer XLA dynamic-slice cannot fuse into a Pallas custom call
     and materialized 96MB copies per layer (measured +16 ms/step at
     llava-7b b24). The XLA oracle (_decode_attend) remains the GQA/CPU
-    path; set HALVA_DECODE_ATTN=xla to force it on TPU."""
+    path; set HALVA_DECODE_ATTN=xla to force it on TPU.
+
+    allow_fused=False forces the XLA path regardless of env/backend —
+    required when the step runs under a tensor-parallel mesh with
+    sharding propagation (a Pallas custom call cannot be SPMD-
+    partitioned; ops/generate.py sets this for model>1 meshes)."""
     import os
 
     b = token_embeds.shape[0]
@@ -606,6 +620,7 @@ def decode_step(
     quantized = "k_scale" in prompt_cache
     fused = (
         kvh == h_
+        and allow_fused
         and jax.default_backend() == "tpu"
         and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     )
@@ -614,7 +629,12 @@ def decode_step(
     # streams int4 blocks from the stacked arrays via the layer index
     # (an XLA per-layer slice would materialize, like the KV case).
     w4 = "kernel_q4p" in params["layers"]["attn"]["wq"]
-    if w4 and (kvh == h_):
+    # HALVA_DECODE_ATTN=xla must reach the w4 path too: fall back to the
+    # generic scan (dense() handles kernel_q4p; attention uses the XLA
+    # oracle) so int4 serving retains the kernel escape hatch
+    if w4 and (kvh == h_) and allow_fused and (
+        os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
+    ):
         return _decode_step_w4(
             params, cfg, token_embeds, positions, prompt_cache,
             prompt_seg, gen_cache, step, cos, sin, gen_valid,

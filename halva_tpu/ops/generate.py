@@ -27,12 +27,33 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from halva_tpu.config import LlavaConfig
 from halva_tpu.constants import IMAGE_TOKEN_INDEX
 from halva_tpu.models import llama, llava
 
 Params = Dict[str, Any]
+
+
+def _cache_constraint(cache: Params, kv_heads: int, mesh: Mesh) -> Params:
+    """Pin KV-cache shardings under a mesh: batch over "data", heads over
+    "model" (when it divides), everything else replicated. Applied inside
+    the jit so XLA's propagation cannot replicate the (large) cache."""
+    model_n = mesh.shape.get("model", 1)
+    hax = "model" if model_n > 1 and kv_heads % model_n == 0 else None
+    out = {}
+    for kk, vv in cache.items():
+        if vv.ndim == 5:  # (L, B, H, S, D)
+            spec = P(None, "data", hax, None, None)
+        elif vv.ndim == 4:  # scales (L, B, H, S)
+            spec = P(None, "data", hax, None)
+        else:
+            spec = P()
+        out[kk] = jax.lax.with_sharding_constraint(
+            vv, NamedSharding(mesh, spec)
+        )
+    return out
 
 
 class GenState(NamedTuple):
@@ -88,6 +109,24 @@ def _prefill_impl(
     return first_tok, first_logits, spliced_len, prompt_cache, sp.segment_ids
 
 
+_JIT_CACHE_MAX = 16
+
+
+def _cached_jit(cache: Dict[Any, Any], key, make):
+    """Bounded insertion-order jit cache: long-lived serving processes
+    that vary (batch, bucket, max_new) would otherwise accumulate
+    compiled executables forever (round-2 advisor finding). Eviction
+    drops the oldest entry; jax's own executable cache may still serve
+    a retrace cheaply."""
+    fn = cache.get(key)
+    if fn is None:
+        while len(cache) >= _JIT_CACHE_MAX:
+            cache.pop(next(iter(cache)))
+        fn = make()
+        cache[key] = fn
+    return fn
+
+
 _PREFILL_JITS: Dict[Any, Any] = {}
 
 
@@ -110,15 +149,15 @@ def _prefill_phase(
         cfg, max_new_tokens, attn_impl, kv_quant,
         input_ids.shape, images.shape,
     )
-    fn = _PREFILL_JITS.get(key)
-    if fn is None:
+    def make():
         def impl(p, ids, im, lens):
             return _prefill_impl(
                 p, cfg, ids, im, lens, max_new_tokens, attn_impl, kv_quant
             )
 
-        fn = jax.jit(impl)
-        _PREFILL_JITS[key] = fn
+        return jax.jit(impl)
+
+    fn = _cached_jit(_PREFILL_JITS, key, make)
     return fn(params, input_ids, images, prompt_lengths)
 
 
@@ -153,6 +192,8 @@ def _decode_impl(
     temperature: float = 0.0,
     top_p: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
+    mesh: Optional[Mesh] = None,
+    allow_fused: bool = True,
 ):
     b = first_tok.shape[0]
     if rng is None:
@@ -167,13 +208,19 @@ def _decode_impl(
         dtype=prompt_cache["k"].dtype if not quant else jnp.bfloat16,
         quantized=quant,
     )
+    if mesh is not None:
+        gen_cache = _cache_constraint(gen_cache, cfg.llm.kv_heads, mesh)
 
     init = GenState(
         step=jnp.int32(0),
         tokens=jnp.zeros((b, max_new_tokens), jnp.int32),
         cur=first_tok,
         lengths=spliced_len,
-        done=jnp.zeros((b,), bool),
+        # dead rows (prompt_length 0 => spliced_len 0, segment ids all
+        # zero) start done and emit eos immediately: the tail-batch pad
+        # rows cost no extra decode steps and never tile a real row
+        # (BatchedGenerator pads with zero rows)
+        done=spliced_len == 0,
         gen_cache=gen_cache,
     )
 
@@ -198,6 +245,7 @@ def _decode_impl(
             prompt_seg,
             st.gen_cache,
             st.step,
+            allow_fused=allow_fused,
         )
         step_key = jax.random.fold_in(rng, st.step)
         nxt = _select_token(logits, temperature, top_p, step_key)
@@ -239,20 +287,103 @@ def _decode_phase(
         first_tok.shape, prompt_seg.shape,
         "k_scale" in prompt_cache, rng is None,
     )
-    fn = _DECODE_JITS.get(key)
-    if fn is None:
+    def make():
         def impl(p, ft, sl, pc, ps, r):
             return _decode_impl(
                 p, cfg, ft, sl, pc, ps, max_new_tokens, eos_id,
                 temperature, top_p, r,
             )
 
-        fn = jax.jit(impl, donate_argnums=(3,))
-        _DECODE_JITS[key] = fn
+        return jax.jit(impl, donate_argnums=(3,))
+
+    fn = _cached_jit(_DECODE_JITS, key, make)
     return fn(params, first_tok, spliced_len, prompt_cache, prompt_seg, rng)
 
 
 _GENERATE_JITS: Dict[Any, Any] = {}
+
+
+def build_generate_impl(
+    cfg: LlavaConfig,
+    max_new_tokens: int,
+    eos_id: int,
+    attn_impl: str = "auto",
+    kv_quant: bool = False,
+    temperature: float = 0.0,
+    top_p: float = 1.0,
+    mesh: Optional[Mesh] = None,
+):
+    """The un-jitted one-program generate body
+    (params, ids, images, lens, rng) -> (tokens, num_generated).
+
+    With a mesh whose "model" axis > 1 (tensor parallelism), the Pallas
+    kernels are bypassed (attn_impl forced to "xla", decode allow_fused
+    False — a Pallas custom call cannot be SPMD-partitioned) and
+    KV-cache shardings are pinned batch-over-"data", heads-over-"model".
+    Exported so __graft_entry__ can AOT-lower the FULL generate program
+    on a virtual mesh."""
+    tp = mesh is not None and mesh.shape.get("model", 1) > 1
+    eff_attn = "xla" if tp else attn_impl
+    allow_fused = not tp
+
+    def impl(p, ids, im, lens, r):
+        ft, fl, sl, pc, ps = _prefill_impl(
+            p, cfg, ids, im, lens, max_new_tokens, eff_attn, kv_quant,
+        )
+        # cache constraints only make sense for the TP sharding-
+        # propagation program; in the data-only mode the body runs
+        # per-shard under shard_map where every mesh axis is manual
+        if tp:
+            pc = _cache_constraint(pc, cfg.llm.kv_heads, mesh)
+        if temperature > 0.0:
+            ft = _select_token(
+                fl, temperature, top_p,
+                jax.random.fold_in(r, 0x7FFFFFFF),
+            )
+        return _decode_impl(
+            p, cfg, ft, sl, pc, ps, max_new_tokens, eos_id,
+            temperature, top_p, r,
+            mesh=mesh if tp else None, allow_fused=allow_fused,
+        )
+
+    return impl
+
+
+def _make_sharded_generate(params, cfg, impl, mesh: Mesh):
+    """jit the generate body over a mesh.
+
+    model == 1 (pure eval data parallelism — the TPU-native replacement
+    for the reference's one-process-per-GPU fanout): shard_map over
+    "data" with replicated weights. Each data shard runs the complete
+    single-chip program — including the fused Pallas decode kernel —
+    on its batch slice; zero cross-device communication, and each
+    shard's decode while_loop exits as soon as ITS rows hit EOS.
+
+    model > 1 (13B+ class, weights too big per chip): sharding-
+    propagation jit with TP in_shardings from
+    partition.eval_param_shardings; XLA inserts the collectives."""
+    from halva_tpu.parallel import partition
+
+    dp = mesh.shape.get("data", 1)
+    tp = mesh.shape.get("model", 1) > 1
+    if not tp:
+        pspec = jax.tree.map(lambda _: P(), params)
+        shmapped = jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(pspec, P("data"), P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )
+        return jax.jit(shmapped), dp
+    in_sh = (
+        partition.eval_param_shardings(params, mesh),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P()),
+    )
+    return jax.jit(impl, in_shardings=in_sh), dp
 
 
 def generate(
@@ -268,6 +399,7 @@ def generate(
     top_p: float = 1.0,
     rng: Optional[jnp.ndarray] = None,
     kv_quant: bool = False,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens (B, max_new), num_generated (B,)).
 
@@ -288,7 +420,16 @@ def generate(
 
     temperature 0 = greedy (the reference's do_sample=temperature>0
     convention); otherwise nucleus sampling with `top_p`. Rows stop at
-    EOS; finished rows keep emitting eos_id (callers trim).
+    EOS; finished rows keep emitting eos_id (callers trim). Rows with
+    prompt_length 0 are DEAD rows: they emit eos immediately (the
+    batched runner pads tail batches with them).
+
+    mesh: run the decode sharded across a {data[, model]} device mesh —
+    the slice-level eval parallelism replacing the reference's
+    one-process-per-GPU fanout (eval_hall/model_vqa_loader.py:19-27,
+    SURVEY.md §2.5 eval-DP). Batch must divide the "data" axis. Greedy
+    tokens are bit-identical to the single-device program (CPU-mesh
+    parity test: tests/test_generate_mesh.py).
 
     NOTE: the first sampled/greedy token comes from the prefill phase
     argmax; under sampling the first generated token is also sampled.
@@ -297,27 +438,25 @@ def generate(
         rng = jax.random.PRNGKey(0)
     key = (
         cfg, max_new_tokens, eos_id, attn_impl, kv_quant, temperature,
-        top_p, input_ids.shape, images.shape,
+        top_p, input_ids.shape, images.shape, mesh,
     )
-    fn = _GENERATE_JITS.get(key)
-    if fn is None:
-        def impl(p, ids, im, lens, r):
-            ft, fl, sl, pc, ps = _prefill_impl(
-                p, cfg, ids, im, lens, max_new_tokens, attn_impl,
-                kv_quant,
-            )
-            if temperature > 0.0:
-                ft = _select_token(
-                    fl, temperature, top_p,
-                    jax.random.fold_in(r, 0x7FFFFFFF),
-                )
-            return _decode_impl(
-                p, cfg, ft, sl, pc, ps, max_new_tokens, eos_id,
-                temperature, top_p, r,
-            )
 
-        fn = jax.jit(impl)
-        _GENERATE_JITS[key] = fn
+    def make():
+        impl = build_generate_impl(
+            cfg, max_new_tokens, eos_id, attn_impl, kv_quant,
+            temperature, top_p, mesh,
+        )
+        if mesh is None:
+            return jax.jit(impl)
+        fn, dp = _make_sharded_generate(params, cfg, impl, mesh)
+        if input_ids.shape[0] % dp != 0:
+            raise ValueError(
+                f"batch {input_ids.shape[0]} must divide the mesh "
+                f"data axis ({dp})"
+            )
+        return fn
+
+    fn = _cached_jit(_GENERATE_JITS, key, make)
     return fn(params, input_ids, images, prompt_lengths, rng)
 
 

@@ -67,6 +67,22 @@ LOGICAL_TO_MESH = {
     "patch": None,
 }
 
+# Eval/serving-time mapping: no FSDP (decode re-reads every weight every
+# step — FSDP would all-gather the full model per token), weights
+# replicated across "data" and TP-split over "model". This is the
+# "weights replicated-or-TP" plan for mesh-sharded batched eval decode
+# (SURVEY.md §2.5 eval-DP; replaces the reference's one-process-per-GPU
+# fanout, eval_hall/model_vqa_loader.py:19-27).
+EVAL_LOGICAL_TO_MESH = {
+    "embed": None,
+    "heads": MODEL_AXIS,
+    "mlp": MODEL_AXIS,
+    "vocab": MODEL_AXIS,
+    "layers": None,
+    "lora": None,
+    "patch": None,
+}
+
 
 def _flatten_with_paths(tree):
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -95,14 +111,18 @@ def logical_axes_for_path(path: str, ndim: int) -> Optional[Tuple]:
 
 
 def pspec_for(
-    path: str, shape: Tuple[int, ...], mesh: Mesh
+    path: str,
+    shape: Tuple[int, ...],
+    mesh: Mesh,
+    logical_to_mesh: Optional[Dict[str, Any]] = None,
 ) -> P:
     axes = logical_axes_for_path(path, len(shape))
     if axes is None:
         return P()
+    mapping = logical_to_mesh or LOGICAL_TO_MESH
     spec = []
     for dim, logical in zip(shape, axes):
-        mesh_axis = LOGICAL_TO_MESH.get(logical)
+        mesh_axis = mapping.get(logical)
         if mesh_axis is None:
             spec.append(None)
         elif dim % mesh.shape[mesh_axis] == 0:
@@ -138,7 +158,11 @@ def replication_fallbacks(params: Params, mesh: Mesh):
     return out
 
 
-def param_pspecs(params: Params, mesh: Mesh) -> Params:
+def param_pspecs(
+    params: Params,
+    mesh: Mesh,
+    logical_to_mesh: Optional[Dict[str, Any]] = None,
+) -> Params:
     """PartitionSpec tree matching the param tree."""
     flat = jax.tree_util.tree_flatten_with_path(params)
 
@@ -150,23 +174,43 @@ def param_pspecs(params: Params, mesh: Mesh) -> Params:
             elif hasattr(k, "idx"):
                 parts.append(str(k.idx))
         path = "/".join(parts)
-        return pspec_for(path, np.shape(leaf), mesh)
+        return pspec_for(path, np.shape(leaf), mesh, logical_to_mesh)
 
     leaves = [make(kp, leaf) for kp, leaf in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
 
 
-def param_shardings(params: Params, mesh: Mesh) -> Params:
+def param_shardings(
+    params: Params,
+    mesh: Mesh,
+    logical_to_mesh: Optional[Dict[str, Any]] = None,
+) -> Params:
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        param_pspecs(params, mesh),
+        param_pspecs(params, mesh, logical_to_mesh),
         is_leaf=lambda x: isinstance(x, P),
     )
+
+
+def eval_param_pspecs(params: Params, mesh: Mesh) -> Params:
+    """Serving plan: replicated over "data", TP over "model"."""
+    return param_pspecs(params, mesh, EVAL_LOGICAL_TO_MESH)
+
+
+def eval_param_shardings(params: Params, mesh: Mesh) -> Params:
+    return param_shardings(params, mesh, EVAL_LOGICAL_TO_MESH)
 
 
 def shard_params(params: Params, mesh: Mesh) -> Params:
     """Place a host param tree onto the mesh with FSDP/TP shardings."""
     shardings = param_shardings(params, mesh)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def eval_shard_params(params: Params, mesh: Mesh) -> Params:
+    """Place a host param tree onto the mesh with the serving plan
+    (replicated over "data", TP over "model" when it divides)."""
+    shardings = eval_param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, shardings)
 
 

@@ -71,11 +71,19 @@ class RunConfig:
     tune_mm_projector: bool = False
     model_max_length: Optional[int] = None  # RoPE linear ctx extension
     save_component_dirs: bool = False  # llm/ vision_tower/ mm_projector/
+    # vocab extension (reference initialize_vision_tokenizer,
+    # llava/model/llava_arch.py:398-440: add <im_start>/<im_end> (and
+    # optionally <im_patch>) with mean-init embedding rows)
+    mm_use_im_start_end: bool = False
+    mm_use_im_patch_token: bool = False
 
 
-def build_models(rcfg: RunConfig, cfg: LlavaConfig):
+def build_models(rcfg: RunConfig, cfg: LlavaConfig, tokenizer=None):
     """Base params (from a converted checkpoint dir, else random init for
-    smoke runs) + LoRA policy + frozen reference copy."""
+    smoke runs) + LoRA policy + frozen reference copy. Returns
+    (policy, base, cfg) — cfg may gain vocab rows when
+    mm_use_im_start_end/mm_use_im_patch_token extend the tokenizer
+    (models/vocab.py; reference llava_arch.py:398-440)."""
     dtype = jnp.bfloat16 if rcfg.dtype == "bfloat16" else jnp.float32
     if rcfg.model_path:
         like = jax.eval_shape(
@@ -85,13 +93,27 @@ def build_models(rcfg: RunConfig, cfg: LlavaConfig):
     else:
         log0("no model_path given — random init (smoke mode)")
         base = llava.init_params(jax.random.PRNGKey(0), cfg, dtype)
+    if tokenizer is not None and (
+        rcfg.mm_use_im_start_end or rcfg.mm_use_im_patch_token
+    ):
+        from halva_tpu.models.vocab import extend_tokenizer_and_embeddings
+
+        base, cfg, n_new = extend_tokenizer_and_embeddings(
+            base,
+            cfg,
+            tokenizer,
+            mm_use_im_patch_token=rcfg.mm_use_im_patch_token,
+            mm_use_im_start_end=rcfg.mm_use_im_start_end,
+        )
+        if n_new:
+            log0("vocab extended by %d tokens (mean-init rows)", n_new)
     policy = lora_lib.add_lora(
         base,
         jax.random.PRNGKey(rcfg.seed),
         rank=rcfg.lora_r,
         alpha=rcfg.lora_alpha,
     )
-    return policy, base  # ref model shares the base tree (frozen)
+    return policy, base, cfg  # ref model shares the base tree (frozen)
 
 
 def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
@@ -151,7 +173,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         num_train_steps=num_opt_steps,
     )
 
-    policy, _base = build_models(rcfg, cfg)
+    policy, _base, cfg = build_models(rcfg, cfg, tokenizer)
     extra_trainable = []
     if rcfg.tune_language_model:
         extra_trainable.append(r"^llm/")

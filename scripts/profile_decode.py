@@ -53,11 +53,22 @@ def main():
     max_new = 8 if args.variant == "sg8" else args.tokens
 
     if args.variant == "noattn":
+        # stub BOTH attention paths: on TPU MHA decode dispatches to the
+        # fused Pallas kernel (decode_attend_layer), not _decode_attend —
+        # stubbing only the XLA oracle would silently measure the full
+        # step (round-2 advisor finding)
         def stub_attend(q, kp, vp, kg, vg, prompt_seg, gen_valid,
-                        kp_scale=None, vp_scale=None):
+                        **scales):
             b, _, h, dh = q.shape
             return jnp.zeros((b, 1, h, dh), q.dtype) + q * 0.0
+
+        def stub_attend_layer(q, prompt_cache, prompt_seg, gen_cache=None,
+                              gen_valid=None, layer=None, **kw):
+            return q * 0.0
+
+        from halva_tpu.ops import decode_attention as da_mod
         llama._decode_attend = stub_attend
+        da_mod.decode_attend_layer = stub_attend_layer
     if args.variant == "nohead":
         real_lm_logits = llama.lm_logits
 
