@@ -291,3 +291,25 @@ PRESETS = {
     "vila-13b-384": VILA_13B_384,
     "llava-tiny": LLAVA_TINY,
 }
+
+
+# --------------------------------------------------------------------------
+# Serialization (per-component checkpoint metadata)
+#
+# The reference's VILA eval loader reconstructs a model from a saved
+# composite config (vila/model/builder_halva.py:39,
+# prepare_config_for_eval:260: nested llm_cfg/vision_tower_cfg/
+# mm_projector_cfg dicts in config.json). Here the whole LlavaConfig
+# round-trips through one JSON dict.
+# --------------------------------------------------------------------------
+
+
+def config_to_dict(cfg: LlavaConfig) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def llava_config_from_dict(d: dict) -> LlavaConfig:
+    d = dict(d)
+    llm = LlamaConfig(**d.pop("llm"))
+    vision = ViTConfig(**d.pop("vision"))
+    return LlavaConfig(llm=llm, vision=vision, **d)

@@ -23,7 +23,40 @@ from halva_tpu.evals.lemmatize import extract_nouns
 SynFn = Callable[[str, str], bool]
 
 
+def synonym_fn_from_table(table: Dict[str, List[str]]) -> SynFn:
+    """Precomputed synonym pairs -> SynFn. Format: {word: [synonyms]}
+    (symmetric closure taken here). This is how spaCy-parity is restored
+    in a no-network environment: run scripts/build_amber_synonyms.py
+    once on a machine with spacy/en_core_web_lg, ship the JSON, point
+    HALVA_AMBER_SYNONYMS at it. The table only needs the AMBER
+    hallucination vocabulary (~1k nouns), so it is a few hundred KB."""
+    pairs = set()
+    for w, syns in table.items():
+        for s in syns:
+            pairs.add((w, s))
+            pairs.add((s, w))
+
+    def fn(w1: str, w2: str) -> bool:
+        return (w1, w2) in pairs
+
+    return fn
+
+
+def load_synonym_table(path: str) -> SynFn:
+    with open(path, encoding="utf-8") as f:
+        return synonym_fn_from_table(json.load(f))
+
+
 def make_synonym_fn(similarity_score: float = 0.8) -> SynFn:
+    """Resolution order: HALVA_AMBER_SYNONYMS table file > live spaCy
+    word vectors (the reference's method, amber/inference.py:40-44) >
+    exact-match-only fallback. The fallback's metric drift is bounded by
+    tests/test_eval_metrics.py::test_amber_synonym_fallback_delta."""
+    import os
+
+    table_path = os.environ.get("HALVA_AMBER_SYNONYMS")
+    if table_path and os.path.exists(table_path):
+        return load_synonym_table(table_path)
     try:
         import spacy
 

@@ -236,6 +236,12 @@ def load_pretrained_model(
 ) -> Tuple[Params, LlavaConfig]:
     """The reference's eval loader contract (builder.py:11):
 
+    - model_path is a per-component dir (llm/ vision_tower/
+      mm_projector/ + config.json, written by train with
+      save_component_dirs=True): reconstruct config from the saved
+      metadata and load each component — the VILA eval-loader contract
+      (vila/model/builder_halva.py:39, prepare_config_for_eval:260)
+      with no `like=` template needed.
     - model_base given (LoRA checkpoint): load base, apply
       non_lora_trainables + PEFT adapter (or our adapter.npz), merge.
     - else: plain full checkpoint.
@@ -246,7 +252,12 @@ def load_pretrained_model(
     (llava/model/builder.py:89-96 -> models/vocab.py), BEFORE any
     quantization.
     """
-    if model_base is not None:
+    from halva_tpu.train import vila as vila_lib
+
+    if vila_lib.is_component_checkpoint(model_path):
+        cfg = vila_lib.load_component_config(model_path)
+        params = vila_lib.load_components(model_path)
+    elif model_base is not None:
         cfg = config_from_hf(model_base)
         params = llava_params_from_hf(load_hf_state_dict(model_base), cfg)
         nlt = os.path.join(model_path, "non_lora_trainables.bin")

@@ -325,7 +325,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         from halva_tpu.train import vila as vila_lib
 
         vila_lib.save_components(
-            os.path.join(rcfg.output_dir, "components"), final
+            os.path.join(rcfg.output_dir, "components"), final, cfg
         )
         log0("saved per-component checkpoints (llm/vision_tower/"
              "mm_projector)")

@@ -86,30 +86,60 @@ def context_length_extension(
     )
 
 
-def save_components(directory: str, params: Params) -> None:
-    """Per-component dirs: llm/ vision_tower/ mm_projector/."""
-    names = {
-        "llm": "llm",
-        "vision": "vision_tower",
-        "projector": "mm_projector",
-    }
-    for key, sub in names.items():
+_COMPONENT_DIRS = {
+    "llm": "llm",
+    "vision": "vision_tower",
+    "projector": "mm_projector",
+}
+
+
+def save_components(
+    directory: str, params: Params, cfg: Optional[LlavaConfig] = None
+) -> None:
+    """Per-component dirs llm/ vision_tower/ mm_projector/ (the VILA
+    save layout, vila/model/llava_arch.py:138-182) plus a config.json
+    so eval can reconstruct the model WITHOUT a pre-built param tree
+    (the reference's prepare_config_for_eval role,
+    vila/model/builder_halva.py:260)."""
+    for key, sub in _COMPONENT_DIRS.items():
         if key in params:
             ckpt_lib.save_params(
                 os.path.join(directory, sub), params[key]
             )
+    if cfg is not None:
+        import json
+
+        from halva_tpu.config import config_to_dict
+
+        with open(os.path.join(directory, "config.json"), "w") as f:
+            json.dump(
+                {"halva_tpu_config": config_to_dict(cfg)}, f, indent=1
+            )
+
+
+def is_component_checkpoint(directory: str) -> bool:
+    return os.path.isdir(os.path.join(directory, "llm")) and os.path.isdir(
+        os.path.join(directory, "mm_projector")
+    )
+
+
+def load_component_config(directory: str) -> LlavaConfig:
+    import json
+
+    from halva_tpu.config import llava_config_from_dict
+
+    with open(os.path.join(directory, "config.json")) as f:
+        d = json.load(f)
+    return llava_config_from_dict(d["halva_tpu_config"])
 
 
 def load_components(
     directory: str, like: Optional[Params] = None
 ) -> Params:
-    names = {
-        "llm": "llm",
-        "vision": "vision_tower",
-        "projector": "mm_projector",
-    }
+    """like=None restores exactly as saved (orbax keeps the tree
+    structure + dtypes) — the eval loader path needs no template."""
     out: Params = {}
-    for key, sub in names.items():
+    for key, sub in _COMPONENT_DIRS.items():
         p = os.path.join(directory, sub)
         if os.path.isdir(p):
             out[key] = ckpt_lib.load_params(

@@ -1,0 +1,233 @@
+"""Quantized-serving quality proxy at llava-7b shapes, on the real chip.
+
+The headline bench runs int4 weights + int8 KV; this script produces the
+quality evidence (round-2 verdict item 3): greedy top-1 token agreement
+and prefill logit KL of each quantized mode against the bf16 oracle,
+with every mode derived from the SAME host-seeded bf16 weights (random
+weights — no checkpoints are downloadable in this environment; the
+proxy measures the numeric damage of the quantizers, not model skill).
+
+Run each mode in its OWN process (device HBM is never freed on the axon
+relay platform), then the report:
+
+    python scripts/quant_quality.py --mode bf16
+    python scripts/quant_quality.py --mode int8
+    python scripts/quant_quality.py --mode int4
+    python scripts/quant_quality.py --mode nf4
+    python scripts/quant_quality.py --report
+
+Modes mirror the serving paths: int8 = weight-only per-channel
+(ops/quant.quantize_params_host); int4 = stacked packed-nibble LLM
+layers + int8 elsewhere (ops/w4_matmul serving layout); nf4 = NF4 code
+table on LLM layers (ops/quant.quantize_kernel_nf4). All runs use the
+serving config int8 prompt-KV cache.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+import numpy as np
+import jax.numpy as jnp
+
+from halva_tpu.config import LLAVA_V15_7B
+from halva_tpu.constants import IMAGE_TOKEN_INDEX
+
+OUT_DIR = os.environ.get("HALVA_QQ_DIR", "/tmp/halva_quant_quality")
+BATCH = 2
+N_PROMPTS = 8
+DECODE_TOKENS = 128
+NF4_CODE = None  # resolved lazily from ops.quant
+
+
+def host_bf16_tree(cfg, seed=0):
+    """Seeded bf16 weights built leaf-by-leaf ON HOST (np.random) so all
+    modes quantize identical values without touching the device."""
+    from halva_tpu.models import llava
+
+    struct = jax.eval_shape(
+        lambda: llava.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    )
+    flat, tree = jax.tree_util.tree_flatten(struct)
+    rng = np.random.RandomState(seed)
+    leaves = [
+        (rng.randn(*l.shape).astype(np.float32) * 0.02).astype(
+            jnp.bfloat16
+        )
+        for l in flat
+    ]
+    return jax.tree_util.tree_unflatten(tree, leaves)
+
+
+def _np_int4_stacked(w):
+    w32 = np.asarray(w, np.float32)
+    L, k, n = w32.shape
+    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
+    scale = np.where(absmax == 0.0, 1.0, absmax / 7.0)
+    q = np.clip(np.round(w32 / scale), -7, 7).astype(np.int32)
+    lo = q[:, :, : n // 2] & 0xF
+    hi = q[:, :, n // 2 :] & 0xF
+    packed = (hi << 4) | lo
+    packed_i8 = (packed - 256 * (packed > 127)).astype(np.int8)
+    s = scale.reshape(L, 1, 2, n // 2).transpose(0, 2, 1, 3)
+    return {
+        "kernel_q4p": packed_i8,
+        "kernel_scale4p": s.astype(jnp.bfloat16),
+    }
+
+
+def _np_nf4_stacked(w):
+    from halva_tpu.ops.quant import NF4_CODE as code_tuple
+
+    w32 = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
+    scale = np.where(absmax == 0, 1.0, absmax)
+    normed = w32 / scale
+    code = np.asarray(code_tuple, np.float32)
+    # bucketize via midpoints (argmin over 16 codes without a (…,16) blow-up)
+    mids = (code[1:] + code[:-1]) / 2
+    idx = np.digitize(normed, mids).astype(np.uint8)
+    return {
+        "kernel_q4": idx,
+        "kernel_scale4": scale.astype(jnp.bfloat16),
+    }
+
+
+def quantize_mode(host_tree, mode):
+    from halva_tpu.ops.quant import quantize_params_host
+
+    if mode == "bf16":
+        return host_tree
+    int8_tree = quantize_params_host(host_tree)
+    if mode == "int8":
+        return int8_tree
+
+    # int4 / nf4: re-derive the stacked 3D LLM kernels from the ORIGINAL
+    # bf16 values (not from int8)
+    def rewrite(orig, q):
+        if isinstance(q, dict):
+            if "kernel_q" in q and q["kernel_q"].ndim == 3:
+                w = orig["kernel"]
+                return (
+                    _np_int4_stacked(w)
+                    if mode == "int4"
+                    else _np_nf4_stacked(w)
+                )
+            return {
+                k: rewrite(orig.get(k) if isinstance(orig, dict) else None, v)
+                for k, v in q.items()
+            }
+        return q
+
+    return rewrite(host_tree, int8_tree)
+
+
+def make_inputs(cfg):
+    rng = np.random.RandomState(7)
+    prompt_len = 48
+    ids = rng.randint(5, 30000, (N_PROMPTS, prompt_len)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((N_PROMPTS,), prompt_len, np.int32)
+    images = rng.randn(
+        N_PROMPTS, 3, cfg.vision.image_size, cfg.vision.image_size
+    ).astype(np.float32)
+    return ids, images, lens
+
+
+def run_mode(mode):
+    from halva_tpu.models import llava  # noqa: F401 (host_bf16_tree)
+    from halva_tpu.ops import generate as gen_mod
+
+    cfg = LLAVA_V15_7B
+    host = host_bf16_tree(cfg)
+    params = jax.tree.map(jnp.asarray, quantize_mode(host, mode))
+    del host
+    ids, images, lens = make_inputs(cfg)
+
+    all_tokens, all_logits = [], []
+    for s in range(0, N_PROMPTS, BATCH):
+        bi = jnp.asarray(ids[s : s + BATCH])
+        bim = jnp.asarray(images[s : s + BATCH])
+        bl = jnp.asarray(lens[s : s + BATCH])
+        ft, fl, _, pc, ps = gen_mod._prefill_phase(
+            params, cfg, bi, bim, bl, DECODE_TOKENS, "auto", True
+        )
+        all_logits.append(np.asarray(fl, np.float32))
+        del ft, fl, pc, ps
+        toks, _ = gen_mod.generate_greedy(
+            params, cfg, bi, bim, bl,
+            max_new_tokens=DECODE_TOKENS, eos_id=-1, kv_quant=True,
+        )
+        all_tokens.append(np.asarray(toks))
+    os.makedirs(OUT_DIR, exist_ok=True)
+    np.savez(
+        os.path.join(OUT_DIR, f"{mode}.npz"),
+        tokens=np.concatenate(all_tokens),
+        logits=np.concatenate(all_logits),
+    )
+    print(f"{mode}: saved tokens+logits to {OUT_DIR}")
+
+
+def report():
+    base = np.load(os.path.join(OUT_DIR, "bf16.npz"))
+    bt, blog = base["tokens"], base["logits"]
+    blp = blog - np.log(
+        np.sum(np.exp(blog - blog.max(-1, keepdims=True)), -1, keepdims=True)
+    ) - blog.max(-1, keepdims=True)
+    out = {}
+    for mode in ("int8", "int4", "nf4"):
+        p = os.path.join(OUT_DIR, f"{mode}.npz")
+        if not os.path.exists(p):
+            continue
+        z = np.load(p)
+        t, lg = z["tokens"], z["logits"]
+        agree = float((t == bt).mean())
+        # first divergence step per row (DECODE_TOKENS if identical)
+        div = []
+        for r in range(t.shape[0]):
+            neq = np.nonzero(t[r] != bt[r])[0]
+            div.append(int(neq[0]) if len(neq) else t.shape[1])
+        mlp = lg - np.log(
+            np.sum(np.exp(lg - lg.max(-1, keepdims=True)), -1, keepdims=True)
+        ) - lg.max(-1, keepdims=True)
+        kl = float(np.mean(np.sum(np.exp(blp) * (blp - mlp), axis=-1)))
+        first_tok_agree = float(
+            (t[:, 0] == bt[:, 0]).mean()
+        )
+        out[mode] = {
+            "top1_agreement": round(agree, 4),
+            "first_token_agreement": round(first_tok_agree, 4),
+            "mean_first_divergence_step": round(
+                float(np.mean(div)), 1
+            ),
+            "prefill_logit_kl_vs_bf16": round(kl, 6),
+            "n_prompts": int(t.shape[0]),
+            "decode_tokens": int(t.shape[1]),
+        }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(OUT_DIR, "report.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["bf16", "int8", "int4", "nf4"])
+    ap.add_argument("--report", action="store_true")
+    args = ap.parse_args()
+    if args.report:
+        report()
+    else:
+        assert args.mode, "--mode or --report"
+        run_mode(args.mode)
+
+
+if __name__ == "__main__":
+    main()

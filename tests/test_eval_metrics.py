@@ -116,6 +116,57 @@ def test_amber_hallucinated_noun():
     assert g["Hal"] == 100.0
 
 
+def test_amber_synonym_fallback_delta():
+    """Quantifies what the exact-match fallback costs vs word-vector
+    synonym matching (reference amber/inference.py:40-44), and proves an
+    injected precomputed table (HALVA_AMBER_SYNONYMS format,
+    scripts/build_amber_synonyms.py) restores the synonym numbers.
+
+    Fixture: the response says "hound"; "hound" is in the hallucination
+    vocabulary but NOT in assoc["dog"], so only word-vector similarity
+    can map it to the truth word "dog".
+
+    Documented delta on this fixture (worst case: every noun needs
+    synonym matching): exact fallback scores CHAIR 50 / Cover 50 /
+    Hal 100 where synonym matching scores CHAIR 0 / Cover 100 / Hal 0.
+    Real CHAIR-style responses overwhelmingly use assoc-listed surface
+    forms, so production drift is far smaller — but nonzero, hence the
+    injectable table."""
+    gt = [{"type": "generative", "truth": ["dog", "frisbee"], "hallu": []}]
+    # "hound" must be in the vocab (via some assoc entry) to survive the
+    # noun filter, but not in dog's own association list
+    assoc = {"dog": ["puppy"], "frisbee": [], "hound": []}
+    responses = [{"id": 1, "response": "A hound chases a frisbee."}]
+
+    exact = amber.AmberEvaluator(
+        gt, assoc, [], synonym_fn=lambda a, b: False
+    ).evaluate(responses)["generative"]
+    assert exact["CHAIR"] == 50.0  # hound counted hallucinated
+    assert exact["Cover"] == 50.0  # dog uncovered
+    assert exact["Hal"] == 100.0
+
+    table_fn = amber.synonym_fn_from_table({"dog": ["hound"]})
+    syn = amber.AmberEvaluator(
+        gt, assoc, [], synonym_fn=table_fn
+    ).evaluate(responses)["generative"]
+    assert syn["CHAIR"] == 0.0
+    assert syn["Cover"] == 100.0
+    assert syn["Hal"] == 0.0
+
+
+def test_amber_synonym_table_env(tmp_path, monkeypatch):
+    """make_synonym_fn picks up HALVA_AMBER_SYNONYMS (and the table is
+    symmetric)."""
+    import json as _json
+
+    p = tmp_path / "syn.json"
+    p.write_text(_json.dumps({"dog": ["hound"]}))
+    monkeypatch.setenv("HALVA_AMBER_SYNONYMS", str(p))
+    fn = amber.make_synonym_fn()
+    assert fn("dog", "hound") and fn("hound", "dog")
+    assert not fn("dog", "cat")
+
+
 def test_mme_scoring():
     rows = [
         ("a.txt", "q1", "Yes", "Yes, it is."),

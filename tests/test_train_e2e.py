@@ -271,3 +271,28 @@ def test_vila_train_e2e_components_and_ctx_extension(tmp_path):
     )
     want = _np.asarray(_jax.tree.leaves(after)[0], _np.float32)
     _np.testing.assert_allclose(got, want)
+
+    # EVAL-SIDE loading: the eval builder reconstructs config + params
+    # from the component dirs alone — no `like=` template (reference
+    # vila/model/builder_halva.py:39 + prepare_config_for_eval:260) —
+    # and the loaded model generates
+    from halva_tpu.models.builder import load_pretrained_model
+    from halva_tpu.ops.generate import generate_greedy
+
+    eparams, ecfg = load_pretrained_model(str(comp))
+    assert ecfg.llm.rope_scaling is not None  # ctx extension persisted
+    assert ecfg.llm.max_position_embeddings == 1024
+    b, s = 2, 8
+    ids = _np.full((b, s), 5, _np.int32)
+    ids[:, 1] = -200
+    lens = _np.full((b,), s, _np.int32)
+    imgs = _np.zeros(
+        (b, 3, ecfg.vision.image_size, ecfg.vision.image_size),
+        _np.float32,
+    )
+    toks, num = generate_greedy(
+        eparams, ecfg, _jnp.asarray(ids), _jnp.asarray(imgs),
+        _jnp.asarray(lens), max_new_tokens=4, eos_id=2,
+        attn_impl="xla",
+    )
+    assert _np.asarray(toks).shape == (b, 4)
