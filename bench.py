@@ -267,9 +267,16 @@ def main():
                 "metric": "chair500_eval_throughput",
                 "value": round(imgs_per_sec, 4),
                 "unit": "imgs/sec",
+                # vs_baseline divides by an ASSUMED A100 number (the
+                # reference publishes no throughput); the measured
+                # number that stands on its own is tokens_per_sec
                 "vs_baseline": round(
                     imgs_per_sec / A100_BASELINE_IMGS_PER_SEC, 3
                 ),
+                "measured_tokens_per_sec": round(
+                    batch * DECODE_TOKENS / dt, 1
+                ),
+                "baseline_is_estimate": True,
                 "detail": {
                     "model": "llava-v1.5-7b architecture",
                     "weights": weights
@@ -279,6 +286,19 @@ def main():
                     "tokens_per_sec": round(batch * DECODE_TOKENS / dt, 1),
                     "step_time_s": round(dt, 3),
                     "baseline": "A100 bs=1 fp16 HF generate ~0.25 imgs/s",
+                    "token_budget_note": (
+                        "decodes HALVA_BENCH_TOKENS tokens/image with "
+                        "no EOS exit; the reference CHAIR budget is "
+                        "<=1024 NEW tokens with EOS exit "
+                        "(model_vqa_loader.py:102-111) and real CHAIR "
+                        "captions run ~100 tokens — 128 full-budget "
+                        "tokens is the comparable steady-state load"
+                    ),
+                    "quality_evidence": (
+                        "scripts/quant_quality.py: int4/int8/nf4 vs "
+                        "bf16 top-1 agreement + prefill KL at 7B "
+                        "shapes (see STATUS.md)"
+                    ),
                     "backend": jax.default_backend(),
                 },
             }

@@ -101,6 +101,7 @@ class BatchedGenerator:
         seed: int = 0,
         mesh=None,
         prefetch_workers: int = 0,
+        kv_quant: bool = False,
     ):
         if mesh is not None:
             dp = mesh.shape.get("data", 1)
@@ -116,6 +117,7 @@ class BatchedGenerator:
             params = partition.eval_shard_params(params, mesh)
         self.mesh = mesh
         self.prefetch_workers = prefetch_workers
+        self.kv_quant = kv_quant
         self.params = params
         self.cfg = cfg
         self.tok = tokenizer
@@ -242,6 +244,7 @@ class BatchedGenerator:
                     rng=_jax.random.PRNGKey(
                         self.seed + bi * self.batch_size
                     ),
+                    kv_quant=self.kv_quant,
                     mesh=self.mesh,
                 )
                 tokens = np.asarray(tokens)  # host readback = fence

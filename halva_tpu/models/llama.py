@@ -320,10 +320,18 @@ def forward_embeds(
     positions: jnp.ndarray,  # (B, S) int32
     attn_impl: str = "auto",
     remat: bool = False,
+    constrain=None,
 ) -> jnp.ndarray:
     """Run the decoder stack over precomputed input embeddings.
 
     Returns final hidden states (B, S, D) after the final RMSNorm.
+
+    constrain: optional fn applied to the scan carry each layer — under
+    a multi-chip mesh the trainer passes a batch-over-"data" sharding
+    constraint here. Without it XLA's SPMD propagation replicates the
+    layer activations and all-reduces f32[B_global, S, mlp] tensors
+    every layer (measured 600+ GB/step at 7B via scripts/comm_model.py)
+    instead of all-gathering the FSDP weight shards.
     """
     cos, sin = rope_cos_sin(
         positions, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
@@ -336,9 +344,15 @@ def forward_embeds(
         )
 
     def scan_fn(x, layer_params):
+        if constrain is not None:
+            x = constrain(x)
         return body(x, layer_params, cos, sin, segment_ids, positions), None
 
+    if constrain is not None:
+        inputs_embeds = constrain(inputs_embeds)
     x, _ = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
+    if constrain is not None:
+        x = constrain(x)
     return _norm(cfg, x, params["final_norm"]["scale"])
 
 

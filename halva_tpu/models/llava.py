@@ -244,6 +244,7 @@ def forward(
     attn_impl: str = "auto",
     remat: bool = False,
     return_hidden: bool = False,
+    constrain=None,
 ) -> Tuple[jnp.ndarray, Spliced]:
     """Full training-style forward: splice then decode stack.
 
@@ -278,6 +279,7 @@ def forward(
         sp.positions,
         attn_impl=attn_impl,
         remat=remat,
+        constrain=constrain,
     )
     if return_hidden:
         return hidden, sp

@@ -126,7 +126,18 @@ def _decode_kernel(
         pv = jnp.where(mask, p * vs_ref[0, 0].astype(jnp.float32), 0.0)
     else:
         pv = p
-        vt = jnp.where(mask[0][:, None], vt, jnp.zeros_like(vt))
+        # zero garbage V rows past Sp. The (bk, 1) mask must be built
+        # WITHOUT reshaping a 1-bit vector: Mosaic rejects minor-dim
+        # insertion on i1 ("only supported for 32-bit types") — iota
+        # directly in target shape + reshape the i32 segment block
+        col_ok_t = (
+            jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            + ki * block_k
+            < sp
+        )
+        seg_t = seg_ref[0].reshape(bk, 1)  # i32 reshape: legal
+        mask_t = col_ok_t & (seg_t != 0)  # (bk, 1) bool, no i1 reshape
+        vt = jnp.where(mask_t, vt, jnp.zeros_like(vt))
     l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
     m_s[...] = m_new
 

@@ -35,7 +35,17 @@ LLM_RULES = [
     # rule below also captures vision/pos_embed/embedding (caught by
     # replication_fallbacks + tests/test_sharding.py)
     (r"^vision/", None),
-    (r"embed/embedding(_q)?$", ("vocab", "embed")),
+    # embed table + lm_head: vocab over "model" (TP), hidden REPLICATED
+    # over "data". Sharding their hidden dim over data (full ZeRO-3)
+    # made XLA compute the chunked-loss lm_head matmul with the
+    # contracting dim sharded and all-reduce a full-global-batch
+    # f32[B,chunk,V] (524 MB at 7B recipe shapes) inside the loss scan
+    # EVERY chunk iteration — measured via scripts/comm_model.py on the
+    # compiled 8-device HLO. Replication costs 0.5 GB bf16/chip and
+    # makes embedding lookup + logits comm-free; the flagship recipe
+    # trains LoRA (frozen base), so there is no optimizer state on
+    # these weights to shard anyway.
+    (r"embed/embedding(_q)?$", ("vocab", "embed_replicated")),
     (r"attn/w[qkv]/kernel(_q)?$", ("layers", "embed", "heads")),
     (r"attn/wo/kernel(_q)?$", ("layers", "heads", "embed")),
     (r"attn/w[qkv]/lora_a$", ("layers", "embed", "lora")),
@@ -50,7 +60,7 @@ LLM_RULES = [
     (r"mlp/down/lora_b$", ("layers", "lora", "embed")),
     (r"(input_norm|post_attn_norm)/scale$", ("layers", "embed")),
     (r"final_norm/scale$", ("embed",)),
-    (r"lm_head/kernel(_q)?$", ("embed", "vocab")),
+    (r"lm_head/kernel(_q)?$", ("embed_replicated", "vocab")),
     # (vision replication rationale: ~0.6GB bf16 for CLIP-L/SigLIP;
     # replication avoids all-gathers inside the frozen no-grad tower.
     # Revisit if a tower ever dominates HBM.)
@@ -59,6 +69,7 @@ LLM_RULES = [
 
 LOGICAL_TO_MESH = {
     "embed": DATA_AXIS,
+    "embed_replicated": None,  # embed table / lm_head hidden dim
     "heads": MODEL_AXIS,
     "mlp": MODEL_AXIS,
     "vocab": MODEL_AXIS,
@@ -75,6 +86,7 @@ LOGICAL_TO_MESH = {
 # fanout, eval_hall/model_vqa_loader.py:19-27).
 EVAL_LOGICAL_TO_MESH = {
     "embed": None,
+    "embed_replicated": None,
     "heads": MODEL_AXIS,
     "mlp": MODEL_AXIS,
     "vocab": MODEL_AXIS,

@@ -18,7 +18,7 @@ Math parity with the reference trainer (llava/train/halva_trainer.py):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,30 @@ import jax.numpy as jnp
 from halva_tpu.constants import IGNORE_INDEX
 
 MAX_PHRASES = 16  # static upper bound on <MASK> spans per answer
+
+
+def _batch_constrainer(mesh, batch_axis_index: int = 0):
+    """Pin the batch dim to the "data" mesh axis inside the loss.
+
+    Without this, XLA's SPMD propagation loses the batch sharding
+    through the chunk reshape/moveaxis and REPLICATES the chunked-loss
+    lm_head matmul on every chip, then all-reduces full-global-batch
+    f32[B, chunk, V] tensors (524 MB each at 7B recipe shapes) every
+    chunk iteration — measured on the compiled 8-device HLO via
+    scripts/comm_model.py. Returns identity when mesh is None or has no
+    sharded "data" axis."""
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def constrain(x):
+        spec = [None] * x.ndim
+        spec[batch_axis_index] = "data"
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    return constrain
 
 
 def per_token_logps(
@@ -161,26 +185,30 @@ def per_token_logps_chunked(
     hidden: jnp.ndarray,  # (B, S, D)
     labels: jnp.ndarray,  # (B, S)
     chunk: int = 256,
+    mesh=None,
 ) -> jnp.ndarray:
     """Shifted per-token logps (B, S-1); equals
     per_token_logps(logits_fn(hidden), labels) without the (B, S, V)
-    materialization."""
+    materialization. `mesh` pins batch-over-"data" sharding through the
+    chunk scan (see _batch_constrainer)."""
+    cb = _batch_constrainer(mesh, 0)
+    cb1 = _batch_constrainer(mesh, 1)  # scan xs: (n, B, chunk, ...)
     hid = hidden[:, :-1]
     lab = labels[:, 1:]
     b, sm1 = lab.shape
-    hs = _chunk_seq(hid, chunk)
-    ls = _chunk_seq(lab, chunk, fill=IGNORE_INDEX)
+    hs = cb1(_chunk_seq(hid, chunk))
+    ls = cb1(_chunk_seq(lab, chunk, fill=IGNORE_INDEX))
 
     def body(_, xs):
         hc, lc = xs
-        logits = logits_fn(hc)
+        logits = cb(logits_fn(cb(hc)))
         safe = jnp.where(lc == IGNORE_INDEX, 0, lc)
         lsm = jax.nn.log_softmax(logits, axis=-1)
         lp = jnp.take_along_axis(lsm, safe[..., None], axis=-1)[..., 0]
-        return None, lp
+        return None, cb(lp)
 
     _, lps = jax.lax.scan(jax.checkpoint(body), None, (hs, ls))
-    return jnp.moveaxis(lps, 0, 1).reshape(b, -1)[:, :sm1]
+    return cb(jnp.moveaxis(lps, 0, 1).reshape(b, -1)[:, :sm1])
 
 
 def kl_divergence_chunked(
@@ -189,24 +217,27 @@ def kl_divergence_chunked(
     ref_hidden: jnp.ndarray,  # (B, S, D) frozen model (stop-grad'd here)
     ref_labels: jnp.ndarray,  # (B, S)
     chunk: int = 256,
+    mesh=None,
 ) -> jnp.ndarray:
     """KL(ref || policy) over supervised ref tokens, summed, / batch —
     equals kl_divergence() on the full logits. lm_head is shared between
     policy and frozen model (LoRA never touches lm_head: reference
     find_all_linear_names excludes it, train_halva.py:156-169)."""
+    cb = _batch_constrainer(mesh, 0)
+    cb1 = _batch_constrainer(mesh, 1)
     p_hid = policy_hidden[:, :-1]
     r_hid = jax.lax.stop_gradient(ref_hidden[:, :-1])
     lab = ref_labels[:, 1:]
-    ps = _chunk_seq(p_hid, chunk)
-    rs = _chunk_seq(r_hid, chunk)
-    ls = _chunk_seq(lab, chunk, fill=IGNORE_INDEX)
+    ps = cb1(_chunk_seq(p_hid, chunk))
+    rs = cb1(_chunk_seq(r_hid, chunk))
+    ls = cb1(_chunk_seq(lab, chunk, fill=IGNORE_INDEX))
 
     def body(acc, xs):
         pc, rc, lc = xs
         mask = (lc != IGNORE_INDEX).astype(jnp.float32)
-        p_logp = jax.nn.log_softmax(logits_fn(pc), axis=-1)
+        p_logp = jax.nn.log_softmax(cb(logits_fn(cb(pc))), axis=-1)
         r_logp = jax.lax.stop_gradient(
-            jax.nn.log_softmax(logits_fn(rc), axis=-1)
+            jax.nn.log_softmax(cb(logits_fn(cb(rc))), axis=-1)
         )
         div = jnp.sum(jnp.exp(r_logp) * (r_logp - p_logp), axis=-1)
         return acc + jnp.sum(div * mask), None
@@ -231,12 +262,17 @@ def dpa_loss_from_hidden(
     alpha: float,
     max_phrases: int = MAX_PHRASES,
     chunk: int = 256,
+    mesh=None,
 ) -> DPALossParts:
     """dpa_loss computed from final hidden states, logits chunked over the
     sequence (see block comment above). Math-parity with dpa_loss is
     asserted by tests/test_dpa_loss.py."""
-    pos_lp = per_token_logps_chunked(logits_fn, pos_hidden, pos_labels, chunk)
-    neg_lp = per_token_logps_chunked(logits_fn, neg_hidden, neg_labels, chunk)
+    pos_lp = per_token_logps_chunked(
+        logits_fn, pos_hidden, pos_labels, chunk, mesh
+    )
+    neg_lp = per_token_logps_chunked(
+        logits_fn, neg_hidden, neg_labels, chunk, mesh
+    )
     align = alignment_loss(
         pos_lp,
         neg_lp,
@@ -247,7 +283,8 @@ def dpa_loss_from_hidden(
         max_phrases,
     )
     div = kl_divergence_chunked(
-        logits_fn, policy_ref_hidden, frozen_ref_hidden, ref_labels, chunk
+        logits_fn, policy_ref_hidden, frozen_ref_hidden, ref_labels,
+        chunk, mesh,
     )
     return DPALossParts(align + alpha * div, align, div)
 

@@ -211,7 +211,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     ref_params = ref_overrides or None
     del initial, _base
 
-    step_fn, _ = trainer_lib.dpa_step_fns(cfg, tcfg, optimizer)
+    step_fn, _ = trainer_lib.dpa_step_fns(cfg, tcfg, optimizer, mesh=mesh)
     step_fn = jax.jit(step_fn, donate_argnums=(0, 3))
 
     mgr = ckpt_lib.CheckpointManager(

@@ -228,6 +228,7 @@ def dpa_step_fns(
     cfg: LlavaConfig,
     tcfg: TrainConfig,
     optimizer: optax.GradientTransformation,
+    mesh=None,
 ):
     """Build (train_step, eval_loss) jittable closures.
 
@@ -236,6 +237,12 @@ def dpa_step_fns(
     """
 
     chunked = tcfg.loss_chunk is not None
+    # batch-over-"data" sharding constraint, applied per layer in the
+    # decoder scan and through the chunked loss — see
+    # dpa._batch_constrainer and llama.forward_embeds(constrain=...)
+    batch_constrain = (
+        dpa._batch_constrainer(mesh, 0) if mesh is not None else None
+    )
 
     def forwards(params: Params, batch: Dict[str, jnp.ndarray]):
         # one 2B-row batched forward for pos+neg (reference
@@ -266,6 +273,7 @@ def dpa_step_fns(
             attn_impl=tcfg.attn_impl,
             remat=tcfg.remat,
             return_hidden=chunked,
+            constrain=batch_constrain,
         )
         b = batch["input_ids"].shape[0]
         return (
@@ -288,6 +296,7 @@ def dpa_step_fns(
             attn_impl=tcfg.attn_impl,
             remat=tcfg.remat,
             return_hidden=chunked,
+            constrain=batch_constrain,
         )
         return out, sp.labels
 
@@ -332,6 +341,7 @@ def dpa_step_fns(
                 alpha=tcfg.loss_alpha,
                 max_phrases=tcfg.max_phrases,
                 chunk=tcfg.loss_chunk,
+                mesh=mesh,
             )
         else:
             parts = dpa.dpa_loss(

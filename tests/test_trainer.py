@@ -177,3 +177,41 @@ def test_train_step_sharded_matches_single():
     np.testing.assert_allclose(
         float(m_mesh.loss), float(m_single.loss), rtol=1e-4
     )
+
+
+def test_mesh_constraints_preserve_math():
+    """dpa_step_fns(mesh=...) adds batch-sharding constraints in the
+    decoder scan + chunked loss (comm-efficiency under FSDP — see
+    dpa._batch_constrainer); constraints must not change the math:
+    metrics equal the unconstrained step bit-for-bit-ish."""
+    tcfg = trainer.TrainConfig(
+        learning_rate=1e-3, grad_accum_steps=1, num_train_steps=4,
+        attn_impl="xla", loss_chunk=8,
+    )
+    batch = {k: jnp.asarray(v) for k, v in _fake_batch(b=8).items()}
+
+    params = llava.init_params(jax.random.PRNGKey(0), CFG)
+    params = lora.add_lora(params, jax.random.PRNGKey(1), rank=4, alpha=8)
+    trainable, frozen, opt, opt_state = trainer.init_train_state(
+        params, tcfg
+    )
+    step_plain, _ = trainer.dpa_step_fns(CFG, tcfg, opt)
+    _, _, m_plain = jax.jit(step_plain)(
+        trainable, frozen, None, opt_state, batch
+    )
+
+    mesh = mesh_lib.make_mesh(data=4, model=2, devices=jax.devices()[:8])
+    step_mesh, _ = trainer.dpa_step_fns(CFG, tcfg, opt, mesh=mesh)
+    shard = lambda t: jax.tree.map(
+        jax.device_put, t, partition.param_shardings(t, mesh)
+    )
+    sbatch = partition.shard_batch(batch, mesh)
+    _, _, m_mesh = jax.jit(step_mesh)(
+        shard(trainable), shard(frozen), None, shard(opt_state), sbatch
+    )
+    np.testing.assert_allclose(
+        float(m_plain.loss), float(m_mesh.loss), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(m_plain.alignment), float(m_mesh.alignment), rtol=2e-5
+    )
