@@ -294,6 +294,11 @@ def decode_attend_layer(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        # batch rows are independent (megacore-parallel); the kv-block
+        # dim accumulates in scratch and must stay sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=_interp(),
     )(
         jnp.reshape(layer.astype(jnp.int32), (1,)),

@@ -379,6 +379,12 @@ def _specs_fwd(b, h, kvh, sq, skv, d, bq, interp):
     group = h // kvh
     return dict(
         grid=(b, h, sq // bq),
+        # every (batch, head, q-block) output tile is independent (the
+        # kv reduction is an in-kernel fori_loop): mark all grid dims
+        # parallel so Mosaic splits them across the chip's 2 megacores
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         in_specs=[
             pl.BlockSpec(
                 (1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)
@@ -479,6 +485,9 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, h, sq_p // bq),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec(
@@ -509,6 +518,9 @@ def _flash_bwd(causal, scale, bq, bk, alibi_heads, window, res, do):
     dk_h, dv_h = pl.pallas_call(
         dkv_kernel,
         grid=(b, h, skv_p // bk),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
         in_specs=[
             pl.BlockSpec((1, 1, sq_p, d), lambda bi, hi, ki: (bi, hi, 0, 0)),
             pl.BlockSpec(

@@ -76,6 +76,9 @@ def int8_matmul(
     out = pl.pallas_call(
         _kernel,
         grid=(mp // bm, np_ // bn),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
         in_specs=[
             pl.BlockSpec((bm, k), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),

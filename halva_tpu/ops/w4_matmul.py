@@ -127,6 +127,9 @@ def w4_dense_stacked(
             out_specs=pl.BlockSpec((2, b, bnp), lambda ni, li: (0, 0, ni)),
         ),
         out_shape=jax.ShapeDtypeStruct((2, b, np_), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
         interpret=_interp(),
     )(
         jnp.reshape(layer.astype(jnp.int32), (1,)),
