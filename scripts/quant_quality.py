@@ -42,6 +42,11 @@ from halva_tpu.config import LLAVA_V15_7B
 from halva_tpu.constants import IMAGE_TOKEN_INDEX
 
 OUT_DIR = os.environ.get("HALVA_QQ_DIR", "/tmp/halva_quant_quality")
+# bf16 13.4 GB weights leave no room for a b2 decode program (measured
+# OOM 16.53/15.75G): the oracle runs batch 1; quantized modes batch 2.
+# Rows are independent under greedy decode, so batching does not affect
+# per-prompt tokens/logits.
+BATCH_FOR_MODE = {"bf16": 1}
 BATCH = 2
 N_PROMPTS = 8
 DECODE_TOKENS = 128
@@ -151,12 +156,13 @@ def run_mode(mode):
     params = jax.tree.map(jnp.asarray, quantize_mode(host, mode))
     del host
     ids, images, lens = make_inputs(cfg)
+    batch = BATCH_FOR_MODE.get(mode, BATCH)
 
     all_tokens, all_logits = [], []
-    for s in range(0, N_PROMPTS, BATCH):
-        bi = jnp.asarray(ids[s : s + BATCH])
-        bim = jnp.asarray(images[s : s + BATCH])
-        bl = jnp.asarray(lens[s : s + BATCH])
+    for s in range(0, N_PROMPTS, batch):
+        bi = jnp.asarray(ids[s : s + batch])
+        bim = jnp.asarray(images[s : s + batch])
+        bl = jnp.asarray(lens[s : s + batch])
         ft, fl, _, pc, ps = gen_mod._prefill_phase(
             params, cfg, bi, bim, bl, DECODE_TOKENS, "auto", True
         )
