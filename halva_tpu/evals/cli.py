@@ -60,11 +60,17 @@ def _build_generator(args):
     from transformers import AutoTokenizer
 
     from halva_tpu.evals.runner import BatchedGenerator
-    from halva_tpu.mm_utils import clip_vit_l_336_processor
+    from halva_tpu.mm_utils import processor_for_vision
     from halva_tpu.models.builder import load_pretrained_model
 
     tok_src = args.tokenizer or args.model_base or args.model_path
-    tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
+    try:
+        # the reference loads the slow tokenizer (builder.py use_fast
+        # convention); fast produces identical ids for Llama vocabs and
+        # is the only option for tokenizer dirs without sentencepiece
+        tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
+    except Exception:
+        tokenizer = AutoTokenizer.from_pretrained(tok_src)
     # tokenizer passes through the loader so mm_use_im_start_end
     # checkpoints get their token re-add + mean-init embedding resize
     # (reference llava/model/builder.py:89-96)
@@ -91,7 +97,10 @@ def _build_generator(args):
         params,
         cfg,
         tokenizer,
-        clip_vit_l_336_processor(),
+        # sized from the loaded config: CLIP-336 for llava-1.5, SigLIP
+        # square-resize for VILA towers (was hardcoded CLIP-336)
+        processor_for_vision(cfg.vision),
+        image_aspect_ratio=cfg.image_aspect_ratio,
         template_name=args.conv_mode,
         batch_size=args.batch_size,
         max_new_tokens=args.max_new_tokens,
