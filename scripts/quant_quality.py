@@ -55,7 +55,17 @@ NF4_CODE = None  # resolved lazily from ops.quant
 
 def host_bf16_tree(cfg, seed=0):
     """Seeded bf16 weights built leaf-by-leaf ON HOST (np.random) so all
-    modes quantize identical values without touching the device."""
+    modes quantize identical values without touching the device.
+
+    The lm_head is scaled 100x: with every weight at std 0.02 the
+    logits come out with std ~0.025 over a 32k vocab — top-1/top-2
+    margins ~1e-4, so ANY epsilon (even bf16 rounding) flips argmax and
+    token agreement measures margin noise, not quantizer damage
+    (measured: int8 degenerated to a constant token). Scaling only the
+    head (identically for every mode) yields logit std ~2.5 — the
+    margin regime of trained checkpoints — while per-channel/absmax
+    quantizer RELATIVE error is scale-invariant, so the proxy stays
+    fair."""
     from halva_tpu.models import llava
 
     struct = jax.eval_shape(
@@ -69,7 +79,11 @@ def host_bf16_tree(cfg, seed=0):
         )
         for l in flat
     ]
-    return jax.tree_util.tree_unflatten(tree, leaves)
+    params = jax.tree_util.tree_unflatten(tree, leaves)
+    params["llm"]["lm_head"]["kernel"] = (
+        params["llm"]["lm_head"]["kernel"].astype(np.float32) * 100.0
+    ).astype(jnp.bfloat16)
+    return params
 
 
 def _np_int4_stacked(w):
@@ -185,6 +199,9 @@ def run_mode(mode):
 def report():
     base = np.load(os.path.join(OUT_DIR, "bf16.npz"))
     bt, blog = base["tokens"], base["logits"]
+    # top-1/top-2 margin of the oracle: context for reading agreement
+    part = np.partition(blog, -2, axis=-1)
+    margins = part[..., -1] - part[..., -2]
     blp = blog - np.log(
         np.sum(np.exp(blog - blog.max(-1, keepdims=True)), -1, keepdims=True)
     ) - blog.max(-1, keepdims=True)
@@ -218,6 +235,12 @@ def report():
             "n_prompts": int(t.shape[0]),
             "decode_tokens": int(t.shape[1]),
         }
+    out["_oracle"] = {
+        "prefill_top2_margin_median": round(float(np.median(margins)), 4),
+        "prefill_logit_std": round(float(blog.std()), 4),
+        "note": "random weights, lm_head scaled for trained-model "
+                "margin regime (see host_bf16_tree)",
+    }
     print(json.dumps(out, indent=2))
     with open(os.path.join(OUT_DIR, "report.json"), "w") as f:
         json.dump(out, f, indent=2)
