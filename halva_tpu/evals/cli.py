@@ -37,7 +37,14 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--num-chunks", type=int, default=1)
     p.add_argument("--chunk-idx", type=int, default=0)
-    p.add_argument("--quant", choices=["none", "int8"], default="none")
+    p.add_argument("--quant", choices=["none", "int8", "int4"],
+                   default="none",
+                   help="host-side weight quantization; int4 = the "
+                        "headline serving config (stacked-int4 layer "
+                        "kernels + int8 embeds, pair with --kv-quant)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 prompt+generated KV cache (halves decode "
+                        "KV HBM traffic)")
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--tokenizer", default=None)
@@ -108,6 +115,7 @@ def _build_generator(args):
         top_p=args.top_p,
         mesh=mesh,
         prefetch_workers=getattr(args, "prefetch_workers", 0),
+        kv_quant=getattr(args, "kv_quant", False),
     )
 
 

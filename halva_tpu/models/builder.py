@@ -257,6 +257,10 @@ def load_pretrained_model(
     if vila_lib.is_component_checkpoint(model_path):
         cfg = vila_lib.load_component_config(model_path)
         params = vila_lib.load_components(model_path)
+        # training saves UNMERGED LoRA factors; eval merges them
+        # (merge_and_unload semantics) — the fused w4 decode path reads
+        # kernels only, so unmerged adapters would be silently dropped
+        params = lora_lib.merge_lora(params)
     elif model_base is not None:
         cfg = config_from_hf(model_base)
         params = llava_params_from_hf(load_hf_state_dict(model_base), cfg)
@@ -307,12 +311,19 @@ def load_pretrained_model(
             mm_use_im_patch_token=cfg.mm_use_im_patch_token,
             mm_use_im_start_end=cfg.mm_use_im_start_end,
         )
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         # quantize on HOST before any device transfer (the device cannot
-        # hold bf16 + int8 trees at once; see quantize_params_host note)
-        from halva_tpu.ops.quant import quantize_params_host
+        # hold bf16 + int8 trees at once; see quantize_params_host note).
+        # int4 = the bench.py headline serving config: stacked layer
+        # kernels packed int4 (ops/w4_matmul), embeds/2D kernels int8.
+        if quant == "int4":
+            from halva_tpu.ops.w4_matmul import quantize_params_int4_host
 
-        params = quantize_params_host(params)
+            params = quantize_params_int4_host(params)
+        else:
+            from halva_tpu.ops.quant import quantize_params_host
+
+            params = quantize_params_host(params)
         params = jax.tree.map(
             lambda x: jnp.asarray(x)
             if x.dtype in (np.int8, jnp.bfloat16)

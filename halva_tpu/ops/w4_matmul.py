@@ -62,6 +62,52 @@ def quantize_kernel_int4_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     }
 
 
+def quantize_kernel_int4_stacked_host(w) -> Dict[str, "jnp.ndarray"]:
+    """Numpy twin of quantize_kernel_int4_stacked — host RAM only (the
+    axon relay never frees device HBM, so serving conversion must not
+    stage bf16 weights on device; see quant.quantize_params_host)."""
+    import numpy as np
+
+    w32 = np.asarray(w, np.float32)
+    L, k, n = w32.shape
+    assert n % 2 == 0, n
+    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
+    scale = np.where(absmax == 0.0, 1.0, absmax / 7.0)
+    q = np.clip(np.round(w32 / scale), -7, 7).astype(np.int32)
+    lo = q[:, :, : n // 2] & 0xF
+    hi = q[:, :, n // 2 :] & 0xF
+    packed = (hi << 4) | lo
+    packed_i8 = (packed - 256 * (packed > 127)).astype(np.int8)
+    s = scale.reshape(L, 1, 2, n // 2).transpose(0, 2, 1, 3)
+    return {
+        "kernel_q4p": packed_i8,
+        "kernel_scale4p": s.astype(jnp.bfloat16),
+    }
+
+
+def quantize_params_int4_host(params):
+    """Serving W4 conversion on HOST: every stacked 3D kernel (the LLM
+    and vision layer stacks) drops to packed int4; 2D kernels and embed
+    tables get per-channel int8 (quant.quantize_params_host). This is
+    the bench.py headline configuration, reachable from
+    models/builder.load_pretrained_model(quant="int4")."""
+    from halva_tpu.ops.quant import quantize_params_host
+
+    def rewrite(orig, q):
+        if isinstance(q, dict):
+            if "kernel_q" in q and q["kernel_q"].ndim == 3:
+                return quantize_kernel_int4_stacked_host(orig["kernel"])
+            return {
+                k: rewrite(
+                    orig.get(k) if isinstance(orig, dict) else None, v
+                )
+                for k, v in q.items()
+            }
+        return q
+
+    return rewrite(params, quantize_params_host(params))
+
+
 def unpack_int4(p: jnp.ndarray):
     """int8 packed byte -> (lo, hi) sign-extended int32 nibbles.
 
