@@ -505,6 +505,15 @@ class HallDataset:
         neg_ids = set(np.unique(neg.signs[: self.max_length])) - {0}
         if pos_ids != neg_ids:
             return None
+        # both sides truncated to NO phrases at all (max_length shorter
+        # than the prompt): the sample would train with zero alignment
+        # signal and exactly-0 loss — drop it like any other alignment
+        # failure. Samples that never had <MASK> spans are kept (they
+        # still contribute the KL term).
+        if not pos_ids and (
+            np.any(pos.signs) or np.any(neg.signs)
+        ):
+            return None
 
         image = self._load_image(s["image"])
 

@@ -296,3 +296,28 @@ def test_vila_train_e2e_components_and_ctx_extension(tmp_path):
         attn_impl="xla",
     )
     assert _np.asarray(toks).shape == (b, 4)
+
+
+def test_truncated_out_spans_dropped(tmp_path):
+    """A max_length shorter than the prompt truncates every <MASK> span
+    out of both answers; the sample then has zero alignment signal (the
+    loss would be exactly 0) and must be DROPPED like any other
+    alignment failure, not silently trained on (found by a verify drive
+    with a char-level tokenizer at max_length 128)."""
+    data_path, ref_path, img_dir = _make_data(tmp_path)
+    tok = SPTok()
+    proc = ImageProcessor(size=28, crop_size=28)
+    full = HallDataset(
+        data_path, ref_path, tok, proc, image_folder=img_dir,
+        max_length=128,
+    )
+    s = full[0]
+    assert s is not None and np.count_nonzero(s["pos_signs"]) > 0
+    # count prompt tokens BEFORE the first signed token: truncating
+    # there leaves zero signs on both sides
+    first_sign = int(np.flatnonzero(s["pos_signs"])[0])
+    tiny = HallDataset(
+        data_path, ref_path, tok, proc, image_folder=img_dir,
+        max_length=first_sign,
+    )
+    assert tiny[0] is None
