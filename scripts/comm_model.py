@@ -171,7 +171,7 @@ def collective_time_s(op: str, full_bytes: float, n: int) -> float:
 
 
 def build_and_compile(mesh_shape, batch_per_chip, text_len,
-                      int8_base=False):
+                      int8_base=False, preset="llava-v1.5-7b"):
     os.environ.setdefault(
         "XLA_FLAGS", "--xla_force_host_platform_device_count=8"
     )
@@ -187,7 +187,7 @@ def build_and_compile(mesh_shape, batch_per_chip, text_len,
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     import jax.numpy as jnp
 
-    from halva_tpu.config import LLAVA_V15_7B
+    from halva_tpu.config import PRESETS
     from halva_tpu.models import llava
     from halva_tpu.parallel import mesh as mesh_lib, partition
     from halva_tpu.train import lora as lora_lib, trainer as trainer_lib
@@ -196,7 +196,7 @@ def build_and_compile(mesh_shape, batch_per_chip, text_len,
     mesh = mesh_lib.make_mesh(
         data=data, model=model, devices=jax.devices()[: data * model]
     )
-    cfg = LLAVA_V15_7B
+    cfg = PRESETS[preset]
     tcfg = trainer_lib.TrainConfig(
         grad_accum_steps=1, num_train_steps=10, attn_impl="xla",
         remat=True, loss_chunk=256,
@@ -247,7 +247,7 @@ def build_and_compile(mesh_shape, batch_per_chip, text_len,
             sharding=bs,
         )
 
-    print(f"lowering 7B step on mesh {dict(mesh.shape)} "
+    print(f"lowering {preset} step on mesh {dict(mesh.shape)} "
           f"(b={b} global, s={s})...", flush=True)
     lowered = jax.jit(step_fn).lower(
         with_sh(trainable_abs), with_sh(frozen_abs),
@@ -256,17 +256,35 @@ def build_and_compile(mesh_shape, batch_per_chip, text_len,
     )
     print("compiling (SPMD partitioner emits collectives)...", flush=True)
     compiled = lowered.compile()
-    return compiled, mesh
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    return compiled, mesh, flops
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mesh", default="8x1", choices=["8x1", "4x2"])
+    ap.add_argument("--preset", default="llava-v1.5-7b",
+                    help="model preset (llava-v1.5-13b: no single-chip "
+                         "measurement exists — 13B bf16 weights exceed "
+                         "one chip's 15.75G HBM; pass --step-ms scaled "
+                         "from the measured 7B step by the analytic "
+                         "LLM-param ratio 13.016/6.738 = 1.932 — NOT "
+                         "by compiled_flops_per_step_global, which "
+                         "counts lax.scan while bodies once, not "
+                         "x num_layers)")
     ap.add_argument("--batch-per-chip", type=int, default=2)
     ap.add_argument("--text-len", type=int, default=512)
     ap.add_argument("--step-ms", type=float, default=2390.0,
-                    help="measured single-chip step time at this shape "
-                         "(TRAIN7B.json)")
+                    help="measured (or FLOP-scaled, see --preset) "
+                         "single-chip step time at this shape "
+                         "(TRAIN7B.json); 0 = comm-only report, no "
+                         "run-hour projection")
     ap.add_argument("--samples", type=int, default=21500)
     ap.add_argument("--int8-base", action="store_true",
                     help="model the measured recipe: int8 base weights "
@@ -275,8 +293,9 @@ def main():
     args = ap.parse_args()
 
     data, model = (int(x) for x in args.mesh.split("x"))
-    compiled, mesh = build_and_compile(
-        (data, model), args.batch_per_chip, args.text_len, args.int8_base
+    compiled, mesh, flops = build_and_compile(
+        (data, model), args.batch_per_chip, args.text_len, args.int8_base,
+        preset=args.preset,
     )
     hlo = compiled.as_text()
     with open(f"/tmp/comm_hlo_{args.mesh}.txt", "w") as f:
@@ -304,11 +323,14 @@ def main():
     global_batch = args.batch_per_chip * data
     steps = args.samples / global_batch
     out = {
+        "preset": args.preset,
         "mesh": dict(mesh.shape),
         "batch_per_chip": args.batch_per_chip,
         "int8_base": args.int8_base,
         "text_len": args.text_len,
         "measured_single_chip_step_ms": args.step_ms,
+        "compiled_flops_per_step_global": flops,
+        "per_chip_flops": flops / (data * model) if flops else 0.0,
         "collectives": per_op,
         "comm_ms_per_step_no_overlap": round(comm_s * 1e3, 1),
         "ici_model": {
@@ -318,11 +340,22 @@ def main():
                     "using both directions; all-reduce = 2x "
                     "(n-1)/n * bytes / ring_bw",
         },
-        "projected_step_ms_no_overlap": round(no_overlap * 1e3, 1),
-        "projected_step_ms_full_overlap": round(full_overlap * 1e3, 1),
-        "run_hours_no_overlap": round(steps * no_overlap / 3600, 3),
-        "run_hours_full_overlap": round(steps * full_overlap / 3600, 3),
-        "reference_headline_hours": 1.5,
+        "projected_step_ms_no_overlap": (
+            round(no_overlap * 1e3, 1) if args.step_ms else None
+        ),
+        "projected_step_ms_full_overlap": (
+            round(full_overlap * 1e3, 1) if args.step_ms else None
+        ),
+        "run_hours_no_overlap": (
+            round(steps * no_overlap / 3600, 3) if args.step_ms else None
+        ),
+        "run_hours_full_overlap": (
+            round(steps * full_overlap / 3600, 3) if args.step_ms else None
+        ),
+        # BASELINE.md: 7B 1.5 h / 13B 3 h on 4xA100 (README.md:95)
+        "reference_headline_hours": (
+            3.0 if "13b" in args.preset else 1.5
+        ),
         "samples": args.samples,
         "global_batch": global_batch,
     }
