@@ -62,7 +62,11 @@ SMALL = LlavaConfig(
 
 def pick_cfg():
     name = os.environ.get("HALVA_BENCH_PRESET", "llava-v1.5-7b")
-    return SMALL if name == "llava-small" else LLAVA_V15_7B
+    if name == "llava-small":
+        return SMALL
+    from halva_tpu.config import PRESETS
+
+    return PRESETS.get(name, LLAVA_V15_7B)
 
 
 def init_params_host_int8(cfg, seed=0):

@@ -60,18 +60,25 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     """
     if "kernel_q4p" in p:
         # packed symmetric int4 (serving W4 path, ops/w4_matmul.py).
-        # This XLA branch (materialized dequant) serves prefill/full-
-        # forward where the copy amortizes over the whole sequence; the
-        # decode scan dispatches to the stacked Pallas kernel instead.
-        from halva_tpu.ops.w4_matmul import unpack_int4
+        # This XLA branch serves prefill/full-forward; the decode scan
+        # dispatches to the stacked Pallas kernel instead.
+        from halva_tpu.ops import quant
+        from halva_tpu.ops.w4_matmul import unpack_int4, w4a8_dense
 
-        lo, hi = unpack_int4(p["kernel_q4p"])
-        s = p["kernel_scale4p"].astype(x.dtype)  # (2, 1, N/2)
-        w = jnp.concatenate(
-            [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
-            axis=-1,
-        )
-        y = jnp.dot(x, w)
+        if quant.w4a8_enabled():
+            # unpack to int8 + s8xs8 MXU dot (2x bf16 MXU rate) with
+            # dynamic per-token int8 activations
+            y = w4a8_dense(x, p["kernel_q4p"], p["kernel_scale4p"])
+        else:
+            # materialized bf16 dequant; the copy amortizes over the
+            # whole sequence but the dot runs at the bf16 MXU rate
+            lo, hi = unpack_int4(p["kernel_q4p"])
+            s = p["kernel_scale4p"].astype(x.dtype)  # (2, 1, N/2)
+            w = jnp.concatenate(
+                [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
+                axis=-1,
+            )
+            y = jnp.dot(x, w)
     elif "kernel_q4" in p:
         from halva_tpu.ops import quant
 
@@ -422,13 +429,15 @@ def init_gen_cache(
     quantized: int8 values + per-(head, slot) scales — halves gen-cache
     decode traffic (3.8 GB/step at llava-7b b56 Sg=128 bf16).
 
-    Sg is max_new rounded UP to a 32-multiple: the fused decode kernel
-    reads the gen cache as one block with Sg as the sublane dim, and
-    Mosaic tiles sublanes at 8 (f32) / 16 (bf16) / 32 (int8) — an
-    unaligned caller-chosen max_new would only surface on real TPU
-    (CPU tests run in interpret mode). Padded slots stay gen_valid=False
-    (decode_step masks slots > step)."""
-    max_new = -(-max_new // 32) * 32
+    Sg is max_new rounded UP to a 128-multiple: the fused decode kernel
+    reads the gen cache as one block with Sg as the sublane dim AND
+    builds (H, Sg) logit tiles with Sg as the LANE dim — Mosaic rejects
+    minor-dim insertion on bf16 vectors whose lane dim is not a
+    128-multiple (measured on-chip: sg=32 fails `tpu.reshape
+    (8x32) -> (8x1x32)`; sg=128 compiles). Unaligned max_new would only
+    surface on real TPU (CPU tests run in interpret mode). Padded slots
+    stay gen_valid=False (decode_step masks slots > step)."""
+    max_new = -(-max_new // 128) * 128
     shape = (cfg.num_layers, batch, cfg.kv_heads, max_new, cfg.head_size)
     if quantized:
         sshape = shape[:-1]
@@ -632,8 +641,15 @@ def decode_step(
     ) & jnp.ones((b, 1), bool)
 
     quantized = "k_scale" in prompt_cache
+    # dh must be lane-aligned (128): the fused kernel's bf16
+    # minor-dim-insertion reshapes ((H, D) -> (H, 1, D)) are only legal
+    # Mosaic relayouts when the lane dim is a 128-multiple — measured
+    # on-chip at dh=64: `tpu.reshape (1x16x64) -> (16x1x64)` fails to
+    # compile. Small/test configs fall back to the XLA oracle.
+    lane_ok = dh % 128 == 0 and sg % 128 == 0
     fused = (
         kvh == h_
+        and lane_ok
         and allow_fused
         and jax.default_backend() == "tpu"
         and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
@@ -646,7 +662,7 @@ def decode_step(
     # HALVA_DECODE_ATTN=xla must reach the w4 path too: fall back to the
     # generic scan (dense() handles kernel_q4p; attention uses the XLA
     # oracle) so int4 serving retains the kernel escape hatch
-    if w4 and (kvh == h_) and allow_fused and (
+    if w4 and (kvh == h_) and lane_ok and allow_fused and (
         os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     ):
         return _decode_step_w4(

@@ -334,6 +334,26 @@ def set_w8a8(enabled: bool) -> None:
     _W8A8 = bool(enabled)
 
 
+_W4A8 = None  # tri-state: None = read env once, else bool
+
+
+def w4a8_enabled() -> bool:
+    """Whether int4 prefill runs as W4A8 (unpack to int8 + s8xs8 MXU
+    dot, ops/w4_matmul.w4a8_dense) instead of dequant-to-bf16.
+    HALVA_W4A8, default off until chip-validated; trace-time constant."""
+    global _W4A8
+    if _W4A8 is None:
+        import os
+
+        _W4A8 = os.environ.get("HALVA_W4A8", "0") == "1"
+    return _W4A8
+
+
+def set_w4a8(enabled: bool) -> None:
+    global _W4A8
+    _W4A8 = bool(enabled)
+
+
 def dequantize_kernel(p: Params, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (
         p["kernel_q"].astype(jnp.float32)

@@ -120,6 +120,45 @@ def unpack_int4(p: jnp.ndarray):
     return lo, hi
 
 
+def w4a8_dense(x: jnp.ndarray, kernel_q4p: jnp.ndarray,
+               kernel_scale4p: jnp.ndarray) -> jnp.ndarray:
+    """W4A8 prefill matmul: unpack int4 nibbles to int8 and run the
+    s8 x s8 -> s32 MXU mode (2x bf16 peak on v5e) with dynamic
+    per-token int8 activations (same activation scheme as
+    quant.int8_dense).
+
+    The default int4 prefill branch (models/llama.py dense) dequantizes
+    to bf16 and runs the MXU at the bf16 rate — measured at ~peak for
+    llava-7b b56 prefill (4.06 s of a 7.7 s generate), so the int8 MXU
+    rate is the only remaining lever. The int4->int8 unpack is O(K*N/2)
+    int32 VPU work that XLA fuses into the dot's operand pipeline, and
+    both weight scales fold into the rows x out output rescale.
+
+    Gated by HALVA_W4A8 (quant.w4a8_enabled), default OFF until the
+    chip measurement lands (see STATUS.md round-3 table). Decode is
+    untouched either way (the Pallas W4 GEMV path) — only the prompt
+    pass (and therefore the first sampled token) changes numerics,
+    bounded by tests/test_w4.py::test_w4a8_matches_dequant_branch.
+    """
+    lo, hi = unpack_int4(kernel_q4p)
+    wq = jnp.concatenate(
+        [lo.astype(jnp.int8), hi.astype(jnp.int8)], axis=-1
+    )  # (K, N), values in [-8, 7]
+    sw = jnp.concatenate(
+        [kernel_scale4p[0], kernel_scale4p[1]], axis=-1
+    ).astype(jnp.float32)  # (1, N)
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    sx = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * sx * sw
+    return y.astype(x.dtype)
+
+
 def _w4_kernel(
     li_ref,  # (1,) int32 scalar prefetch
     x_ref,  # (B, K) bf16

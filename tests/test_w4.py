@@ -190,3 +190,58 @@ def test_quantize_params_int4_host_end_to_end():
         np.linalg.norm(bl) * np.linalg.norm(ql) + 1e-9
     )
     assert cos > 0.9, f"int4 logits decorrelated from bf16: cos={cos}"
+
+
+def test_w4a8_matches_dequant_branch():
+    """w4a8_dense (int8 activations x unpacked-int8 weights on the MXU)
+    vs the bf16-dequant XLA branch over the SAME int4 weights: the only
+    extra error is the per-token int8 activation quantization, so the
+    outputs must agree to ~1% relative."""
+    from halva_tpu.ops.w4_matmul import w4a8_dense
+
+    rng = np.random.RandomState(7)
+    L, K, N, B = 2, 128, 256, 8
+    w = jnp.asarray(rng.randn(L, K, N), jnp.float32)
+    q = quantize_kernel_int4_stacked(w)
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+    for li in range(L):
+        q4p, s4p = q["kernel_q4p"][li], q["kernel_scale4p"][li]
+        lo, hi = unpack_int4(q4p)
+        s = s4p.astype(jnp.float32)
+        w_deq = jnp.concatenate(
+            [lo.astype(jnp.float32) * s[0], hi.astype(jnp.float32) * s[1]],
+            axis=-1,
+        )
+        ref = x @ w_deq
+        got = w4a8_dense(x, q4p, s4p)
+        denom = float(jnp.max(jnp.abs(ref))) + 1e-9
+        err = float(jnp.max(jnp.abs(got - ref))) / denom
+        assert err < 0.015, err
+
+
+def test_w4a8_env_dispatch_in_dense():
+    """llama.dense routes kernel_q4p through w4a8_dense when the flag is
+    set, and both routes stay close to the float matmul."""
+    from halva_tpu.ops import quant
+
+    rng = np.random.RandomState(11)
+    K, N, B = 64, 128, 4
+    w = jnp.asarray(rng.randn(1, K, N), jnp.float32)
+    q = quantize_kernel_int4_stacked(w)
+    p = {"kernel_q4p": q["kernel_q4p"][0], "kernel_scale4p": q["kernel_scale4p"][0]}
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+    ref = x @ w[0]
+    try:
+        quant.set_w4a8(False)
+        y_deq = llama.dense(x, p)
+        quant.set_w4a8(True)
+        y_a8 = llama.dense(x, p)
+    finally:
+        quant.set_w4a8(False)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-9
+    # int4 weight-quant error alone is ~0.12 at K=64 — the float ref
+    # bound is a sanity rail; the real check is route agreement below
+    assert float(jnp.max(jnp.abs(y_deq - ref))) / denom < 0.2
+    assert float(jnp.max(jnp.abs(y_a8 - ref))) / denom < 0.2
+    # the two quantized routes differ only by activation quantization
+    assert float(jnp.max(jnp.abs(y_a8 - y_deq))) / denom < 0.015
