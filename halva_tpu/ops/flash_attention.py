@@ -599,7 +599,13 @@ def flash_attention(
     if scale is None:
         scale = d**-0.5
     sq = q.shape[1]
-    block_q = min(block_q, max(sq, 8))
+    # shrink the q block for short sequences, but keep it a 128-multiple:
+    # the bwd kernels slice LSE/delta rows at block_q strides along the
+    # LANE dimension, and Mosaic requires lane indices provably 128-
+    # aligned (measured on-chip: sq=136 -> block_q=136 fails to compile
+    # with "index in dimension 3 is a multiple of 128"; padded rows are
+    # dead via zero segment ids, so rounding up is mask-safe)
+    block_q = min(block_q, max(-(-sq // 128) * 128, 128))
     h = q.shape[2]
     if alibi and (h & (h - 1)):
         raise ValueError(

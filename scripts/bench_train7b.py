@@ -55,8 +55,12 @@ A100_REFERENCE_HOURS = 1.5
 
 
 def build_batch(cfg, b, text_len, rng):
+    # stay inside the preset's vocab: tiny presets have vocab 256, and
+    # OOB ids turn the embedding gather into garbage -> NaN loss
+    hi = min(30000, cfg.llm.vocab_size)
+
     def grp():
-        ids = rng.randint(5, 30000, (b, text_len)).astype(np.int32)
+        ids = rng.randint(5, hi, (b, text_len)).astype(np.int32)
         ids[:, 1] = IMAGE_TOKEN_INDEX
         seg = np.ones((b, text_len), np.int32)
         lab = ids.copy()
@@ -93,6 +97,11 @@ def main():
                    help="pre-splice text length; spliced adds 575")
     p.add_argument("--lora-r", type=int, default=128)
     p.add_argument("--loss-chunk", type=int, default=256)
+    p.add_argument("--optim", default="adamw",
+                   choices=["adamw", "adamw8bit"],
+                   help="adamw8bit (block-quantized moments) frees "
+                        "~0.5 GB at 7B r=128 — required headroom for a "
+                        "13B single-chip step attempt")
     p.add_argument("--iters", type=int, default=3)
     args = p.parse_args()
 
@@ -109,7 +118,7 @@ def main():
     )
     tcfg = trainer_lib.TrainConfig(
         grad_accum_steps=1, num_train_steps=400, attn_impl="auto",
-        remat=True, loss_chunk=args.loss_chunk,
+        remat=True, loss_chunk=args.loss_chunk, optim=args.optim,
     )
     trainable, frozen, opt, opt_state = trainer_lib.init_train_state(
         params, tcfg
