@@ -171,10 +171,12 @@ def run_once(cfg, params, batch, inputs=None):
     ids, images, lens = inputs or make_inputs(cfg, batch)
     # eos_id=-1 can never be generated (ids are non-negative), so every
     # row decodes the full token budget
+    kv_mode = os.environ.get("HALVA_BENCH_KV", "int8")
     tokens, num = generate_greedy(
         params, cfg, ids, images, lens,
         max_new_tokens=DECODE_TOKENS, eos_id=-1,
-        kv_quant=os.environ.get("HALVA_BENCH_KV", "int8") == "int8",
+        # int8 (default) | int4 (nibble-packed prompt KV) | off
+        kv_quant=kv_mode if kv_mode in ("int8", "int4") else False,
     )
     # NOTE: on the axon relay platform block_until_ready does not actually
     # synchronize; a host readback is the only reliable fence, and it's

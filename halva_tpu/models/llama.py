@@ -464,6 +464,50 @@ def _quantize_kv(t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale[..., 0].astype(jnp.bfloat16)
 
 
+def _quantize_kv4(
+    t: jnp.ndarray,  # (B, KVH, S, Dh) head-major, S EVEN
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """int4 prompt-KV: symmetric absmax/7 per (token, head), adjacent
+    token PAIRS packed one-per-nibble along the sequence dim.
+
+    Returns (packed (B, KVH, S/2, Dh) int8 [token 2r in the low nibble,
+    2r+1 in the high nibble], scales (B, 2, KVH, S/2) bf16 with the
+    even/odd plane as a LEADING dim). The even/odd split (rather than
+    token-order scales) keeps every decode-kernel access lane-aligned:
+    the kernel processes a 512-token block as two 256-column sub-blocks
+    (even tokens, odd tokens) and selects the sub-plane by a leading-dim
+    index, which Mosaic always supports (64-wide lane slices are not —
+    see CLAUDE.md).
+
+    Packing along SEQUENCE (not head_dim) keeps the contraction dims of
+    both in-kernel dots untouched; halving Dh would force unaligned
+    64-lane operations."""
+    b, kvh, s, dh = t.shape
+    assert s % 2 == 0, "int4 KV packing needs an even sequence length"
+    t32 = t.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(t32), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / 7.0)
+    q = jnp.clip(jnp.round(t32 / scale), -7, 7).astype(jnp.int32)
+    even, odd = q[:, :, 0::2], q[:, :, 1::2]  # (B, KVH, S/2, Dh)
+    packed = (odd << 4) | (even & 0xF)  # int32 in [0, 255]
+    packed = jnp.where(packed > 127, packed - 256, packed).astype(jnp.int8)
+    sc = scale[..., 0]  # (B, KVH, S)
+    scales_eo = jnp.stack([sc[:, :, 0::2], sc[:, :, 1::2]], axis=1)
+    return packed, scales_eo.astype(jnp.bfloat16)
+
+
+def _unpack_kv4(packed: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., S/2, Dh) int8 -> (lo, hi) int32 nibble values in [-8, 7]
+    (lo = even tokens, hi = odd tokens). int32 shifts only — Mosaic will
+    not legalize int8 vector shifts (same trick as ops/w4_matmul)."""
+    x = packed.astype(jnp.int32)
+    lo = (x << 28) >> 28
+    hi = x >> 4
+    return lo, hi
+
+
+
+
 def prefill(
     params: Params,
     cfg: LlamaConfig,
@@ -484,9 +528,11 @@ def prefill(
     PRODUCED here, so XLA never inserts a global relayout copy (the
     round-1 failure mode of relayouting an existing seq-major cache).
     Prompts are right-padded; padding keys carry segment id 0 so decode
-    steps never attend to them. With quantize_cache the prompt cache is
-    int8 with per-(token, head) scales ({k,v} int8 + {k_scale,v_scale}
-    (L, B, KVH, S)).
+    steps never attend to them. quantize_cache: False = bf16 cache;
+    True | "int8" = int8 values + per-(token, head) scales ({k,v} int8 +
+    {k_scale,v_scale} (L, B, KVH, S)); "int4" = nibble-packed token
+    pairs ({k4,v4} (L, B, KVH, ceil(S/2), Dh) int8 + even/odd-split
+    {k_scale,v_scale} (L, B, KVH, 2, ceil(S/2)) — see _quantize_kv4).
     """
     b, s, d = inputs_embeds.shape
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
@@ -514,6 +560,13 @@ def prefill(
             x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
         kh = k.transpose(0, 2, 1, 3)  # (B, KVH, S, Dh) head-major
         vh = v.transpose(0, 2, 1, 3)
+        if quantize_cache == "int4":
+            if s % 2:  # pad one dead token slot (segment 0 downstream)
+                kh = jnp.pad(kh, ((0, 0), (0, 0), (0, 1), (0, 0)))
+                vh = jnp.pad(vh, ((0, 0), (0, 0), (0, 1), (0, 0)))
+            kq, ks = _quantize_kv4(kh)
+            vq, vs = _quantize_kv4(vh)
+            return x, (kq, vq, ks, vs)
         if quantize_cache:
             kq, ks = _quantize_kv(kh)
             vq, vs = _quantize_kv(vh)
@@ -522,7 +575,15 @@ def prefill(
 
     x, cache_out = jax.lax.scan(scan_fn, inputs_embeds, params["layers"])
     hidden = _norm(cfg, x, params["final_norm"]["scale"])
-    if quantize_cache:
+    if quantize_cache == "int4":
+        k_all, v_all, ks_all, vs_all = cache_out
+        cache = {
+            "k4": k_all,
+            "v4": v_all,
+            "k_scale": ks_all,
+            "v_scale": vs_all,
+        }
+    elif quantize_cache:
         k_all, v_all, ks_all, vs_all = cache_out
         cache = {
             "k": k_all,
@@ -640,13 +701,23 @@ def decode_step(
         jnp.arange(sg, dtype=jnp.int32)[None, :] <= step
     ) & jnp.ones((b, 1), bool)
 
-    quantized = "k_scale" in prompt_cache
+    quantized4 = "k4" in prompt_cache
+    quantized = (not quantized4) and "k_scale" in prompt_cache
     # dh must be lane-aligned (128): the fused kernel's bf16
     # minor-dim-insertion reshapes ((H, D) -> (H, 1, D)) are only legal
     # Mosaic relayouts when the lane dim is a 128-multiple — measured
     # on-chip at dh=64: `tpu.reshape (1x16x64) -> (16x1x64)` fails to
     # compile. Small/test configs fall back to the XLA oracle.
     lane_ok = dh % 128 == 0 and sg % 128 == 0
+    if quantized4:
+        # XLA-oracle view of the packed cache: attention is permutation-
+        # invariant over kv positions, so the fallback attends in
+        # even/odd order with matching de-interleaved segment ids —
+        # no re-interleave op needed (the fused kernel consumes the
+        # packed layout natively).
+        from halva_tpu.ops.decode_attention import seg_even_odd
+
+        seg_eo_flat = seg_even_odd(prompt_seg).reshape(b, -1)
     fused = (
         kvh == h_
         and lane_ok
@@ -689,20 +760,45 @@ def decode_step(
                 q, prompt_cache, prompt_seg, gen, gen_valid, li,
             )
         else:
-            kp = jax.lax.dynamic_index_in_dim(
-                prompt_cache["k"], li, 0, False
-            )
-            vp = jax.lax.dynamic_index_in_dim(
-                prompt_cache["v"], li, 0, False
-            )
-            kps = vps = None
-            if quantized:
-                kps = jax.lax.dynamic_index_in_dim(
+            if quantized4:
+                kp4 = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["k4"], li, 0, False
+                )
+                vp4 = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["v4"], li, 0, False
+                )
+                klo, khi = _unpack_kv4(kp4)
+                vlo, vhi = _unpack_kv4(vp4)
+                # (B, KVH, 2*S2, Dh) int8 nibble values, even-odd order
+                kp = jnp.concatenate([klo, khi], axis=2).astype(jnp.int8)
+                vp = jnp.concatenate([vlo, vhi], axis=2).astype(jnp.int8)
+                # scales (B, 2, KVH, S2) -> (B, KVH, 2*S2) in the same
+                # [evens..., odds...] order as the concatenated values
+                kps4 = jax.lax.dynamic_index_in_dim(
                     prompt_cache["k_scale"], li, 0, False
                 )
-                vps = jax.lax.dynamic_index_in_dim(
+                vps4 = jax.lax.dynamic_index_in_dim(
                     prompt_cache["v_scale"], li, 0, False
                 )
+                kps = jnp.concatenate([kps4[:, 0], kps4[:, 1]], axis=2)
+                vps = jnp.concatenate([vps4[:, 0], vps4[:, 1]], axis=2)
+                seg_for_attend = seg_eo_flat
+            else:
+                kp = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["k"], li, 0, False
+                )
+                vp = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["v"], li, 0, False
+                )
+                kps = vps = None
+                if quantized:
+                    kps = jax.lax.dynamic_index_in_dim(
+                        prompt_cache["k_scale"], li, 0, False
+                    )
+                    vps = jax.lax.dynamic_index_in_dim(
+                        prompt_cache["v_scale"], li, 0, False
+                    )
+                seg_for_attend = prompt_seg
             gl = {
                 kk: jax.lax.dynamic_index_in_dim(vv, li, 0, False)
                 for kk, vv in gen.items()
@@ -713,7 +809,7 @@ def decode_step(
                 vp,
                 gl["k"],
                 gl["v"],
-                prompt_seg,
+                seg_for_attend,
                 gen_valid,
                 kp_scale=kps,
                 vp_scale=vps,

@@ -48,13 +48,26 @@ def _interp() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def seg_even_odd(seg: jnp.ndarray) -> jnp.ndarray:
+    """(B, S) segment ids -> (B, 2, ceil(S/2)) de-interleaved even/odd
+    planes (odd tail padded with 0 = invalid), matching the int4 packed
+    cache row order (llama._quantize_kv4)."""
+    if seg.shape[1] % 2:
+        seg = jnp.pad(seg, ((0, 0), (0, 1)))
+    return jnp.stack([seg[:, 0::2], seg[:, 1::2]], axis=1)
+
+
 def _decode_kernel(
     li_ref,  # (1,) int32 scalar prefetch — layer index
     q_ref,  # (1, H, D) bf16
-    kp_ref,  # (1, 1, H, bk, D) int8|bf16 block of (L, B, H, Sp, D)
+    kp_ref,  # (1, 1, H, bk, D) int8|bf16 block of (L, B, H, Sp, D);
+    #          int4 mode: (1, 1, H, bk/2, D) int8 nibble-packed block
+    #          of (L, B, H, Sp/2, D)
     vp_ref,
-    seg_ref,  # (1, 1, bk) int32 block of (B, 1, Sp)
+    seg_ref,  # (1, 1, bk) int32 block of (B, 1, Sp);
+    #           int4 mode: (1, 2, bk/2) block of (B, 2, Sp/2) even/odd
     ks_ref,  # (1, 1, H, bk) bf16 block of (L, B, H, Sp); dummy if !quant
+    #          int4 mode: (1, 1, 2, H, bk/2) block of (L, B, 2, H, Sp/2)
     vs_ref,
     kg_ref,  # (1, 1, H, Sg, D) bf16|int8 block of (L, B, H, Sg, D)
     vg_ref,
@@ -68,6 +81,7 @@ def _decode_kernel(
     *,
     scale: float,
     quantized: bool,
+    quantized4: bool,
     quantized_gen: bool,
     nblocks: int,
     sp: int,
@@ -77,7 +91,6 @@ def _decode_kernel(
     del li_ref  # consumed by the index maps
     ki = pl.program_id(1)
     h, d = q_ref.shape[1], q_ref.shape[2]
-    bk = kp_ref.shape[3]
     sg = kg_ref.shape[3]
 
     @pl.when(ki == 0)
@@ -89,67 +102,106 @@ def _decode_kernel(
         l_s[...] = jnp.zeros((h, lanes), jnp.float32)
 
     q = q_ref[0]  # (H, D)
-    kt = kp_ref[0, 0].astype(q.dtype)  # (H, bk, D), convert in-register
-    vt = vp_ref[0, 0].astype(q.dtype)
 
-    # batched matvec: batch over heads, contract D -> (H, bk). Mosaic
-    # requires a non-empty lhs non-contracting set (the singleton M dim)
-    # and batch dims at the same operand positions.
-    lp = jax.lax.dot_general(
-        q[:, None, :],  # (H, 1, D)
-        kt,
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )[:, 0, :]  # (H, bk)
-    if quantized:
-        lp = lp * ks_ref[0, 0].astype(jnp.float32)  # per-(head, token)
-    lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
+    def _merge_prompt_block(kt, vt, lp_scale_row, pv_scale_row, mask):
+        """One softmax-merge of `cols` prompt kv rows into the running
+        (m, l, acc) scratch. kt/vt (H, cols, D); *_scale_row (H, cols)
+        f32 or None; mask (1, cols)."""
+        cols = kt.shape[1]
+        lp = jax.lax.dot_general(
+            q[:, None, :],  # (H, 1, D) — Mosaic batched-matvec form
+            kt,
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # (H, cols)
+        if lp_scale_row is not None:
+            lp = lp * lp_scale_row
+        lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
+        lp = jnp.where(mask, lp, NEG_INF)
+        m_prev = m_s[...]
+        l_prev = l_s[...]
+        m_cur = jnp.max(lp, axis=1, keepdims=True)  # (H, 1)
+        m_new = jnp.maximum(m_prev, m_cur)  # (H, L)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (h, cols)))
+        if pv_scale_row is not None:
+            # v scales may be garbage past Sp; p is 0 there, 0*NaN=NaN
+            pv = jnp.where(mask, p * pv_scale_row, 0.0)
+        else:
+            pv = p
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_s[...] = m_new
+        step_acc = jax.lax.dot_general(
+            pv.astype(q.dtype)[:, None, :],  # (H, 1, cols)
+            vt,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[:, 0, :]  # (H, D)
+        acc_s[...] = acc_s[...] * jnp.broadcast_to(
+            alpha[:, :1], (h, d)
+        ) + step_acc
 
-    # the last block may read past Sp (Sp need not divide block_k):
-    # mask by absolute column AND segment id; use select (not add) so
-    # inf/NaN garbage in the out-of-bounds tail cannot leak through
-    col_ok = (
-        jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1) + ki * block_k
-        < sp
-    )
-    mask = col_ok & (seg_ref[0] != 0)  # (1, bk)
-    lp = jnp.where(mask, lp, NEG_INF)
-
-    m_prev = m_s[...]
-    l_prev = l_s[...]
-    m_cur = jnp.max(lp, axis=1, keepdims=True)  # (H, 1)
-    m_new = jnp.maximum(m_prev, m_cur)  # (H, L)
-    alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (h, bk)))
-    if quantized:
-        # vp scales may be garbage past Sp; p is 0 there, but 0*NaN=NaN
-        pv = jnp.where(mask, p * vs_ref[0, 0].astype(jnp.float32), 0.0)
+    if quantized4:
+        # nibble-packed token pairs: process the bk-token block as TWO
+        # aligned sub-blocks of bk/2 columns (even tokens, odd tokens).
+        # Unpack with int32 shifts (Mosaic rejects int8 vector shifts).
+        bk2 = kp_ref.shape[3]
+        kx = kp_ref[0, 0].astype(jnp.int32)  # (H, bk2, D)
+        vx = vp_ref[0, 0].astype(jnp.int32)
+        k_sub = ((kx << 28) >> 28, kx >> 4)  # even, odd nibbles
+        v_sub = ((vx << 28) >> 28, vx >> 4)
+        seg_eo = seg_ref[0]  # (2, bk2) int32
+        for sub in (0, 1):
+            col_ok = (
+                2 * jax.lax.broadcasted_iota(jnp.int32, (1, bk2), 1)
+                + sub + ki * block_k
+                < sp
+            )
+            mask = col_ok & (seg_eo[sub].reshape(1, bk2) != 0)
+            # even/odd scale planes live on a LEADING block dim
+            # ((1, 1, 2, H, bk2)) — leading-dim selection is always
+            # layout-legal, unlike lane/sublane slicing
+            _merge_prompt_block(
+                k_sub[sub].astype(q.dtype),
+                v_sub[sub].astype(q.dtype),
+                ks_ref[0, 0, sub].astype(jnp.float32),
+                vs_ref[0, 0, sub].astype(jnp.float32),
+                mask,
+            )
     else:
-        pv = p
-        # zero garbage V rows past Sp. The (bk, 1) mask must be built
-        # WITHOUT reshaping a 1-bit vector: Mosaic rejects minor-dim
-        # insertion on i1 ("only supported for 32-bit types") — iota
-        # directly in target shape + reshape the i32 segment block
-        col_ok_t = (
-            jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+        bk = kp_ref.shape[3]
+        kt = kp_ref[0, 0].astype(q.dtype)  # (H, bk, D), in-register
+        vt = vp_ref[0, 0].astype(q.dtype)
+        # the last block may read past Sp (Sp need not divide block_k):
+        # mask by absolute column AND segment id; select (not add) so
+        # inf/NaN garbage in the out-of-bounds tail cannot leak through
+        col_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
             + ki * block_k
             < sp
         )
-        seg_t = seg_ref[0].reshape(bk, 1)  # i32 reshape: legal
-        mask_t = col_ok_t & (seg_t != 0)  # (bk, 1) bool, no i1 reshape
-        vt = jnp.where(mask_t, vt, jnp.zeros_like(vt))
-    l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-    m_s[...] = m_new
-
-    step_acc = jax.lax.dot_general(
-        pv.astype(q.dtype)[:, None, :],  # (H, 1, bk)
-        vt,
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )[:, 0, :]  # (H, D)
-    acc_s[...] = acc_s[...] * jnp.broadcast_to(
-        alpha[:, :1], (h, d)
-    ) + step_acc
+        mask = col_ok & (seg_ref[0] != 0)  # (1, bk)
+        if not quantized:
+            # zero garbage V rows past Sp. The (bk, 1) mask must be
+            # built WITHOUT reshaping a 1-bit vector: Mosaic rejects
+            # minor-dim insertion on i1 ("only supported for 32-bit
+            # types") — iota directly in target shape + reshape the
+            # i32 segment block
+            col_ok_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                + ki * block_k
+                < sp
+            )
+            seg_t = seg_ref[0].reshape(bk, 1)  # i32 reshape: legal
+            mask_t = col_ok_t & (seg_t != 0)  # (bk, 1), no i1 reshape
+            vt = jnp.where(mask_t, vt, jnp.zeros_like(vt))
+        _merge_prompt_block(
+            kt,
+            vt,
+            ks_ref[0, 0].astype(jnp.float32) if quantized else None,
+            vs_ref[0, 0].astype(jnp.float32) if quantized else None,
+            mask,
+        )
 
     @pl.when(ki == nblocks - 1)
     def _gen_and_finalize():
@@ -206,9 +258,14 @@ def decode_attend_layer(
     index rides a scalar-prefetch argument into the BlockSpec index
     maps, so no per-layer XLA slice of the caches is ever materialized
     (a 96MB copy per layer per step at llava-7b b24)."""
-    kp = prompt_cache["k"]
+    quantized4 = "k4" in prompt_cache
+    kp = prompt_cache["k4"] if quantized4 else prompt_cache["k"]
     gen_k, gen_v = gen_cache["k"], gen_cache["v"]
-    L, b, h, sp, d = kp.shape
+    if quantized4:
+        L, b, h, _s2, d = kp.shape
+        sp = prompt_seg.shape[1]  # true (unpacked) prompt length
+    else:
+        L, b, h, sp, d = kp.shape
     sg = gen_k.shape[3]
     dh = q.shape[3]
     assert h == q.shape[2], "fused decode attention is MHA-only"
@@ -220,11 +277,19 @@ def decode_attend_layer(
     bk = min(block_k, max(512, -(-sp // 512) * 512))
     nb = pl.cdiv(sp, bk)
 
-    quantized = "k_scale" in prompt_cache
+    quantized = (not quantized4) and "k_scale" in prompt_cache
     quantized_gen = "k_scale" in gen_cache
     # NOTE: scalar-prefetch refs arrive AFTER the grid indices in
     # index_map signatures: (bi, ki, li_ref)
-    if quantized:
+    if quantized4:
+        # packed values: bk tokens = bk//2 byte rows; scales carry the
+        # even/odd plane on a leading dim (L, B, 2, H, S/2)
+        ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
+        s_spec = pl.BlockSpec(
+            (1, 1, 2, h, bk // 2),
+            lambda bi, ki, li: (li[0], bi, 0, 0, ki),
+        )
+    elif quantized:
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
             (1, 1, h, bk), lambda bi, ki, li: (li[0], bi, 0, ki)
@@ -251,24 +316,38 @@ def decode_attend_layer(
         _decode_kernel,
         scale=scale,
         quantized=quantized,
+        quantized4=quantized4,
         quantized_gen=quantized_gen,
         nblocks=nb,
         sp=sp,
         block_k=bk,
         lanes=lanes,
     )
+    if quantized4:
+        kv_spec = pl.BlockSpec(
+            (1, 1, h, bk // 2, d),
+            lambda bi, ki, li: (li[0], bi, 0, ki, 0),
+        )
+        seg_spec = pl.BlockSpec(
+            (1, 2, bk // 2), lambda bi, ki, li: (bi, 0, ki)
+        )
+        seg_in = seg_even_odd(prompt_seg.astype(jnp.int32))
+    else:
+        kv_spec = pl.BlockSpec(
+            (1, 1, h, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
+        )
+        seg_spec = pl.BlockSpec(
+            (1, 1, bk), lambda bi, ki, li: (bi, 0, ki)
+        )
+        seg_in = prompt_seg.astype(jnp.int32)[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, nb),
         in_specs=[
             pl.BlockSpec((1, h, d), lambda bi, ki, li: (bi, 0, 0)),
-            pl.BlockSpec(
-                (1, 1, h, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
-            ),
-            pl.BlockSpec(
-                (1, 1, h, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
-            ),
-            pl.BlockSpec((1, 1, bk), lambda bi, ki, li: (bi, 0, ki)),
+            kv_spec,
+            kv_spec,
+            seg_spec,
             s_spec,
             s_spec,
             pl.BlockSpec(
@@ -304,8 +383,8 @@ def decode_attend_layer(
         jnp.reshape(layer.astype(jnp.int32), (1,)),
         q[:, 0],
         kp,
-        prompt_cache["v"],
-        prompt_seg.astype(jnp.int32)[:, None, :],
+        prompt_cache["v4"] if quantized4 else prompt_cache["v"],
+        seg_in,
         ks,
         vs,
         gen_k,

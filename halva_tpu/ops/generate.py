@@ -44,7 +44,10 @@ def _cache_constraint(cache: Params, kv_heads: int, mesh: Mesh) -> Params:
     hax = "model" if model_n > 1 and kv_heads % model_n == 0 else None
     out = {}
     for kk, vv in cache.items():
-        if vv.ndim == 5:  # (L, B, H, S, D)
+        if kk.endswith("_scale") and vv.ndim == 5:
+            # int4 even/odd scales (L, B, 2, H, S/2): heads on dim 3
+            spec = P(None, "data", None, hax, None)
+        elif vv.ndim == 5:  # (L, B, H, S, D) values (incl. k4/v4 packed)
             spec = P(None, "data", hax, None, None)
         elif vv.ndim == 4:  # scales (L, B, H, S)
             spec = P(None, "data", hax, None)
@@ -414,9 +417,11 @@ def generate(
     cache/donation bookkeeping disappears with it. The split phases
     remain available (scripts/profile_decode.py) for diagnostics.
 
-    kv_quant: store the prompt KV cache in int8 (per-token-head scales) —
-    halves decode KV HBM traffic and prompt-cache memory; the generated
-    cache stays bf16.
+    kv_quant: False = bf16 prompt cache; True | "int8" = int8 values +
+    per-(token, head) scales (halves decode KV HBM traffic);
+    "int4" = nibble-packed token pairs (llama._quantize_kv4) — halves
+    it again; the generated cache is int8 whenever the prompt cache is
+    quantized.
 
     temperature 0 = greedy (the reference's do_sample=temperature>0
     convention); otherwise nucleus sampling with `top_p`. Rows stop at

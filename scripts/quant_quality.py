@@ -14,6 +14,7 @@ relay platform), then the report:
     python scripts/quant_quality.py --mode int8
     python scripts/quant_quality.py --mode int4
     python scripts/quant_quality.py --mode nf4
+    python scripts/quant_quality.py --mode kv4   # int4 W + int4 KV
     python scripts/quant_quality.py --report
 
 Modes mirror the serving paths: int8 = weight-only per-channel
@@ -167,7 +168,10 @@ def run_mode(mode):
 
     cfg = LLAVA_V15_7B
     host = host_bf16_tree(cfg)
-    params = jax.tree.map(jnp.asarray, quantize_mode(host, mode))
+    # kv4 = the int4-weight serving config with the nibble-packed int4
+    # prompt-KV cache (llama._quantize_kv4) instead of int8 KV
+    wmode = "int4" if mode == "kv4" else mode
+    params = jax.tree.map(jnp.asarray, quantize_mode(host, wmode))
     del host
     ids, images, lens = make_inputs(cfg)
     batch = BATCH_FOR_MODE.get(mode, BATCH)
@@ -184,7 +188,8 @@ def run_mode(mode):
         del ft, fl, pc, ps
         toks, _ = gen_mod.generate_greedy(
             params, cfg, bi, bim, bl,
-            max_new_tokens=DECODE_TOKENS, eos_id=-1, kv_quant=True,
+            max_new_tokens=DECODE_TOKENS, eos_id=-1,
+            kv_quant="int4" if mode == "kv4" else True,
         )
         all_tokens.append(np.asarray(toks))
     os.makedirs(OUT_DIR, exist_ok=True)
@@ -206,7 +211,7 @@ def report():
         np.sum(np.exp(blog - blog.max(-1, keepdims=True)), -1, keepdims=True)
     ) - blog.max(-1, keepdims=True)
     out = {}
-    for mode in ("int8", "int4", "nf4"):
+    for mode in ("int8", "int4", "nf4", "kv4"):
         p = os.path.join(OUT_DIR, f"{mode}.npz")
         if not os.path.exists(p):
             continue
@@ -248,7 +253,9 @@ def report():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["bf16", "int8", "int4", "nf4"])
+    ap.add_argument(
+        "--mode", choices=["bf16", "int8", "int4", "nf4", "kv4"]
+    )
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()
     if args.report:
