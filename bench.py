@@ -230,9 +230,13 @@ def main():
     if weights == "int4":
         # stacked-int4 LLM layers (ops/w4_matmul serving path): weight
         # HBM halves, buying batch 48-56 (measured 2026-08-17: b32 6.65,
-        # b48 7.06, b56 7.10 imgs/s vs int8 b24 6.28)
+        # b48 7.06, b56 7.10 imgs/s vs int8 b24 6.28). int4 prompt KV
+        # (HALVA_BENCH_KV=int4) frees another ~4.5 GB at b56 — start
+        # the ladder higher.
         params = init_params_host_int4(cfg)
         batches = [56, 48, 32, 24, 16, 8, 4, 2, 1]
+        if os.environ.get("HALVA_BENCH_KV", "int8") == "int4":
+            batches = [96, 80, 64] + batches
     elif weights == "int8":
         params = init_params_host_int8(cfg)
         # batch 24 measured optimal on v5e (2026-08-16: b16 4.66, b24

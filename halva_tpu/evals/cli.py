@@ -42,9 +42,11 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="host-side weight quantization; int4 = the "
                         "headline serving config (stacked-int4 layer "
                         "kernels + int8 embeds, pair with --kv-quant)")
-    p.add_argument("--kv-quant", action="store_true",
-                   help="int8 prompt+generated KV cache (halves decode "
-                        "KV HBM traffic)")
+    p.add_argument("--kv-quant", nargs="?", const="int8",
+                   choices=["int8", "int4"], default=False,
+                   help="quantized prompt+generated KV cache: bare flag "
+                        "or 'int8' halves decode KV HBM traffic; 'int4' "
+                        "(nibble-packed token pairs) halves it again")
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-p", type=float, default=1.0)
     p.add_argument("--tokenizer", default=None)

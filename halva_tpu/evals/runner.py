@@ -101,7 +101,7 @@ class BatchedGenerator:
         seed: int = 0,
         mesh=None,
         prefetch_workers: int = 0,
-        kv_quant: bool = False,
+        kv_quant=False,  # False | 'int8' | 'int4'
     ):
         if mesh is not None:
             dp = mesh.shape.get("data", 1)

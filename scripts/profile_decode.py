@@ -44,6 +44,8 @@ def main():
     p.add_argument("--variant", default="base",
                    choices=["base", "noattn", "nohead", "sg8", "nf4"])
     p.add_argument("--weights", default="int8", choices=["int8", "int4"])
+    p.add_argument("--kv", default="int8", choices=["int8", "int4"],
+                   help="prompt-KV cache quantization mode")
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--tokens", type=int, default=128)
     p.add_argument("--iters", type=int, default=3)
@@ -137,7 +139,7 @@ def main():
     t0 = time.time()
     toks, num = gen_mod.generate_greedy(
         params, cfg, ids, images, lens, max_new_tokens=max_new,
-        eos_id=-1, kv_quant=True,
+        eos_id=-1, kv_quant=args.kv,
     )
     np.asarray(toks)
     decode_compile = time.time() - t0
@@ -154,7 +156,7 @@ def main():
         t0 = time.time()
         toks, num = gen_mod.generate_greedy(
             params, cfg, ids, images, lens, max_new_tokens=max_new,
-            eos_id=-1, kv_quant=True,
+            eos_id=-1, kv_quant=args.kv,
         )
         np.asarray(toks)
         total_times.append(time.time() - t0)
