@@ -48,6 +48,13 @@ from halva_tpu.ops.generate import generate_greedy
 DECODE_TOKENS = int(os.environ.get("HALVA_BENCH_TOKENS", "128"))
 A100_BASELINE_IMGS_PER_SEC = 0.25
 
+_T0 = time.time()
+
+
+def _prog(msg):
+    """Progress to stderr (stdout carries only the one JSON line)."""
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
 SMALL = LlavaConfig(
     llm=LlamaConfig(
         vocab_size=32000, hidden_size=1024, intermediate_size=2816,
@@ -207,14 +214,18 @@ def _measure(cfg, params, batches):
             inputs = tuple(
                 jax.device_put(x) for x in make_inputs(cfg, batch)
             )
+            _prog(f"batch {batch}: compile + warmup")
             run_once(cfg, params, batch, inputs)  # compile + warmup
+            _prog(f"batch {batch}: warm, timing")
             iters = 3 if batch >= 4 else 4
             t0 = time.perf_counter()
             for _ in range(iters):
                 run_once(cfg, params, batch, inputs)
             dt = (time.perf_counter() - t0) / iters
+            _prog(f"batch {batch}: {batch / dt:.2f} imgs/s ({dt:.3f} s/step)")
             return batch / dt, batch, dt
         except Exception as e:  # OOM at this batch -> try smaller
+            _prog(f"batch {batch}: failed ({str(e)[:200]})")
             last_err = e
             continue
     raise RuntimeError(str(last_err)[:500])
@@ -227,6 +238,7 @@ def main():
     # single-chip decode is weights-bound at batch 1 (measured 0.36
     # imgs/s = 1.45x baseline on this chip, 2026-08-16).
     weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int4")
+    _prog(f"building host {weights} params for {cfg.llm.num_layers}-layer preset")
     if weights == "int4":
         # stacked-int4 LLM layers (ops/w4_matmul serving path): weight
         # HBM halves, buying batch 48-56 (measured 2026-08-17: b32 6.65,
@@ -248,6 +260,7 @@ def main():
         )
         batches = [2, 1]
     jax.block_until_ready(params)
+    _prog("params on device")
     if os.environ.get("HALVA_BENCH_BATCH"):
         batches = [int(os.environ["HALVA_BENCH_BATCH"])]
 

@@ -43,6 +43,11 @@ from halva_tpu.config import LLAVA_V15_7B
 from halva_tpu.constants import IMAGE_TOKEN_INDEX
 
 OUT_DIR = os.environ.get("HALVA_QQ_DIR", "/tmp/halva_quant_quality")
+# Bump whenever host_bf16_tree / make_inputs / the saved-array semantics
+# change: the report refuses to compare npz artifacts produced under a
+# different schema (a stale bf16 oracle vs fresh quantized runs silently
+# produced garbage KL / 0.0-agreement numbers once).
+SCHEMA = 2
 # bf16 13.4 GB weights leave no room for a b2 decode program (measured
 # OOM 16.53/15.75G): the oracle runs batch 1; quantized modes batch 2.
 # Rows are independent under greedy decode, so batching does not affect
@@ -162,17 +167,30 @@ def make_inputs(cfg):
     return ids, images, lens
 
 
+def _prog(msg):
+    import time as _t
+
+    print(f"[qq +{_t.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = __import__("time").time()
+
+
 def run_mode(mode):
     from halva_tpu.models import llava  # noqa: F401 (host_bf16_tree)
     from halva_tpu.ops import generate as gen_mod
 
     cfg = LLAVA_V15_7B
+    _prog(f"mode={mode}: building host bf16 tree")
     host = host_bf16_tree(cfg)
     # kv4 = the int4-weight serving config with the nibble-packed int4
     # prompt-KV cache (llama._quantize_kv4) instead of int8 KV
     wmode = "int4" if mode == "kv4" else mode
-    params = jax.tree.map(jnp.asarray, quantize_mode(host, wmode))
-    del host
+    _prog("quantizing on host")
+    quant = quantize_mode(host, wmode)
+    _prog("device_put")
+    params = jax.tree.map(jnp.asarray, quant)
+    del host, quant
     ids, images, lens = make_inputs(cfg)
     batch = BATCH_FOR_MODE.get(mode, BATCH)
 
@@ -186,23 +204,35 @@ def run_mode(mode):
         )
         all_logits.append(np.asarray(fl, np.float32))
         del ft, fl, pc, ps
+        _prog(f"prompts {s}..{s + batch}: prefill logits done")
         toks, _ = gen_mod.generate_greedy(
             params, cfg, bi, bim, bl,
             max_new_tokens=DECODE_TOKENS, eos_id=-1,
             kv_quant="int4" if mode == "kv4" else True,
         )
         all_tokens.append(np.asarray(toks))
+        _prog(f"prompts {s}..{s + batch}: decode done")
     os.makedirs(OUT_DIR, exist_ok=True)
     np.savez(
         os.path.join(OUT_DIR, f"{mode}.npz"),
         tokens=np.concatenate(all_tokens),
         logits=np.concatenate(all_logits),
+        schema=np.int32(SCHEMA),
     )
     print(f"{mode}: saved tokens+logits to {OUT_DIR}")
 
 
+def _schema_of(z):
+    return int(z["schema"]) if "schema" in z.files else 0
+
+
 def report():
     base = np.load(os.path.join(OUT_DIR, "bf16.npz"))
+    if _schema_of(base) != SCHEMA:
+        raise SystemExit(
+            f"bf16.npz schema {_schema_of(base)} != current {SCHEMA}: "
+            "stale oracle — rerun --mode bf16"
+        )
     bt, blog = base["tokens"], base["logits"]
     # top-1/top-2 margin of the oracle: context for reading agreement
     part = np.partition(blog, -2, axis=-1)
@@ -216,6 +246,13 @@ def report():
         if not os.path.exists(p):
             continue
         z = np.load(p)
+        if _schema_of(z) != SCHEMA:
+            out[mode] = {
+                "stale": True,
+                "schema": _schema_of(z),
+                "note": f"artifact predates schema {SCHEMA}; rerun --mode {mode}",
+            }
+            continue
         t, lg = z["tokens"], z["logits"]
         agree = float((t == bt).mean())
         # first divergence step per row (DECODE_TOKENS if identical)
@@ -230,8 +267,12 @@ def report():
         first_tok_agree = float(
             (t[:, 0] == bt[:, 0]).mean()
         )
+        corr = float(np.mean([
+            np.corrcoef(blog[r], lg[r])[0, 1] for r in range(blog.shape[0])
+        ]))
         out[mode] = {
             "top1_agreement": round(agree, 4),
+            "prefill_logit_corr": round(corr, 4),
             "first_token_agreement": round(first_tok_agree, 4),
             "mean_first_divergence_step": round(
                 float(np.mean(div)), 1
