@@ -233,6 +233,51 @@ def splice_image_tokens_multi(
     return Spliced(embeds, out_labels, out_signs, out_seg, positions)
 
 
+def forward_packed(
+    params: Params,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,  # (R, S) packed docs, image blocks = pad ids
+    images: jnp.ndarray,  # (NI, 3, H, W) unique images
+    img_src: jnp.ndarray,  # (M,) feature index per placement
+    img_row: jnp.ndarray,  # (M,) target row; == R for padding entries
+    img_col: jnp.ndarray,  # (M,) target start column
+    segment_ids: jnp.ndarray,  # (R, S) per-document ids, 0 = padding
+    positions: jnp.ndarray,  # (R, S) restart at 0 per document
+    attn_impl: str = "auto",
+    remat: bool = False,
+    return_hidden: bool = False,
+    constrain=None,
+) -> jnp.ndarray:
+    """Forward over packed rows (train/pack.py): the image-token splice
+    is a host-planned scatter instead of the per-row gather above —
+    each unique image is encoded ONCE and its T-patch feature block is
+    written into every placement (pos and neg documents share the
+    sample's vision forward; the unpacked path encodes each image
+    twice). Padding scatter entries carry img_row == R and are dropped
+    (jnp scatter mode="drop"). Attention isolation between packed
+    documents comes from segment ids; RoPE restarts via `positions`."""
+    feats = encode_images(params, cfg, images)  # (NI, T, D)
+    t = feats.shape[1]
+    emb = llama.embed(params["llm"], input_ids)  # (R, S, D)
+    blocks = feats[img_src].astype(emb.dtype)  # (M, T, D)
+    rows = jnp.broadcast_to(img_row[:, None], blocks.shape[:2])
+    cols = img_col[:, None] + jnp.arange(t, dtype=jnp.int32)[None, :]
+    emb = emb.at[rows, cols].set(blocks, mode="drop")
+    hidden = llama.forward_embeds(
+        params["llm"],
+        cfg.llm,
+        emb,
+        segment_ids,
+        positions,
+        attn_impl=attn_impl,
+        remat=remat,
+        constrain=constrain,
+    )
+    if return_hidden:
+        return hidden
+    return llama.lm_logits(params["llm"], cfg.llm, hidden)
+
+
 def forward(
     params: Params,
     cfg: LlavaConfig,

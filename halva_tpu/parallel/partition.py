@@ -239,3 +239,27 @@ def shard_batch(batch, mesh: Mesh):
     """Shard every array in a batch pytree along dim 0 over "data"."""
     s = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def shard_packed_batch(batch, mesh: Mesh):
+    """Shard a packed DPA batch (train/pack.py): row arrays (ndim >= 2,
+    leading dim a "data" multiple) split over the data axis; scalars,
+    image stacks, and scatter plans are replicated — image features are
+    gathered into rows by global index inside the step, so their
+    placement is XLA's problem, and the arrays are small next to the
+    row activations."""
+    import numpy as np
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rows = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    n_data = mesh.shape.get("data", 1)
+
+    def place(x):
+        arr = np.asarray(x)
+        if arr.ndim >= 2 and arr.shape[0] % n_data == 0:
+            return jax.device_put(x, rows)
+        return jax.device_put(x, repl)
+
+    return jax.tree.map(place, batch)

@@ -218,6 +218,8 @@ def kl_divergence_chunked(
     ref_labels: jnp.ndarray,  # (B, S)
     chunk: int = 256,
     mesh=None,
+    denom=None,  # loss divisor; default = row count (packed rows hold
+    # several samples, so the packed path passes n_samples instead)
 ) -> jnp.ndarray:
     """KL(ref || policy) over supervised ref tokens, summed, / batch —
     equals kl_divergence() on the full logits. lm_head is shared between
@@ -245,7 +247,139 @@ def kl_divergence_chunked(
     total, _ = jax.lax.scan(
         jax.checkpoint(body), jnp.zeros((), jnp.float32), (ps, rs, ls)
     )
-    return total / policy_hidden.shape[0]
+    if denom is None:
+        denom = policy_hidden.shape[0]
+    return total / denom
+
+
+# --------------------------------------------------------------------------
+# Packed variants (train/pack.py): rows hold several documents; per-token
+# sample_ids (1-based) and neg_flags key the phrase accumulation instead
+# of the row index. Math parity with the unpacked loss is asserted by
+# tests/test_packed_dpa.py.
+# --------------------------------------------------------------------------
+
+
+def packed_phrase_logps(
+    logps: jnp.ndarray,  # (R, S-1) shifted per-token logps
+    labels: jnp.ndarray,  # (R, S-1) shifted labels
+    signs: jnp.ndarray,  # (R, S-1) shifted signs
+    sample_ids: jnp.ndarray,  # (R, S-1) shifted 1-based sample ids
+    side_mask: jnp.ndarray,  # (R, S-1) bool: tokens of the wanted side
+    max_samples: int,
+    max_phrases: int = MAX_PHRASES,
+) -> jnp.ndarray:
+    """(max_samples, max_phrases): [b, k-1] = sum of logps over tokens
+    with sample_ids == b+1 and signs == k — the packed equivalent of
+    accumulate_phrase_logps where the sample is a (row, segment) pair
+    rather than a row."""
+    mask = (labels != IGNORE_INDEX) & side_mask
+    lp = logps * mask.astype(logps.dtype)
+    oh_b = (
+        sample_ids[:, :, None]
+        == jnp.arange(1, max_samples + 1, dtype=sample_ids.dtype)
+    ) & mask[:, :, None]
+    oh_k = signs[:, :, None] == jnp.arange(
+        1, max_phrases + 1, dtype=signs.dtype
+    )
+    return jnp.einsum(
+        "rs,rsb,rsk->bk",
+        lp,
+        oh_b.astype(lp.dtype),
+        oh_k.astype(lp.dtype),
+    )
+
+
+def packed_alignment_loss(
+    logps: jnp.ndarray,  # (R, S-1) shifted
+    labels: jnp.ndarray,
+    signs: jnp.ndarray,
+    sample_ids: jnp.ndarray,
+    neg_flags: jnp.ndarray,
+    n_samples: jnp.ndarray,  # () int32 — real samples in the batch
+    max_samples: int,
+    max_phrases: int = MAX_PHRASES,
+) -> jnp.ndarray:
+    """alignment_loss over packed rows. The present-phrase column set is
+    batch-global from the positive documents (reference
+    torch.unique(signs), halva_trainer.py:564-567); samples beyond
+    n_samples are dead slots and contribute nothing."""
+    pos = packed_phrase_logps(
+        logps, labels, jnp.maximum(signs, 0), sample_ids,
+        neg_flags == 0, max_samples, max_phrases,
+    )
+    neg = packed_phrase_logps(
+        logps, labels, jnp.maximum(signs, 0), sample_ids,
+        neg_flags == 1, max_samples, max_phrases,
+    )
+    ids = jnp.arange(1, max_phrases + 1, dtype=signs.dtype)
+    pos_tok = (neg_flags == 0) & (sample_ids > 0)
+    present = jnp.any(
+        (jnp.maximum(signs, 0)[:, :, None] == ids[None, None, :])
+        & pos_tok[:, :, None],
+        axis=(0, 1),
+    )  # (K,)
+    valid = (
+        jnp.arange(1, max_samples + 1, dtype=jnp.int32) <= n_samples
+    )  # (B,)
+    elem = jnp.log1p(jnp.exp(neg - pos))  # (B, K) — log(2) where absent
+    num = jnp.sum(
+        elem
+        * present[None, :].astype(elem.dtype)
+        * valid[:, None].astype(elem.dtype)
+    )
+    denom = n_samples.astype(jnp.float32) * jnp.maximum(
+        jnp.sum(present.astype(jnp.float32)), 1.0
+    )
+    return num / jnp.maximum(denom, 1.0)
+
+
+def dpa_loss_from_hidden_packed(
+    logits_fn,
+    pn_hidden: jnp.ndarray,  # (R1, S, D) pos+neg packed rows
+    pn_labels: jnp.ndarray,  # (R1, S)
+    pn_signs: jnp.ndarray,
+    pn_sample_ids: jnp.ndarray,
+    pn_neg_flags: jnp.ndarray,
+    policy_ref_hidden: jnp.ndarray,  # (R2, S, D)
+    frozen_ref_hidden: jnp.ndarray,
+    ref_labels: jnp.ndarray,  # (R2, S)
+    n_samples: jnp.ndarray,  # () int32
+    alpha: float,
+    max_samples: int,
+    max_phrases: int = MAX_PHRASES,
+    chunk: int = 256,
+    mesh=None,
+) -> DPALossParts:
+    """DPA loss over packed rows, logits chunked over the sequence.
+
+    Shift semantics are identical to the row-per-sample path: document
+    boundaries are safe because every document starts with a
+    label == IGNORE_INDEX token (asserted host-side in train/pack.py),
+    so the cross-document position of the shifted gather is masked."""
+    lp = per_token_logps_chunked(
+        logits_fn, pn_hidden, pn_labels, chunk, mesh
+    )
+    align = packed_alignment_loss(
+        lp,
+        pn_labels[:, 1:],
+        pn_signs[:, 1:],
+        pn_sample_ids[:, 1:],
+        pn_neg_flags[:, 1:],
+        n_samples,
+        max_samples,
+        max_phrases,
+    )
+    div = kl_divergence_chunked(
+        logits_fn,
+        policy_ref_hidden,
+        frozen_ref_hidden,
+        ref_labels,
+        chunk,
+        mesh,
+        denom=n_samples.astype(jnp.float32),
+    )
+    return DPALossParts(align + alpha * div, align, div)
 
 
 def dpa_loss_from_hidden(

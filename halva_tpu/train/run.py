@@ -76,6 +76,14 @@ class RunConfig:
     # optionally <im_patch>) with mean-init embedding rows)
     mm_use_im_start_end: bool = False
     mm_use_im_patch_token: bool = False
+    # sequence packing (train/pack.py): many samples per fixed-shape row
+    # set; throughput tracks real tokens instead of max_length. The
+    # TPU-native replacement for the reference's longest-in-batch
+    # padding (train_halva.py:897-961).
+    pack: bool = False
+    pack_rows: Optional[int] = None  # pos+neg rows/step (default B_global)
+    pack_ref_rows: Optional[int] = None  # default ceil(pack_rows / 2)
+    pack_seq_len: Optional[int] = None  # default max_length + T - 1 (^64)
 
 
 def build_models(rcfg: RunConfig, cfg: LlavaConfig, tokenizer=None):
@@ -211,7 +219,44 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     ref_params = ref_overrides or None
     del initial, _base
 
-    step_fn, _ = trainer_lib.dpa_step_fns(cfg, tcfg, optimizer, mesh=mesh)
+    if rcfg.pack:
+        from halva_tpu.train.pack import PackedDPABatcher
+
+        def _r64(n):
+            return -(-n // 64) * 64
+
+        def _rdata(n):
+            return -(-n // n_data) * n_data
+
+        pack_seq = rcfg.pack_seq_len or _r64(
+            rcfg.max_length + cfg.num_image_tokens - 1
+        )
+        pack_rows = _rdata(rcfg.pack_rows or global_batch)
+        pack_ref_rows = _rdata(
+            rcfg.pack_ref_rows or max(1, pack_rows // 2)
+        )
+        max_samples = global_batch
+        batcher = PackedDPABatcher(
+            seq_len=pack_seq,
+            pn_rows=pack_rows,
+            ref_rows=pack_ref_rows,
+            max_samples=max_samples,
+            num_image_tokens=cfg.num_image_tokens,
+            pad_token_id=0,
+            image_shape=(3, cfg.vision.image_size, cfg.vision.image_size),
+        )
+        log0(
+            "packing: %d pn + %d ref rows x %d, <= %d samples/step",
+            pack_rows, pack_ref_rows, pack_seq, max_samples,
+        )
+        step_fn, _ = trainer_lib.packed_dpa_step_fns(
+            cfg, tcfg, optimizer, max_samples=max_samples, mesh=mesh
+        )
+    else:
+        batcher = None
+        step_fn, _ = trainer_lib.dpa_step_fns(
+            cfg, tcfg, optimizer, mesh=mesh
+        )
     step_fn = jax.jit(step_fn, donate_argnums=(0, 3))
 
     mgr = ckpt_lib.CheckpointManager(
@@ -266,6 +311,14 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     def host_batch_stream():
         """Dataset fetch + collate on a background thread (the reference's
         DataLoader workers)."""
+        if batcher is not None:
+            def items():
+                for batch_idx in host_batches:
+                    for i in batch_idx:
+                        yield dataset[i]
+
+            yield from batcher.batches(items())
+            return
         for batch_idx in host_batches:
             samples = [dataset[i] for i in batch_idx]
             samples = [s for s in samples if s is not None]
@@ -282,7 +335,11 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
             log0("preemption/timeout: checkpoint + stop at step %d", micro)
             mgr.save(micro, trainable, opt_state)
             break
-        batch = partition.shard_batch(host_batch, mesh)
+        batch = (
+            partition.shard_packed_batch(host_batch, mesh)
+            if batcher is not None
+            else partition.shard_batch(host_batch, mesh)
+        )
         trainable, opt_state, m = step_fn(
             trainable, frozen, ref_params, opt_state, batch
         )
@@ -347,6 +404,7 @@ def main(argv=None):
         "max_length": int, "seed": int, "save_steps": int, "max_steps": int,
         "model_max_length": int,
         "log_every": int, "mesh_data": int, "mesh_model": int,
+        "pack_rows": int, "pack_ref_rows": int, "pack_seq_len": int,
     }
     for f in dataclasses.fields(RunConfig):
         name = "--" + f.name.replace("_", "-")

@@ -405,6 +405,119 @@ def dpa_step_fns(
     return train_step, eval_loss
 
 
+def packed_dpa_step_fns(
+    cfg: LlavaConfig,
+    tcfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    max_samples: int,
+    mesh=None,
+):
+    """Packed-batch twin of dpa_step_fns (batches from
+    train/pack.PackedDPABatcher): pos+neg documents share one row set
+    and ONE vision forward per unique image; the loss keys phrase
+    accumulation by per-token sample ids. Always runs the chunked-logits
+    path (loss_chunk defaults to 256 when unset) — packed rows exist to
+    run at full 2048-token density, where full (R, S, V) logits would
+    not fit beside 7B weights anyway."""
+    chunk = tcfg.loss_chunk or 256
+    batch_constrain = (
+        dpa._batch_constrainer(mesh, 0) if mesh is not None else None
+    )
+
+    def pn_forward(params: Params, batch):
+        return llava.forward_packed(
+            params,
+            cfg,
+            batch["pn_input_ids"],
+            batch["images"],
+            batch["pn_img_src"],
+            batch["pn_img_row"],
+            batch["pn_img_col"],
+            batch["pn_segment_ids"],
+            batch["pn_positions"],
+            attn_impl=tcfg.attn_impl,
+            remat=tcfg.remat,
+            return_hidden=True,
+            constrain=batch_constrain,
+        )
+
+    def ref_forward(params: Params, batch):
+        return llava.forward_packed(
+            params,
+            cfg,
+            batch["ref_input_ids"],
+            batch["images"],
+            batch["ref_img_src"],
+            batch["ref_img_row"],
+            batch["ref_img_col"],
+            batch["ref_segment_ids"],
+            batch["ref_positions"],
+            attn_impl=tcfg.attn_impl,
+            remat=tcfg.remat,
+            return_hidden=True,
+            constrain=batch_constrain,
+        )
+
+    def loss_fn(trainable, frozen, frozen_ref_hidden, batch):
+        params = combine_params(trainable, frozen)
+        pn_hidden = pn_forward(params, batch)
+        policy_ref_hidden = ref_forward(params, batch)
+        from halva_tpu.models import llama as llama_lib
+
+        llm = params["llm"]
+
+        def logits_fn(h):
+            return llama_lib.lm_logits(llm, cfg.llm, h)
+
+        parts = dpa.dpa_loss_from_hidden_packed(
+            logits_fn,
+            pn_hidden,
+            batch["pn_labels"],
+            batch["pn_signs"],
+            batch["pn_sample_ids"],
+            batch["pn_neg_flags"],
+            policy_ref_hidden,
+            frozen_ref_hidden,
+            batch["ref_labels"],
+            batch["n_samples"],
+            alpha=tcfg.loss_alpha,
+            max_samples=max_samples,
+            max_phrases=tcfg.max_phrases,
+            chunk=chunk,
+            mesh=mesh,
+        )
+        return parts.total, parts
+
+    def train_step(trainable, frozen, ref_params, opt_state, batch):
+        frozen_ref_hidden = jax.lax.stop_gradient(
+            ref_forward(ref_model_tree(frozen, ref_params), batch)
+        )
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, frozen_ref_hidden, batch
+        )
+        updates, new_opt_state = optimizer.update(
+            grads, opt_state, trainable
+        )
+        new_trainable = optax.apply_updates(trainable, updates)
+        gnorm = optax.global_norm(grads)
+        return (
+            new_trainable,
+            new_opt_state,
+            TrainMetrics(loss, parts.alignment, parts.divergence, gnorm),
+        )
+
+    def eval_loss(trainable, frozen, ref_params, batch):
+        frozen_ref_hidden = jax.lax.stop_gradient(
+            ref_forward(ref_model_tree(frozen, ref_params), batch)
+        )
+        loss, parts = loss_fn(trainable, frozen, frozen_ref_hidden, batch)
+        return TrainMetrics(
+            loss, parts.alignment, parts.divergence, jnp.zeros(())
+        )
+
+    return train_step, eval_loss
+
+
 def init_train_state(
     params: Params,
     tcfg: TrainConfig,

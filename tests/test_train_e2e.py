@@ -105,6 +105,45 @@ def test_train_e2e_smoke(tmp_path):
     assert ckpts
 
 
+def test_train_e2e_packed(tmp_path):
+    """Same smoke with pack=True: packed batches through the real CLI
+    loop on the 8-device mesh, finite loss, artifacts written."""
+    data_path, ref_path, img_dir = _make_data(tmp_path, n=12)
+    tok = SPTok()
+    proc = ImageProcessor(size=28, crop_size=28)
+    ds = HallDataset(
+        data_path, ref_path, tok, proc, image_folder=img_dir,
+        max_length=128,
+    )
+    rcfg = RunConfig(
+        model="llava-tiny",
+        output_dir=str(tmp_path / "out"),
+        data_path=data_path,
+        ref_data_path=ref_path,
+        image_folder=img_dir,
+        epochs=1.0,
+        per_device_batch=1,
+        grad_accum_steps=1,
+        learning_rate=1e-4,
+        lora_r=4,
+        lora_alpha=8.0,
+        max_length=128,
+        save_steps=1000,
+        mesh_data=8,
+        pack=True,
+        pack_seq_len=256,
+    )
+    final = train(rcfg, tok, dataset=ds)
+    assert final is not None
+    out = tmp_path / "out"
+    assert (out / "adapter.npz").exists()
+    lines = [
+        json.loads(l)
+        for l in (out / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert lines and np.isfinite(lines[-1]["loss"])
+
+
 def test_unknown_preset_raises(tmp_path):
     rcfg = RunConfig(
         model="llava-v1.5-7b-TYPO", output_dir=str(tmp_path / "out")
