@@ -37,7 +37,7 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--max-new-tokens", type=int, default=1024)
     p.add_argument("--num-chunks", type=int, default=1)
     p.add_argument("--chunk-idx", type=int, default=0)
-    p.add_argument("--quant", choices=["none", "int8", "int4"],
+    p.add_argument("--quant", choices=["none", "int8", "int4", "int4g"],
                    default="none",
                    help="host-side weight quantization; int4 = the "
                         "headline serving config (stacked-int4 layer "

@@ -311,15 +311,19 @@ def load_pretrained_model(
             mm_use_im_patch_token=cfg.mm_use_im_patch_token,
             mm_use_im_start_end=cfg.mm_use_im_start_end,
         )
-    if quant in ("int8", "int4"):
+    if quant in ("int8", "int4", "int4g"):
         # quantize on HOST before any device transfer (the device cannot
         # hold bf16 + int8 trees at once; see quantize_params_host note).
         # int4 = the bench.py headline serving config: stacked layer
         # kernels packed int4 (ops/w4_matmul), embeds/2D kernels int8.
-        if quant == "int4":
+        # int4g = int4 with sub-channel (128-row group) scales — same
+        # storage + kernels, ~2/3 the quantization error.
+        if quant in ("int4", "int4g"):
             from halva_tpu.ops.w4_matmul import quantize_params_int4_host
 
-            params = quantize_params_int4_host(params)
+            params = quantize_params_int4_host(
+                params, group_size=128 if quant == "int4g" else None
+            )
         else:
             from halva_tpu.ops.quant import quantize_params_host
 

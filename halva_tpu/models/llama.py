@@ -65,15 +65,19 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
         from halva_tpu.ops import quant
         from halva_tpu.ops.w4_matmul import unpack_int4, w4a8_dense
 
-        if quant.w4a8_enabled():
+        ng = p["kernel_scale4p"].shape[1]  # scale groups along K (1 = per-channel)
+        if quant.w4a8_enabled() and ng == 1:
             # unpack to int8 + s8xs8 MXU dot (2x bf16 MXU rate) with
-            # dynamic per-token int8 activations
+            # dynamic per-token int8 activations (per-channel scales
+            # only: grouped-K scales cannot fold past the int32 dot)
             y = w4a8_dense(x, p["kernel_q4p"], p["kernel_scale4p"])
         else:
             # materialized bf16 dequant; the copy amortizes over the
             # whole sequence but the dot runs at the bf16 MXU rate
             lo, hi = unpack_int4(p["kernel_q4p"])
-            s = p["kernel_scale4p"].astype(x.dtype)  # (2, 1, N/2)
+            s = p["kernel_scale4p"].astype(x.dtype)  # (2, G, N/2)
+            if ng > 1:
+                s = jnp.repeat(s, lo.shape[0] // ng, axis=1)  # (2, K, N/2)
             w = jnp.concatenate(
                 [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
                 axis=-1,

@@ -92,21 +92,10 @@ def host_bf16_tree(cfg, seed=0):
     return params
 
 
-def _np_int4_stacked(w):
-    w32 = np.asarray(w, np.float32)
-    L, k, n = w32.shape
-    absmax = np.max(np.abs(w32), axis=-2, keepdims=True)
-    scale = np.where(absmax == 0.0, 1.0, absmax / 7.0)
-    q = np.clip(np.round(w32 / scale), -7, 7).astype(np.int32)
-    lo = q[:, :, : n // 2] & 0xF
-    hi = q[:, :, n // 2 :] & 0xF
-    packed = (hi << 4) | lo
-    packed_i8 = (packed - 256 * (packed > 127)).astype(np.int8)
-    s = scale.reshape(L, 1, 2, n // 2).transpose(0, 2, 1, 3)
-    return {
-        "kernel_q4p": packed_i8,
-        "kernel_scale4p": s.astype(jnp.bfloat16),
-    }
+def _np_int4_stacked(w, group_size=None):
+    from halva_tpu.ops.w4_matmul import quantize_kernel_int4_stacked_host
+
+    return quantize_kernel_int4_stacked_host(w, group_size=group_size)
 
 
 def _np_nf4_stacked(w):
@@ -141,11 +130,11 @@ def quantize_mode(host_tree, mode):
         if isinstance(q, dict):
             if "kernel_q" in q and q["kernel_q"].ndim == 3:
                 w = orig["kernel"]
-                return (
-                    _np_int4_stacked(w)
-                    if mode == "int4"
-                    else _np_nf4_stacked(w)
-                )
+                if mode == "int4":
+                    return _np_int4_stacked(w)
+                if mode == "int4g":
+                    return _np_int4_stacked(w, group_size=128)
+                return _np_nf4_stacked(w)
             return {
                 k: rewrite(orig.get(k) if isinstance(orig, dict) else None, v)
                 for k, v in q.items()
@@ -241,7 +230,7 @@ def report():
         np.sum(np.exp(blog - blog.max(-1, keepdims=True)), -1, keepdims=True)
     ) - blog.max(-1, keepdims=True)
     out = {}
-    for mode in ("int8", "int4", "nf4", "kv4"):
+    for mode in ("int8", "int4", "int4g", "nf4", "kv4"):
         p = os.path.join(OUT_DIR, f"{mode}.npz")
         if not os.path.exists(p):
             continue
@@ -295,7 +284,7 @@ def report():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["bf16", "int8", "int4", "nf4", "kv4"]
+        "--mode", choices=["bf16", "int8", "int4", "int4g", "nf4", "kv4"]
     )
     ap.add_argument("--report", action="store_true")
     args = ap.parse_args()

@@ -245,3 +245,79 @@ def test_w4a8_env_dispatch_in_dense():
     assert float(jnp.max(jnp.abs(y_a8 - ref))) / denom < 0.2
     # the two quantized routes differ only by activation quantization
     assert float(jnp.max(jnp.abs(y_a8 - y_deq))) / denom < 0.015
+
+
+def test_grouped_quantize_error_reduction():
+    """Sub-channel (grouped-K) scales must reconstruct strictly better
+    than per-channel scales, and the kernel/XLA consumers must agree."""
+    rng = np.random.RandomState(5)
+    L, K, N = 2, 256, 128
+    w = jnp.asarray(rng.randn(L, K, N), jnp.float32)
+
+    def recon(q):
+        lo, hi = unpack_int4(q["kernel_q4p"])
+        s = q["kernel_scale4p"].astype(jnp.float32)  # (L, 2, G, N/2)
+        ng = s.shape[2]
+        s = jnp.repeat(s, K // ng, axis=2)  # (L, 2, K, N/2)
+        return jnp.concatenate(
+            [lo.astype(jnp.float32) * s[:, 0],
+             hi.astype(jnp.float32) * s[:, 1]], axis=-1)
+
+    qc = quantize_kernel_int4_stacked(w)
+    qg = quantize_kernel_int4_stacked(w, group_size=64)
+    assert qg["kernel_scale4p"].shape == (L, 2, 4, N // 2)
+    err_c = float(jnp.mean((recon(qc) - w) ** 2))
+    err_g = float(jnp.mean((recon(qg) - w) ** 2))
+    assert err_g < err_c * 0.85, (err_g, err_c)
+
+
+def test_grouped_kernel_matches_dequant():
+    """w4_dense_stacked with grouped scales == XLA dequant oracle."""
+    rng = np.random.RandomState(8)
+    L, K, N, B = 2, 128, 256, 4
+    w = jnp.asarray(rng.randn(L, K, N), jnp.float32)
+    x = jnp.asarray(rng.randn(B, K), jnp.float32).astype(jnp.bfloat16)
+    q = quantize_kernel_int4_stacked(w, group_size=32)
+    for li in range(L):
+        got = w4_dense_stacked(x, q, jnp.int32(li), block_np=64)
+        lo, hi = unpack_int4(q["kernel_q4p"][li])
+        s = q["kernel_scale4p"][li].astype(jnp.bfloat16)  # (2, G, N/2)
+        s = jnp.repeat(s, K // s.shape[1], axis=1)
+        w_deq = jnp.concatenate(
+            [lo.astype(jnp.bfloat16) * s[0],
+             hi.astype(jnp.bfloat16) * s[1]], axis=-1)
+        want = jnp.dot(x, w_deq)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=0.15, rtol=0.06)
+
+
+def test_grouped_dense_and_host_quantizer():
+    """llama.dense consumes grouped per-layer scales; the host numpy
+    quantizer is bit-identical to the jnp one; w4a8 is bypassed for
+    grouped scales (falls back to the dequant branch)."""
+    from halva_tpu.ops import quant
+    from halva_tpu.ops.w4_matmul import quantize_kernel_int4_stacked_host
+
+    rng = np.random.RandomState(9)
+    K, N, B = 64, 128, 3
+    w = rng.randn(1, K, N).astype(np.float32)
+    qh = quantize_kernel_int4_stacked_host(w, group_size=16)
+    qj = quantize_kernel_int4_stacked(jnp.asarray(w), group_size=16)
+    np.testing.assert_array_equal(
+        np.asarray(qh["kernel_q4p"]), np.asarray(qj["kernel_q4p"]))
+    np.testing.assert_array_equal(
+        np.asarray(qh["kernel_scale4p"], np.float32),
+        np.asarray(qj["kernel_scale4p"], np.float32))
+
+    p = {"kernel_q4p": jnp.asarray(qh["kernel_q4p"][0]),
+         "kernel_scale4p": jnp.asarray(qh["kernel_scale4p"][0])}
+    x = jnp.asarray(rng.randn(B, K), jnp.float32)
+    ref = x @ w[0]
+    try:
+        quant.set_w4a8(True)  # must NOT take the w4a8 route (grouped)
+        y = llama.dense(x, p)
+    finally:
+        quant.set_w4a8(False)
+    denom = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(y - ref))) / denom < 0.2
