@@ -87,6 +87,41 @@ def build_batch(cfg, b, text_len, rng):
     }
 
 
+def synth_items(cfg, rng, mean_text, n):
+    """Synthetic HallDataset-shaped items with variable text lengths
+    (lognormal around mean_text, clipped to [32, 4*mean]) — the packed
+    bench input. Real HALVA answers are a few sentences; the length
+    knob makes the padding-waste assumption explicit instead of baking
+    one length in."""
+    hi = min(30000, cfg.llm.vocab_size)
+    img = cfg.vision.image_size
+    sigma = 0.5
+    mu = np.log(mean_text) - sigma**2 / 2
+    for _ in range(n):
+        def doc(t):
+            t = int(np.clip(t, 32, 4 * mean_text))
+            ids = rng.randint(5, hi, t).astype(np.int32)
+            ids[1] = IMAGE_TOKEN_INDEX
+            lab = ids.copy()
+            lab[: t // 2] = IGNORE_INDEX
+            sg = np.zeros(t, np.int32)
+            sg[t // 2 : t // 2 + 3] = 1
+            sg[min(t // 2 + 4, t - 4) : min(t // 2 + 7, t - 1)] = 2
+            return ids, lab, sg
+
+        t = np.exp(rng.normal(mu, sigma))
+        ids, lab, sg = doc(t)
+        nids, nlab, nsg = doc(t * np.exp(rng.normal(0, 0.1)))
+        rids, rlab, _ = doc(np.exp(rng.normal(mu, sigma)))
+        yield {
+            "input_ids": ids, "labels": lab, "pos_signs": sg,
+            "neg_input_ids": nids, "neg_labels": nlab, "neg_signs": nsg,
+            "ref_input_ids": rids, "ref_labels": rlab,
+            "image": rng.randn(3, img, img).astype(np.float32),
+            "ref_image": rng.randn(3, img, img).astype(np.float32),
+        }
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--preset", default="llava-v1.5-7b")
@@ -103,6 +138,16 @@ def main():
                         "~0.5 GB at 7B r=128 — required headroom for a "
                         "13B single-chip step attempt")
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--pack", action="store_true",
+                   help="packed-row step (train/pack.py): variable-"
+                        "length synthetic samples packed into fixed "
+                        "rows; throughput tracks real tokens")
+    p.add_argument("--pack-rows", type=int, default=2)
+    p.add_argument("--pack-seq-len", type=int, default=2624,
+                   help="row length; default = recipe max_length 2048 "
+                        "+ 575 image tokens, rounded to 64")
+    p.add_argument("--mean-text", type=int, default=256,
+                   help="mean pre-splice doc length for --pack")
     args = p.parse_args()
 
     cfg = PRESETS[args.preset]
@@ -129,10 +174,90 @@ def main():
     # accounting count the 7B weights twice (measured +7G, OOM)
     ref = None
 
+    rng = np.random.RandomState(0)
+    if args.pack:
+        from halva_tpu.train.pack import PackedDPABatcher
+
+        seq = args.pack_seq_len
+        rows = args.pack_rows
+        mean_doc = args.mean_text + cfg.num_image_tokens - 1
+        max_samples = max(2, int(rows * seq / (2 * mean_doc) * 1.4) + 1)
+        batcher = PackedDPABatcher(
+            seq_len=seq,
+            pn_rows=rows,
+            ref_rows=max(1, rows // 2),
+            max_samples=max_samples,
+            num_image_tokens=cfg.num_image_tokens,
+            pad_token_id=0,
+            image_shape=(3, cfg.vision.image_size,
+                         cfg.vision.image_size),
+        )
+        items = synth_items(cfg, rng, args.mean_text,
+                            64 * (args.iters + 1))
+        batches = []
+        for b_ in batcher.batches(items):
+            batches.append({k: jnp.asarray(v) for k, v in b_.items()})
+            if len(batches) >= args.iters + 1:
+                break
+        assert len(batches) >= 2, "not enough packed batches"
+        step, _ = trainer_lib.packed_dpa_step_fns(
+            cfg, tcfg, opt, max_samples=max_samples
+        )
+        step = jax.jit(step, donate_argnums=(0, 3))
+
+        t0 = time.time()
+        trainable, opt_state, m = step(
+            trainable, frozen, ref, opt_state, batches[0]
+        )
+        first_loss = float(m.loss)
+        print(f"compile+first: {time.time()-t0:.1f}s "
+              f"loss={first_loss:.4f}", flush=True)
+
+        timed = batches[1:][: args.iters]
+        n_done = sum(int(b_["n_samples"]) for b_ in timed)
+        t0 = time.time()
+        for b_ in timed:
+            trainable, opt_state, m = step(
+                trainable, frozen, ref, opt_state, b_
+            )
+        loss = float(m.loss)
+        dt = (time.time() - t0) / len(timed)
+        samples_per_step = n_done / len(timed)
+        hours = DATA_SAMPLES / (8 * samples_per_step) * dt / 3600
+        n_llm = sum(
+            x.size for x in jax.tree.leaves(frozen) if x is not None
+        )
+        ref_rows = max(1, rows // 2)
+        # grad rows: pn rows + policy-ref rows; frozen-ref rows fwd-only
+        tok_grad = (rows + ref_rows) * seq
+        flops = 2 * n_llm * (3 * tok_grad + 1 * ref_rows * seq)
+        out = {
+            "metric": "dpa_7b_train_step_packed",
+            "value": round(dt * 1e3, 1),
+            "unit": "ms/step",
+            "detail": {
+                "preset": args.preset,
+                "recipe": "packed rows (train/pack.py) + int8 base + "
+                          "bf16 LoRA r=%d + loss_chunk=%d + remat"
+                % (args.lora_r, args.loss_chunk),
+                "pn_rows": rows, "seq_len": seq,
+                "mean_text_len": args.mean_text,
+                "samples_per_step": round(samples_per_step, 2),
+                "samples_per_sec_chip": round(samples_per_step / dt, 3),
+                "loss_first": first_loss, "loss_now": loss,
+                "tf_per_sec_rough": round(flops / dt / 1e12, 1),
+                "v5e8_projection_hours": round(hours, 2),
+                "a100x4_reference_hours": A100_REFERENCE_HOURS,
+                "projection_note": "21.5k samples / (8 chips x %.2f "
+                "samples/step)" % samples_per_step,
+            },
+        }
+        print(json.dumps(out), flush=True)
+        return
+
     step, _ = trainer_lib.dpa_step_fns(cfg, tcfg, opt)
     step = jax.jit(step, donate_argnums=(0, 3))
 
-    rng = np.random.RandomState(0)
     batch = build_batch(cfg, args.batch, args.text_len, rng)
 
     t0 = time.time()
