@@ -427,6 +427,7 @@ def init_gen_cache(
     max_new: int,
     dtype=jnp.bfloat16,
     quantized: bool = False,
+    tp: int = 1,
 ) -> Params:
     """Head-major (L, B, KVH, Sg, Dh), matching the prompt cache (see
     prefill) so the fused decode kernel consumes both uniformly.
@@ -442,7 +443,13 @@ def init_gen_cache(
     surface on real TPU (CPU tests run in interpret mode). Padded slots
     stay gen_valid=False (decode_step masks slots > step)."""
     max_new = -(-max_new // 128) * 128
-    shape = (cfg.num_layers, batch, cfg.kv_heads, max_new, cfg.head_size)
+    shape = (
+        cfg.num_layers,
+        batch,
+        cfg.kv_heads // tp,  # local heads under manual TP (see prefill)
+        max_new,
+        cfg.head_size,
+    )
     if quantized:
         sshape = shape[:-1]
         return {
@@ -521,8 +528,20 @@ def prefill(
     cache_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     quantize_cache: bool = False,
+    tp: int = 1,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """Full-sequence forward producing the prompt KV cache.
+
+    tp/tp_axis: MANUAL tensor parallelism inside jax.shard_map — the
+    caller passes layer weights pre-split over mesh axis `tp_axis`
+    (wq/wk/wv/gate/up by output column, wo/down by input row; see
+    parallel/partition.eval_shmap_pspecs) and this body computes with
+    the LOCAL `num_heads/tp` heads, psum-reducing the two row-split
+    dots (wo, down) per layer. Unlike the sharding-propagation TP path,
+    the Pallas attention kernels stay usable (each shard runs them on
+    its local heads). Requires no bias on wo/down (a psum would
+    multiply it) — guarded by partition.manual_tp_ready.
 
     Returns (final hidden states, prompt cache {k,v}: HEAD-MAJOR
     (L, B, KVH, S, Dh)). Head-major is the layout the fused decode
@@ -539,7 +558,12 @@ def prefill(
     {k_scale,v_scale} (L, B, KVH, 2, ceil(S/2)) — see _quantize_kv4).
     """
     b, s, d = inputs_embeds.shape
-    h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    h_, kvh, dh = cfg.num_heads // tp, cfg.kv_heads // tp, cfg.head_size
+    red = (
+        (lambda y: jax.lax.psum(y, tp_axis))
+        if tp_axis is not None and tp > 1
+        else (lambda y: y)
+    )
     cos, sin = rope_cos_sin(
         positions, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
@@ -555,13 +579,13 @@ def prefill(
         attn_out = attention(
             q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
         )
-        x = x + dense(attn_out.reshape(b, s, h_ * dh), ap["wo"])
+        x = x + red(dense(attn_out.reshape(b, s, h_ * dh), ap["wo"]))
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
         if cfg.gated_mlp:
             gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
-            x = x + dense(gated, mp["down"])
+            x = x + red(dense(gated, mp["down"]))
         else:
-            x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
+            x = x + red(dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"]))
         kh = k.transpose(0, 2, 1, 3)  # (B, KVH, S, Dh) head-major
         vh = v.transpose(0, 2, 1, 3)
         if quantize_cache == "int4":
@@ -676,6 +700,8 @@ def decode_step(
     gen_cache: Params,  # carried {k,v}: (L, B, Sg, KVH, Dh)
     step: jnp.ndarray,  # () int32 decode step (gen slot to write)
     allow_fused: bool = True,
+    tp: int = 1,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over the split cache: returns (fp32 logits (B, V),
     updated gen cache). The new token is written at gen slot `step`
@@ -692,11 +718,21 @@ def decode_step(
     allow_fused=False forces the XLA path regardless of env/backend —
     required when the step runs under a tensor-parallel mesh with
     sharding propagation (a Pallas custom call cannot be SPMD-
-    partitioned; ops/generate.py sets this for model>1 meshes)."""
+    partitioned; ops/generate.py sets this for model>1 meshes).
+
+    tp/tp_axis: MANUAL tensor parallelism inside jax.shard_map (see
+    prefill) — local heads = num_heads/tp, prompt/gen caches hold the
+    local head slice, psum over `tp_axis` after wo/down. The fused
+    Pallas decode kernel stays available per shard."""
     import os
 
     b = token_embeds.shape[0]
-    h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    h_, kvh, dh = cfg.num_heads // tp, cfg.kv_heads // tp, cfg.head_size
+    red = (
+        (lambda y: jax.lax.psum(y, tp_axis))
+        if tp_axis is not None and tp > 1
+        else (lambda y: y)
+    )
     sg = gen_cache["k"].shape[3]
     cos, sin = rope_cos_sin(
         positions[:, None], cfg.head_size, cfg.rope_theta, cfg.rope_scaling
@@ -736,8 +772,10 @@ def decode_step(
     w4 = "kernel_q4p" in params["layers"]["attn"]["wq"]
     # HALVA_DECODE_ATTN=xla must reach the w4 path too: fall back to the
     # generic scan (dense() handles kernel_q4p; attention uses the XLA
-    # oracle) so int4 serving retains the kernel escape hatch
-    if w4 and (kvh == h_) and lane_ok and allow_fused and (
+    # oracle) so int4 serving retains the kernel escape hatch. Manual TP
+    # never reaches here with w4 (partition.manual_tp_ready rejects
+    # packed-int4 trees — the nibble layout interleaves output channels).
+    if w4 and (kvh == h_) and lane_ok and allow_fused and tp == 1 and (
         os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     ):
         return _decode_step_w4(
@@ -820,13 +858,13 @@ def decode_step(
                 kg_scale=gl.get("k_scale"),
                 vg_scale=gl.get("v_scale"),
             )
-        x = x + dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"])
+        x = x + red(dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"]))
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
         if cfg.gated_mlp:
             gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
-            x = x + dense(gated, mp["down"])
+            x = x + red(dense(gated, mp["down"]))
         else:
-            x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
+            x = x + red(dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"]))
         return (x, gen, li + 1), None
 
     (x, new_gen, _), _ = jax.lax.scan(

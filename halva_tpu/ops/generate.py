@@ -77,6 +77,8 @@ def _prefill_impl(
     max_new_tokens: int,
     attn_impl: str,
     kv_quant: bool = False,
+    tp: int = 1,
+    tp_axis: Optional[str] = None,
 ):
     b, s = input_ids.shape
     t = cfg.num_image_tokens
@@ -97,6 +99,8 @@ def _prefill_impl(
         cache_dtype=jnp.bfloat16,
         attn_impl=attn_impl,
         quantize_cache=kv_quant,
+        tp=tp,
+        tp_axis=tp_axis,
     )
 
     has_img = jnp.any(input_ids == IMAGE_TOKEN_INDEX, axis=1)
@@ -197,6 +201,8 @@ def _decode_impl(
     rng: Optional[jnp.ndarray] = None,
     mesh: Optional[Mesh] = None,
     allow_fused: bool = True,
+    tp: int = 1,
+    tp_axis: Optional[str] = None,
 ):
     b = first_tok.shape[0]
     if rng is None:
@@ -210,6 +216,7 @@ def _decode_impl(
         max_new_tokens,
         dtype=prompt_cache["k"].dtype if not quant else jnp.bfloat16,
         quantized=quant,
+        tp=tp,
     )
     if mesh is not None:
         gen_cache = _cache_constraint(gen_cache, cfg.llm.kv_heads, mesh)
@@ -249,6 +256,8 @@ def _decode_impl(
             st.gen_cache,
             st.step,
             allow_fused=allow_fused,
+            tp=tp,
+            tp_axis=tp_axis,
         )
         step_key = jax.random.fold_in(rng, st.step)
         nxt = _select_token(logits, temperature, top_p, step_key)
@@ -315,28 +324,43 @@ def build_generate_impl(
     temperature: float = 0.0,
     top_p: float = 1.0,
     mesh: Optional[Mesh] = None,
+    manual_tp: bool = False,
 ):
     """The un-jitted one-program generate body
     (params, ids, images, lens, rng) -> (tokens, num_generated).
 
-    With a mesh whose "model" axis > 1 (tensor parallelism), the Pallas
-    kernels are bypassed (attn_impl forced to "xla", decode allow_fused
-    False — a Pallas custom call cannot be SPMD-partitioned) and
-    KV-cache shardings are pinned batch-over-"data", heads-over-"model".
+    With a mesh whose "model" axis > 1 (tensor parallelism) there are
+    two modes:
+
+    - manual_tp=True (the default route when
+      partition.manual_tp_ready): the body is built for jax.shard_map —
+      weights arrive pre-split (eval_shmap_pspecs), the model runs its
+      LOCAL heads with per-layer psums over "model", and the fused
+      Pallas kernels STAY on (each shard runs them on its head slice).
+    - manual_tp=False (propagation fallback — packed-int4/NF4 trees,
+      indivisible head counts): Pallas kernels are bypassed (attn_impl
+      forced "xla", allow_fused False — a Pallas custom call cannot be
+      SPMD-partitioned) and KV-cache shardings are pinned
+      batch-over-"data", heads-over-"model"; XLA inserts collectives.
+
     Exported so __graft_entry__ can AOT-lower the FULL generate program
     on a virtual mesh."""
-    tp = mesh is not None and mesh.shape.get("model", 1) > 1
-    eff_attn = "xla" if tp else attn_impl
-    allow_fused = not tp
+    tp_n = mesh.shape.get("model", 1) if mesh is not None else 1
+    prop_tp = tp_n > 1 and not manual_tp
+    eff_attn = "xla" if prop_tp else attn_impl
+    allow_fused = not prop_tp
+    tp = tp_n if manual_tp else 1
+    tp_axis = "model" if (manual_tp and tp_n > 1) else None
 
     def impl(p, ids, im, lens, r):
         ft, fl, sl, pc, ps = _prefill_impl(
             p, cfg, ids, im, lens, max_new_tokens, eff_attn, kv_quant,
+            tp=tp, tp_axis=tp_axis,
         )
         # cache constraints only make sense for the TP sharding-
-        # propagation program; in the data-only mode the body runs
-        # per-shard under shard_map where every mesh axis is manual
-        if tp:
+        # propagation program; in the shard_map modes the body runs
+        # per-shard where every mesh axis is manual
+        if prop_tp:
             pc = _cache_constraint(pc, cfg.llm.kv_heads, mesh)
         if temperature > 0.0:
             ft = _select_token(
@@ -346,13 +370,15 @@ def build_generate_impl(
         return _decode_impl(
             p, cfg, ft, sl, pc, ps, max_new_tokens, eos_id,
             temperature, top_p, r,
-            mesh=mesh if tp else None, allow_fused=allow_fused,
+            mesh=mesh if prop_tp else None, allow_fused=allow_fused,
+            tp=tp, tp_axis=tp_axis,
         )
 
     return impl
 
 
-def _make_sharded_generate(params, cfg, impl, mesh: Mesh):
+def _make_sharded_generate(params, cfg, impl, mesh: Mesh,
+                           manual_tp: bool = False):
     """jit the generate body over a mesh.
 
     model == 1 (pure eval data parallelism — the TPU-native replacement
@@ -362,8 +388,15 @@ def _make_sharded_generate(params, cfg, impl, mesh: Mesh):
     on its batch slice; zero cross-device communication, and each
     shard's decode while_loop exits as soon as ITS rows hit EOS.
 
-    model > 1 (13B+ class, weights too big per chip): sharding-
-    propagation jit with TP in_shardings from
+    model > 1, manual_tp (13B+ class, weights too big per chip):
+    shard_map over {data, model} with weights pre-split by
+    partition.eval_shmap_pspecs and in-model psums (impl built with
+    tp/tp_axis). Pallas kernels run per shard on local heads; the only
+    decode-loop communication is the two per-layer (B_local, 1, D)
+    psums.
+
+    model > 1, not manual_tp (packed-int4/NF4 trees, indivisible
+    heads): sharding-propagation jit with TP in_shardings from
     partition.eval_param_shardings; XLA inserts the collectives."""
     from halva_tpu.parallel import partition
 
@@ -375,6 +408,16 @@ def _make_sharded_generate(params, cfg, impl, mesh: Mesh):
             impl,
             mesh=mesh,
             in_specs=(pspec, P("data"), P("data"), P("data"), P()),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )
+        return jax.jit(shmapped), dp
+    if manual_tp:
+        pspecs = partition.eval_shmap_pspecs(params, mesh)
+        shmapped = jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(pspecs, P("data"), P("data"), P("data"), P()),
             out_specs=(P("data"), P("data")),
             check_vma=False,
         )
@@ -441,19 +484,33 @@ def generate(
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    manual_tp = False
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        # manual shard_map TP keeps the Pallas kernels on; the env
+        # knob forces the sharding-propagation fallback for A/B
+        import os
+
+        from halva_tpu.parallel import partition
+
+        manual_tp = (
+            os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
+            and partition.manual_tp_ready(params, cfg, mesh.shape["model"])
+        )
     key = (
         cfg, max_new_tokens, eos_id, attn_impl, kv_quant, temperature,
-        top_p, input_ids.shape, images.shape, mesh,
+        top_p, input_ids.shape, images.shape, mesh, manual_tp,
     )
 
     def make():
         impl = build_generate_impl(
             cfg, max_new_tokens, eos_id, attn_impl, kv_quant,
-            temperature, top_p, mesh,
+            temperature, top_p, mesh, manual_tp=manual_tp,
         )
         if mesh is None:
             return jax.jit(impl)
-        fn, dp = _make_sharded_generate(params, cfg, impl, mesh)
+        fn, dp = _make_sharded_generate(
+            params, cfg, impl, mesh, manual_tp=manual_tp
+        )
         if input_ids.shape[0] % dp != 0:
             raise ValueError(
                 f"batch {input_ids.shape[0]} must divide the mesh "

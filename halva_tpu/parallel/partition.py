@@ -241,6 +241,95 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
 
 
+def manual_tp_ready(params: Params, cfg, tp: int) -> bool:
+    """True when the MANUAL shard_map tensor-parallel decode
+    (eval_shmap_pspecs + in-model psums) supports this param tree:
+    head/mlp dims divide tp, and the LLM layer kernels are bf16 or
+    per-channel int8 (packed-int4 and NF4 column layouts interleave
+    output channels across the packed dim, so a positional shard slice
+    would permute heads; those trees use the sharding-propagation TP
+    path instead). wo/down biases would be psum-multiplied — also
+    propagate."""
+    llm = cfg.llm
+    if (
+        llm.num_heads % tp
+        or llm.kv_heads % tp
+        or llm.intermediate_size % tp
+    ):
+        return False
+    layers = params.get("llm", {}).get("layers", {})
+    try:
+        for blk, names in (("attn", ("wq", "wk", "wv", "wo")),
+                           ("mlp", ("gate", "up", "down"))):
+            grp = layers.get(blk, {})
+            for name in names:
+                if name not in grp:
+                    continue
+                d = grp[name]
+                if "kernel_q4p" in d or "kernel_q4" in d:
+                    return False
+                if name in ("wo", "down") and "bias" in d:
+                    return False
+    except AttributeError:
+        return False
+    return True
+
+
+def eval_shmap_pspecs(params: Params, mesh: Mesh) -> Params:
+    """PartitionSpecs for MANUAL tensor-parallel eval decode
+    (jax.shard_map): the LLM decoder layer stacks split over "model" —
+    wq/wk/wv/gate/up by output channels (heads / mlp columns), wo/down
+    by input rows (the Megatron split) — with int8 kernel scales
+    following their kernel's column split; embed table, lm_head, norms,
+    vision tower, and projector replicated (their compute per decode
+    token is negligible and replication keeps the hot loop comm-free
+    except the two per-layer psums inserted by models/llama under
+    tp_axis). Weights are never sharded over "data".
+
+    W8A8 note: int8_dense's dynamic per-token activation scale is
+    computed over the LOCAL K-shard of the row-split layers (wo/down)
+    under this plan — a finer quantization grid than single-chip, so
+    outputs differ by ~one activation quantization step (bounded by
+    tests/test_generate_mesh.py::test_manual_tp_w8a8_ksplit_is_requantization);
+    the weight-dequant mode (HALVA_W8A8=0) is bit-stable vs single-chip
+    up to fp32 reassociation."""
+    m = mesh.shape.get(MODEL_AXIS, 1)
+
+    n_split = re.compile(
+        r"llm/layers/(attn/w[qkv]|mlp/(gate|up))/"
+        r"(kernel(_q)?|kernel_scale|lora_b|bias)$"
+    )
+    k_split = re.compile(
+        r"llm/layers/(attn/wo|mlp/down)/(kernel(_q)?|lora_a)$"
+    )
+
+    def make(path: str, nd: int) -> P:
+        if m == 1:
+            return P()
+        if n_split.search(path):
+            return P(*([None] * (nd - 1) + [MODEL_AXIS]))
+        if k_split.search(path):
+            # (L, K, ...): rows split; lora_a (L, K, r) likewise
+            return P(None, MODEL_AXIS, *([None] * (nd - 2)))
+        return P()
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+
+    def path_of(kp):
+        parts = []
+        for k in kp:
+            if hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+        return "/".join(parts)
+
+    leaves = [
+        make(path_of(kp), np.ndim(leaf)) for kp, leaf in flat[0]
+    ]
+    return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
 def shard_packed_batch(batch, mesh: Mesh):
     """Shard a packed DPA batch (train/pack.py): row arrays (ndim >= 2,
     leading dim a "data" multiple) split over the data axis; scalars,

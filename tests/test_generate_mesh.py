@@ -95,6 +95,146 @@ def test_tensor_parallel_mesh_token_parity(params, single):
     np.testing.assert_array_equal(np.asarray(num), single[1])
 
 
+def test_tensor_parallel_propagate_fallback_parity(
+    params, single, monkeypatch
+):
+    """HALVA_TP_IMPL=propagate forces the sharding-propagation TP jit;
+    tokens must still match the single-device program (this used to be
+    the only TP mode; it remains the route for packed-int4/NF4 trees)."""
+    monkeypatch.setenv("HALVA_TP_IMPL", "propagate")
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    ids, images, lens = _inputs()
+    toks, num = generate(
+        params, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
+        attn_impl="xla", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks), single[0])
+    np.testing.assert_array_equal(np.asarray(num), single[1])
+
+
+def test_manual_tp_is_the_default_route(params):
+    """The tiny bf16 tree divides 2-way, so the shard_map TP path (which
+    keeps Pallas kernels available per shard) must be selected; packed
+    int4 trees must route to propagation."""
+    assert partition.manual_tp_ready(params, CFG, 2)
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    # int4 nibble packing interleaves output channels -> not shardable
+    # by positional slice; manual_tp_ready must reject it
+    p4 = quantize_params_int4_host(
+        jax.tree.map(np.asarray, params)
+    )
+    assert not partition.manual_tp_ready(p4, CFG, 2)
+
+
+def test_tensor_parallel_int8_token_parity(params, monkeypatch):
+    """Manual TP with int8 weights (weight-dequant mode): kernel scales
+    follow the column split; tokens match the single-device int8
+    program. W8A8 mode is excluded here — its per-TOKEN activation
+    scales are computed over the local K-shard under TP (a valid,
+    finer-grained quantization that is deliberately not bit-equal; see
+    test_manual_tp_w8a8_kslip_is_requantization)."""
+    from halva_tpu.ops import quant
+    from halva_tpu.ops.quant import quantize_params_host
+
+    monkeypatch.setattr(quant, "_W8A8", False)
+    p8 = quantize_params_host(jax.tree.map(np.asarray, params))
+    assert partition.manual_tp_ready(p8, CFG, 2)
+    ids, images, lens = _inputs()
+    # max_new differs from the module's other generate calls: the jit
+    # cache must not reuse an executable traced under W8A8=True
+    max_new = MAX_NEW + 4
+    toks1, num1 = generate(
+        p8, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla",
+    )
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    toks2, num2 = generate(
+        p8, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(toks1))
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
+
+
+def test_manual_tp_w8a8_ksplit_is_requantization():
+    """Under manual TP, W8A8's dynamic per-token activation scale is
+    computed over the LOCAL K-shard of row-split layers (wo/down) —
+    each shard gets a FINER quantization grid than the single-chip
+    program, so results differ by ~the activation quantization step
+    and no more. Pin that bound (a sharding bug would blow it up)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from halva_tpu.models.llama import dense
+    from halva_tpu.ops import quant
+    from halva_tpu.ops.quant import quantize_params_host
+
+    old = quant._W8A8
+    quant.set_w8a8(True)
+    try:
+        rng = np.random.RandomState(0)
+        k, n = 64, 128
+        w = rng.randn(k, n).astype(np.float32) * 0.05
+        x = jnp.asarray(rng.randn(4, k).astype(np.float32))
+        p = quantize_params_host({"d": {"kernel": w}})["d"]
+        y_full = dense(x, p)
+        mesh = Mesh(np.asarray(jax.devices()[:2]).reshape(2), ("model",))
+
+        def body(px, pq, ps):
+            y = dense(px, {"kernel_q": pq, "kernel_scale": ps})
+            return jax.lax.psum(y, "model")
+
+        y_tp = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(None, "model"), P("model", None), P()),
+            out_specs=P(),
+            check_vma=False,
+        )(x, p["kernel_q"], p["kernel_scale"])
+        err = float(jnp.max(jnp.abs(y_full - y_tp)))
+        ref = float(jnp.max(jnp.abs(y_full)))
+        # activation-grid-level difference, far above fp noise but far
+        # below signal (measured 0.0067 at these shapes)
+        assert err < 0.05 * ref, (err, ref)
+    finally:
+        quant._W8A8 = old
+
+
+def test_shmap_pspecs_split_layers_only(params):
+    """eval_shmap_pspecs: layer kernels split over "model" (columns for
+    wq/wk/wv/gate/up, rows for wo/down), int8 scales follow their
+    kernel, everything else fully replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    specs = partition.eval_shmap_pspecs(params, mesh)
+    lyr = specs["llm"]["layers"]
+    assert lyr["attn"]["wq"]["kernel"] == P(None, None, "model")
+    assert lyr["attn"]["wo"]["kernel"] == P(None, "model", None)
+    assert lyr["mlp"]["gate"]["kernel"] == P(None, None, "model")
+    assert lyr["mlp"]["down"]["kernel"] == P(None, "model", None)
+    assert specs["llm"]["embed"]["embedding"] == P()
+    assert specs["llm"]["lm_head"]["kernel"] == P()
+    for leaf in jax.tree.leaves(
+        specs["vision"], is_leaf=lambda x: isinstance(x, P)
+    ):
+        assert leaf == P()
+    # int8 tree: N-split scales, replicated K-split scales
+    from halva_tpu.ops.quant import quantize_params_host
+
+    p8 = quantize_params_host(jax.tree.map(np.asarray, params))
+    s8 = partition.eval_shmap_pspecs(p8, mesh)
+    l8 = s8["llm"]["layers"]
+    assert l8["attn"]["wq"]["kernel_scale"] == P(None, None, "model")
+    assert l8["attn"]["wo"]["kernel_scale"] == P()
+
+
 def test_tp_weights_actually_shard(params):
     """The TP plan must split head/mlp dims over "model" (not silently
     replicate) for the tiny config used above."""
