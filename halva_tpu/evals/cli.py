@@ -89,6 +89,9 @@ def _build_generator(args):
         vision_tower_path=args.vision_tower_path,
         quant=args.quant,
         tokenizer=tokenizer,
+        # int4 + TP mesh: pack nibbles shard-consistently so the manual
+        # shard_map TP route (fused kernels per shard) stays available
+        quant_tp=getattr(args, "mesh_model", 1) or 1,
     )
     mesh = None
     if getattr(args, "mesh_data", 0):

@@ -110,11 +110,27 @@ class BatchedGenerator:
                     f"batch_size {batch_size} must divide the mesh "
                     f"data axis ({dp})"
                 )
+            import os
+
             from halva_tpu.parallel import partition
 
-            # place weights once: replicated over "data", TP over
-            # "model" (partition.EVAL_LOGICAL_TO_MESH)
-            params = partition.eval_shard_params(params, mesh)
+            # place weights ONCE in the layout generate's jit expects —
+            # a mismatched committed sharding would reshard the whole
+            # tree on every dispatch. Manual shard_map TP (the default
+            # when the tree divides; ops/generate picks the same route)
+            # wants eval_shmap_pspecs; otherwise the propagation plan
+            # (partition.EVAL_LOGICAL_TO_MESH).
+            manual_tp = (
+                mesh.shape.get("model", 1) > 1
+                and os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
+                and partition.manual_tp_ready(
+                    params, cfg, mesh.shape["model"]
+                )
+            )
+            if manual_tp or mesh.shape.get("model", 1) == 1:
+                params = partition.eval_shmap_shard_params(params, mesh)
+            else:
+                params = partition.eval_shard_params(params, mesh)
         self.mesh = mesh
         self.prefetch_workers = prefetch_workers
         self.kv_quant = kv_quant

@@ -231,8 +231,9 @@ def load_pretrained_model(
     model_base: Optional[str] = None,
     dtype=jnp.bfloat16,
     vision_tower_path: Optional[str] = None,
-    quant: str = "none",  # none | int8 (host-side, pre-transfer)
+    quant: str = "none",  # none | int8 | int4 | int4g (host-side)
     tokenizer=None,
+    quant_tp: int = 1,  # int4 packing tp (manual-TP mesh model axis)
 ) -> Tuple[Params, LlavaConfig]:
     """The reference's eval loader contract (builder.py:11):
 
@@ -321,8 +322,13 @@ def load_pretrained_model(
         if quant in ("int4", "int4g"):
             from halva_tpu.ops.w4_matmul import quantize_params_int4_host
 
+            # quant_tp > 1: shard-consistent nibble packing so the
+            # manual shard_map TP route keeps the fused kernels (see
+            # partition.manual_tp_ready)
             params = quantize_params_int4_host(
-                params, group_size=128 if quant == "int4g" else None
+                params,
+                group_size=128 if quant == "int4g" else None,
+                tp=quant_tp,
             )
         else:
             from halva_tpu.ops.quant import quantize_params_host
@@ -330,7 +336,9 @@ def load_pretrained_model(
             params = quantize_params_host(params)
         params = jax.tree.map(
             lambda x: jnp.asarray(x)
-            if x.dtype in (np.int8, jnp.bfloat16)
+            # int8 payloads, bf16 scales, and integer metadata (the
+            # w4_pack_tp stamp) keep their dtype; floats go to `dtype`
+            if x.dtype in (np.int8, np.int32, jnp.bfloat16)
             else jnp.asarray(x, dtype),
             params,
         )

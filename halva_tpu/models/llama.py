@@ -772,15 +772,17 @@ def decode_step(
     w4 = "kernel_q4p" in params["layers"]["attn"]["wq"]
     # HALVA_DECODE_ATTN=xla must reach the w4 path too: fall back to the
     # generic scan (dense() handles kernel_q4p; attention uses the XLA
-    # oracle) so int4 serving retains the kernel escape hatch. Manual TP
-    # never reaches here with w4 (partition.manual_tp_ready rejects
-    # packed-int4 trees — the nibble layout interleaves output channels).
-    if w4 and (kvh == h_) and lane_ok and allow_fused and tp == 1 and (
+    # oracle) so int4 serving retains the kernel escape hatch. Under
+    # manual TP the weights are tp-packed (quantize_params_int4_host
+    # tp=...; verified by partition.manual_tp_ready) so each shard's
+    # block is self-consistent and the fused scan runs on local heads.
+    if w4 and (kvh == h_) and lane_ok and allow_fused and (
         os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     ):
         return _decode_step_w4(
             params, cfg, token_embeds, positions, prompt_cache,
             prompt_seg, gen_cache, step, cos, sin, gen_valid,
+            tp=tp, tp_axis=tp_axis,
         )
 
     def scan_fn(carry, layer_params):
@@ -920,17 +922,29 @@ def _decode_step_w4(
     cos: jnp.ndarray,
     sin: jnp.ndarray,
     gen_valid: jnp.ndarray,
+    tp: int = 1,
+    tp_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """decode_step body for stacked-int4 serving weights: the scan
     carries only the layer counter — every matmul streams int4 blocks of
     the stacked (L, K, N) weights through ops/w4_matmul.w4_dense_stacked
     and attention through ops/decode_attention.decode_attend_layer, so
-    no per-layer weight or cache slice is ever materialized. MHA only."""
+    no per-layer weight or cache slice is ever materialized. MHA only.
+
+    tp/tp_axis (manual shard_map TP, see prefill): requires weights
+    quantized with quantize_params_int4_host(tp=tp) — each shard's
+    packed block is then self-consistent (partition.manual_tp_ready
+    verifies the stamp) — and psums the row-split wo/down outputs."""
     from halva_tpu.ops.decode_attention import decode_attend_layer
     from halva_tpu.ops.w4_matmul import w4_dense_stacked
 
     b = token_embeds.shape[0]
-    h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    h_, kvh, dh = cfg.num_heads // tp, cfg.kv_heads // tp, cfg.head_size
+    red = (
+        (lambda y: jax.lax.psum(y, tp_axis))
+        if tp_axis is not None and tp > 1
+        else (lambda y: y)
+    )
     lyr = params["layers"]
 
     def idx(a, li):
@@ -957,26 +971,26 @@ def _decode_step_w4(
         attn_out = decode_attend_layer(
             q, prompt_cache, prompt_seg, gen, gen_valid, li,
         )
-        x = x + w4_dense_stacked(
+        x = x + red(w4_dense_stacked(
             attn_out.reshape(b, h_ * dh), lyr["attn"]["wo"], li
-        )[:, None]
+        ))[:, None]
         y = _norm(cfg, x, idx(lyr["post_attn_norm"]["scale"], li))
         y2 = y[:, 0]
         if cfg.gated_mlp:
             gated = _mlp_act(cfg)(
                 w4_dense_stacked(y2, lyr["mlp"]["gate"], li)
             ) * w4_dense_stacked(y2, lyr["mlp"]["up"], li)
-            x = x + w4_dense_stacked(gated, lyr["mlp"]["down"], li)[
-                :, None
-            ]
+            x = x + red(
+                w4_dense_stacked(gated, lyr["mlp"]["down"], li)
+            )[:, None]
         else:
-            x = x + w4_dense_stacked(
+            x = x + red(w4_dense_stacked(
                 _mlp_act(cfg)(
                     w4_dense_stacked(y2, lyr["mlp"]["up"], li)
                 ),
                 lyr["mlp"]["down"],
                 li,
-            )[:, None]
+            ))[:, None]
         return (x, gen, li + 1), None
 
     (x, new_gen, _), _ = jax.lax.scan(

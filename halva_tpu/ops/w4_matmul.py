@@ -42,7 +42,7 @@ def _interp() -> bool:
 
 
 def quantize_kernel_int4_stacked(
-    w: jnp.ndarray, group_size: int | None = None
+    w: jnp.ndarray, group_size: int | None = None, tp: int = 1
 ) -> Dict[str, jnp.ndarray]:
     """(L, K, N) float -> {kernel_q4p (L, K, N/2) int8 (packed nibble
     pair), kernel_scale4p (L, 2, G, N/2) bf16 scales (index 0: channels
@@ -53,7 +53,34 @@ def quantize_kernel_int4_stacked(
     one per g input rows (G=K/g) — absmax over 128 rows of a Gaussian
     kernel sits ~22% lower than over 4096, cutting quantization error
     the same amount (and more on real outlier-heavy checkpoints) for
-    +2/g bytes-per-weight of scale traffic."""
+    +2/g bytes-per-weight of scale traffic.
+
+    tp>1: TENSOR-PARALLEL packing — the nibble pairing (c, c+N/2)
+    interleaves output channels across the packed dim, so a positional
+    shard slice of a tp=1 layout would permute heads. Instead each of
+    the tp column blocks W[:, :, i*N/tp:(i+1)*N/tp] is packed
+    independently and the results concatenated: a contiguous 1/tp slice
+    of the packed dim is then a self-consistent packed kernel of its
+    channel block, exactly what jax.shard_map in_specs hand each model
+    shard (parallel/partition.eval_shmap_pspecs)."""
+    if tp > 1:
+        L, k, n = w.shape
+        assert n % (2 * tp) == 0, (n, tp)
+        blocks = [
+            quantize_kernel_int4_stacked(
+                w[:, :, i * (n // tp) : (i + 1) * (n // tp)],
+                group_size=group_size,
+            )
+            for i in range(tp)
+        ]
+        return {
+            "kernel_q4p": jnp.concatenate(
+                [b_["kernel_q4p"] for b_ in blocks], axis=-1
+            ),
+            "kernel_scale4p": jnp.concatenate(
+                [b_["kernel_scale4p"] for b_ in blocks], axis=-1
+            ),
+        }
     L, k, n = w.shape
     assert n % 2 == 0, n
     g = k if group_size is None else group_size
@@ -79,7 +106,7 @@ def quantize_kernel_int4_stacked(
 
 
 def quantize_kernel_int4_stacked_host(
-    w, group_size: int | None = None
+    w, group_size: int | None = None, tp: int = 1
 ) -> Dict[str, "jnp.ndarray"]:
     """Numpy twin of quantize_kernel_int4_stacked — host RAM only (the
     axon relay never frees device HBM, so serving conversion must not
@@ -88,6 +115,24 @@ def quantize_kernel_int4_stacked_host(
 
     w32 = np.asarray(w, np.float32)
     L, k, n = w32.shape
+    if tp > 1:
+        assert n % (2 * tp) == 0, (n, tp)
+        blocks = [
+            quantize_kernel_int4_stacked_host(
+                w32[:, :, i * (n // tp) : (i + 1) * (n // tp)],
+                group_size=group_size,
+            )
+            for i in range(tp)
+        ]
+        return {
+            "kernel_q4p": np.concatenate(
+                [b_["kernel_q4p"] for b_ in blocks], axis=-1
+            ),
+            "kernel_scale4p": np.concatenate(
+                [np.asarray(b_["kernel_scale4p"]) for b_ in blocks],
+                axis=-1,
+            ).astype(jnp.bfloat16),
+        }
     assert n % 2 == 0, n
     g = k if group_size is None else group_size
     assert k % g == 0, (k, g)
@@ -110,7 +155,9 @@ def quantize_kernel_int4_stacked_host(
     }
 
 
-def quantize_params_int4_host(params, group_size: int | None = None):
+def quantize_params_int4_host(
+    params, group_size: int | None = None, tp: int = 1
+):
     """Serving W4 conversion on HOST: every stacked 3D kernel (the LLM
     and vision layer stacks) drops to packed int4; 2D kernels and embed
     tables get per-channel int8 (quant.quantize_params_host). This is
@@ -118,27 +165,53 @@ def quantize_params_int4_host(params, group_size: int | None = None):
     models/builder.load_pretrained_model(quant="int4"); group_size=128
     (quant="int4g") adds sub-channel scales for lower quantization
     error. Stacks whose K dim the group size does not divide keep
-    per-channel scales."""
+    per-channel scales.
+
+    tp>1: pack the LLM's column-split kernels (wq/wk/wv/gate/up)
+    shard-consistently for a tp-way manual-TP mesh (see
+    quantize_kernel_int4_stacked) and stamp the tree with
+    "w4_pack_tp" so partition.manual_tp_ready can verify the packing
+    matches the mesh's model axis. Row-split (wo/down) and vision
+    kernels keep the plain layout (their packed dim is never sharded)."""
+    import numpy as np
+
     from halva_tpu.ops.quant import quantize_params_host
 
-    def rewrite(orig, q):
+    N_SPLIT_KEYS = {"wq", "wk", "wv", "gate", "up"}
+
+    def rewrite(orig, q, path=()):
         if isinstance(q, dict):
             if "kernel_q" in q and q["kernel_q"].ndim == 3:
                 g = group_size
                 if g is not None and orig["kernel"].shape[1] % g != 0:
                     g = None
+                kt = (
+                    tp
+                    if (
+                        tp > 1
+                        and path
+                        and path[0] == "llm"
+                        and path[-1] in N_SPLIT_KEYS
+                    )
+                    else 1
+                )
                 return quantize_kernel_int4_stacked_host(
-                    orig["kernel"], group_size=g
+                    orig["kernel"], group_size=g, tp=kt
                 )
             return {
                 k: rewrite(
-                    orig.get(k) if isinstance(orig, dict) else None, v
+                    orig.get(k) if isinstance(orig, dict) else None,
+                    v,
+                    path + (k,),
                 )
                 for k, v in q.items()
             }
         return q
 
-    return rewrite(params, quantize_params_host(params))
+    out = rewrite(params, quantize_params_host(params))
+    if tp > 1:
+        out["w4_pack_tp"] = np.int32(tp)
+    return out
 
 
 def unpack_int4(p: jnp.ndarray):

@@ -244,12 +244,14 @@ def shard_batch(batch, mesh: Mesh):
 def manual_tp_ready(params: Params, cfg, tp: int) -> bool:
     """True when the MANUAL shard_map tensor-parallel decode
     (eval_shmap_pspecs + in-model psums) supports this param tree:
-    head/mlp dims divide tp, and the LLM layer kernels are bf16 or
-    per-channel int8 (packed-int4 and NF4 column layouts interleave
-    output channels across the packed dim, so a positional shard slice
-    would permute heads; those trees use the sharding-propagation TP
-    path instead). wo/down biases would be psum-multiplied — also
-    propagate."""
+    head/mlp dims divide tp, and the LLM layer kernels are bf16,
+    per-channel int8, or packed-int4 quantized WITH a matching tp
+    (quantize_params_int4_host(tp=...) packs each column shard
+    independently and stamps "w4_pack_tp"; a tp=1 nibble layout
+    interleaves output channels across the packed dim, so a positional
+    shard slice would permute heads — those trees use the sharding-
+    propagation TP path instead). NF4 stays propagate-only. wo/down
+    biases would be psum-multiplied — also propagate."""
     llm = cfg.llm
     if (
         llm.num_heads % tp
@@ -257,6 +259,7 @@ def manual_tp_ready(params: Params, cfg, tp: int) -> bool:
         or llm.intermediate_size % tp
     ):
         return False
+    pack_tp = int(params.get("w4_pack_tp", 1))
     layers = params.get("llm", {}).get("layers", {})
     try:
         for blk, names in (("attn", ("wq", "wk", "wv", "wo")),
@@ -266,8 +269,16 @@ def manual_tp_ready(params: Params, cfg, tp: int) -> bool:
                 if name not in grp:
                     continue
                 d = grp[name]
-                if "kernel_q4p" in d or "kernel_q4" in d:
+                if "kernel_q4" in d:
                     return False
+                if "kernel_q4p" in d:
+                    if name in ("wo", "down"):
+                        # rows split: grouped-K scales must divide
+                        ng = d["kernel_scale4p"].shape[2]
+                        if ng > 1 and ng % tp:
+                            return False
+                    elif pack_tp != tp:
+                        return False
                 if name in ("wo", "down") and "bias" in d:
                     return False
     except AttributeError:
@@ -297,17 +308,29 @@ def eval_shmap_pspecs(params: Params, mesh: Mesh) -> Params:
 
     n_split = re.compile(
         r"llm/layers/(attn/w[qkv]|mlp/(gate|up))/"
-        r"(kernel(_q)?|kernel_scale|lora_b|bias)$"
+        r"(kernel(_q)?|kernel_q4p|kernel_scale(4p)?|lora_b|bias)$"
     )
     k_split = re.compile(
-        r"llm/layers/(attn/wo|mlp/down)/(kernel(_q)?|lora_a)$"
+        r"llm/layers/(attn/wo|mlp/down)/(kernel(_q)?|kernel_q4p|lora_a)$"
+    )
+    # wo/down grouped-K int4 scales: groups run along K, so they split
+    # WITH the rows (dim 2 of (L, 2, G, N/2)); per-channel (G=1) scales
+    # replicate (they apply per unsharded output column)
+    k_scale4 = re.compile(
+        r"llm/layers/(attn/wo|mlp/down)/kernel_scale4p$"
     )
 
-    def make(path: str, nd: int) -> P:
+    def make(path: str, leaf) -> P:
+        nd = np.ndim(leaf)
         if m == 1:
             return P()
         if n_split.search(path):
             return P(*([None] * (nd - 1) + [MODEL_AXIS]))
+        if k_scale4.search(path):
+            ng = np.shape(leaf)[2]
+            if ng > 1 and ng % m == 0:
+                return P(None, None, MODEL_AXIS, None)
+            return P()
         if k_split.search(path):
             # (L, K, ...): rows split; lora_a (L, K, r) likewise
             return P(None, MODEL_AXIS, *([None] * (nd - 2)))
@@ -324,10 +347,21 @@ def eval_shmap_pspecs(params: Params, mesh: Mesh) -> Params:
                 parts.append(str(k.idx))
         return "/".join(parts)
 
-    leaves = [
-        make(path_of(kp), np.ndim(leaf)) for kp, leaf in flat[0]
-    ]
+    leaves = [make(path_of(kp), leaf) for kp, leaf in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def eval_shmap_shard_params(params: Params, mesh: Mesh) -> Params:
+    """device_put params with the manual-TP layout (eval_shmap_pspecs)
+    so generate's jit(shard_map) receives inputs already placed — a
+    mismatched committed sharding would cost a whole-tree reshard copy
+    on EVERY generate dispatch."""
+    specs = eval_shmap_pspecs(params, mesh)
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+        params,
+        specs,
+    )
 
 
 def shard_packed_batch(batch, mesh: Mesh):

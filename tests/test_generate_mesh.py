@@ -161,6 +161,35 @@ def test_tensor_parallel_int8_token_parity(params, monkeypatch):
     np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
 
 
+def test_tensor_parallel_int4_token_parity(params):
+    """Manual TP with tp-packed int4 weights (the headline serving
+    format): token parity with the single-device int4 program. The
+    tp-aware packing changes only the nibble PAIRING, not the
+    quantized values (per-column scales), so the dequantized math is
+    identical up to the K-split fp32 reassociation."""
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    pnp = jax.tree.map(np.asarray, params)
+    p1 = quantize_params_int4_host(pnp)
+    ptp = quantize_params_int4_host(pnp, tp=2)
+    ids, images, lens = _inputs()
+    max_new = MAX_NEW + 8  # own jit-cache key
+    toks1, num1 = generate(
+        p1, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla",
+    )
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    assert partition.manual_tp_ready(ptp, CFG, 2)
+    toks2, num2 = generate(
+        ptp, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(toks1))
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
+
+
 def test_manual_tp_w8a8_ksplit_is_requantization():
     """Under manual TP, W8A8's dynamic per-token activation scale is
     computed over the LOCAL K-shard of row-split layers (wo/down) —

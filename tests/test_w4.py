@@ -321,3 +321,79 @@ def test_grouped_dense_and_host_quantizer():
         quant.set_w4a8(False)
     denom = float(jnp.max(jnp.abs(ref))) + 1e-9
     assert float(jnp.max(jnp.abs(y - ref))) / denom < 0.2
+
+
+def test_tp_packed_blocks_are_shard_consistent():
+    """quantize_kernel_int4_stacked(tp=2): a contiguous half of the
+    packed dim must be a self-consistent packed kernel of its column
+    block — dequantizing the shard slice reproduces exactly the columns
+    a tp=1 quantization of that block would give (scales are per-column
+    absmax over K, so the values are identical; only the nibble pairing
+    changes)."""
+    from halva_tpu.ops.w4_matmul import (
+        quantize_kernel_int4_stacked,
+        quantize_kernel_int4_stacked_host,
+    )
+
+    rng = np.random.RandomState(11)
+    L, K, N, tp = 2, 32, 64, 2
+
+    def deq(q):  # (L, K, Nloc) from a packed block
+        lo, hi = unpack_int4(q["kernel_q4p"])
+        s = q["kernel_scale4p"].astype(jnp.float32)  # (L, 2, G, n/2)
+        ng = s.shape[2]
+        s = jnp.repeat(s, K // ng, axis=2)
+        return jnp.concatenate(
+            [lo.astype(jnp.float32) * s[:, 0],
+             hi.astype(jnp.float32) * s[:, 1]], axis=-1)
+
+    w = rng.randn(L, K, N).astype(np.float32)
+    for g in (None, 16):
+        qtp = quantize_kernel_int4_stacked(jnp.asarray(w), g, tp=tp)
+        assert qtp["kernel_q4p"].shape == (L, K, N // 2)
+        nh = N // 2 // tp  # packed columns per shard
+        for i in range(tp):
+            shard = {
+                "kernel_q4p": qtp["kernel_q4p"][..., i * nh:(i + 1) * nh],
+                "kernel_scale4p":
+                    qtp["kernel_scale4p"][..., i * nh:(i + 1) * nh],
+            }
+            block = w[:, :, i * (N // tp):(i + 1) * (N // tp)]
+            q1 = quantize_kernel_int4_stacked(jnp.asarray(block), g)
+            np.testing.assert_array_equal(
+                np.asarray(deq(shard)), np.asarray(deq(q1)))
+        # host twin bit-identical
+        qh = quantize_kernel_int4_stacked_host(w, g, tp=tp)
+        np.testing.assert_array_equal(
+            np.asarray(qh["kernel_q4p"]), np.asarray(qtp["kernel_q4p"]))
+
+
+def test_quantize_params_tp_stamps_and_splits():
+    """quantize_params_int4_host(tp=2): N-split LLM kernels tp-packed,
+    wo/down and vision kernels plain, tree stamped w4_pack_tp=2, and
+    partition.manual_tp_ready accepts exactly the matching tp."""
+    import jax
+
+    from halva_tpu.config import LLAVA_TINY
+    from halva_tpu.models import llava
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+    from halva_tpu.parallel import partition
+
+    params = llava.init_params(jax.random.PRNGKey(0), LLAVA_TINY)
+    pnp = jax.tree.map(np.asarray, params)
+    p2 = quantize_params_int4_host(pnp, tp=2)
+    assert int(p2["w4_pack_tp"]) == 2
+    assert partition.manual_tp_ready(p2, LLAVA_TINY, 2)
+    assert not partition.manual_tp_ready(p2, LLAVA_TINY, 4)
+    p1 = quantize_params_int4_host(pnp)
+    assert "w4_pack_tp" not in p1
+    assert not partition.manual_tp_ready(p1, LLAVA_TINY, 2)
+    # wq differs between the packings (pairing changed), wo does not
+    assert not np.array_equal(
+        p2["llm"]["layers"]["attn"]["wq"]["kernel_q4p"],
+        p1["llm"]["layers"]["attn"]["wq"]["kernel_q4p"],
+    )
+    np.testing.assert_array_equal(
+        p2["llm"]["layers"]["attn"]["wo"]["kernel_q4p"],
+        p1["llm"]["layers"]["attn"]["wo"]["kernel_q4p"],
+    )
