@@ -259,6 +259,13 @@ def manual_tp_ready(params: Params, cfg, tp: int) -> bool:
         or llm.intermediate_size % tp
     ):
         return False
+    # ALiBi's per-head slope is derived from the head INDEX inside the
+    # flash kernel (flash_attention._alibi_slope(program_id)); a head
+    # slice would reuse shard-0's slopes on every shard. MPT-class
+    # models stay on the propagation path until the kernels take a
+    # head-offset.
+    if getattr(llm, "position_embedding", "rope") == "alibi":
+        return False
     pack_tp = int(params.get("w4_pack_tp", 1))
     layers = params.get("llm", {}).get("layers", {})
     try:
