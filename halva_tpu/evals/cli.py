@@ -83,15 +83,29 @@ def _build_generator(args):
     # tokenizer passes through the loader so mm_use_im_start_end
     # checkpoints get their token re-add + mean-init embedding resize
     # (reference llava/model/builder.py:89-96)
+    # int4 + TP mesh: pack nibbles shard-consistently so the manual
+    # shard_map TP route (fused kernels per shard) stays available —
+    # ONLY when that route will actually run: a tp-packed tree dequants
+    # to block-permuted channels on any global consumer (generate
+    # refuses such trees loudly). The builder additionally verifies the
+    # pre-quant tree/config divide (manual_tp_ready) before packing.
+    import os as _os
+
+    quant_tp = 1
+    if (
+        args.quant in ("int4", "int4g")
+        and getattr(args, "mesh_data", 0)
+        and (getattr(args, "mesh_model", 1) or 1) > 1
+        and _os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
+    ):
+        quant_tp = args.mesh_model
     params, cfg = load_pretrained_model(
         args.model_path,
         args.model_base,
         vision_tower_path=args.vision_tower_path,
         quant=args.quant,
         tokenizer=tokenizer,
-        # int4 + TP mesh: pack nibbles shard-consistently so the manual
-        # shard_map TP route (fused kernels per shard) stays available
-        quant_tp=getattr(args, "mesh_model", 1) or 1,
+        quant_tp=quant_tp,
     )
     mesh = None
     if getattr(args, "mesh_data", 0):

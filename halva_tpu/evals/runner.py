@@ -110,24 +110,16 @@ class BatchedGenerator:
                     f"batch_size {batch_size} must divide the mesh "
                     f"data axis ({dp})"
                 )
-            import os
-
             from halva_tpu.parallel import partition
 
             # place weights ONCE in the layout generate's jit expects —
             # a mismatched committed sharding would reshard the whole
-            # tree on every dispatch. Manual shard_map TP (the default
-            # when the tree divides; ops/generate picks the same route)
-            # wants eval_shmap_pspecs; otherwise the propagation plan
-            # (partition.EVAL_LOGICAL_TO_MESH).
-            manual_tp = (
-                mesh.shape.get("model", 1) > 1
-                and os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
-                and partition.manual_tp_ready(
-                    params, cfg, mesh.shape["model"]
-                )
-            )
-            if manual_tp or mesh.shape.get("model", 1) == 1:
+            # tree on every dispatch. partition.manual_tp_route is the
+            # SAME decision ops/generate.generate makes.
+            if (
+                partition.manual_tp_route(params, cfg, mesh)
+                or mesh.shape.get("model", 1) == 1
+            ):
                 params = partition.eval_shmap_shard_params(params, mesh)
             else:
                 params = partition.eval_shard_params(params, mesh)

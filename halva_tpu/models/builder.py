@@ -321,14 +321,21 @@ def load_pretrained_model(
         # storage + kernels, ~2/3 the quantization error.
         if quant in ("int4", "int4g"):
             from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+            from halva_tpu.parallel.partition import manual_tp_ready
 
             # quant_tp > 1: shard-consistent nibble packing so the
-            # manual shard_map TP route keeps the fused kernels (see
-            # partition.manual_tp_ready)
+            # manual shard_map TP route keeps the fused kernels — but
+            # only when the pre-quant tree/config actually qualify for
+            # that route (indivisible heads / ALiBi / wo-down biases
+            # fall back to propagation, which needs PLAIN packing: a
+            # tp-packed tree is block-permuted for global consumers)
+            eff_tp = quant_tp
+            if eff_tp > 1 and not manual_tp_ready(params, cfg, eff_tp):
+                eff_tp = 1
             params = quantize_params_int4_host(
                 params,
                 group_size=128 if quant == "int4g" else None,
-                tp=quant_tp,
+                tp=eff_tp,
             )
         else:
             from halva_tpu.ops.quant import quantize_params_host

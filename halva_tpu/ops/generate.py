@@ -484,17 +484,27 @@ def generate(
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    manual_tp = False
-    if mesh is not None and mesh.shape.get("model", 1) > 1:
-        # manual shard_map TP keeps the Pallas kernels on; the env
-        # knob forces the sharding-propagation fallback for A/B
-        import os
+    from halva_tpu.parallel import partition
 
-        from halva_tpu.parallel import partition
-
-        manual_tp = (
-            os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
-            and partition.manual_tp_ready(params, cfg, mesh.shape["model"])
+    # manual shard_map TP keeps the Pallas kernels on; HALVA_TP_IMPL=
+    # propagate forces the sharding-propagation fallback for A/B. One
+    # shared decision with BatchedGenerator's weight placement.
+    manual_tp = partition.manual_tp_route(params, cfg, mesh)
+    stamp = (
+        int(params.get("w4_pack_tp", 1)) if isinstance(params, dict) else 1
+    )
+    if stamp > 1 and not (
+        manual_tp and mesh is not None and mesh.shape.get("model") == stamp
+    ):
+        # a tp-packed int4 tree dequants to BLOCK-PERMUTED output
+        # channels on any global (non-shard_map) consumer — refuse
+        # loudly instead of generating garbage
+        raise ValueError(
+            f"params are int4-packed for manual TP={stamp} "
+            f"(w4_pack_tp) but this call would run "
+            f"{'propagation' if mesh is not None else 'single-device'}"
+            f" — requantize with quantize_params_int4_host(tp=1) or "
+            f"pass a mesh with model={stamp} and HALVA_TP_IMPL=shmap"
         )
     key = (
         cfg, max_new_tokens, eos_id, attn_impl, kv_quant, temperature,

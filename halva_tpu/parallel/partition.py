@@ -358,6 +358,22 @@ def eval_shmap_pspecs(params: Params, mesh: Mesh) -> Params:
     return jax.tree_util.tree_unflatten(flat[1], leaves)
 
 
+def manual_tp_route(params: Params, cfg, mesh: Optional[Mesh]) -> bool:
+    """THE single routing decision for tensor-parallel eval decode:
+    True = manual shard_map TP (eval_shmap_pspecs layout), False =
+    sharding-propagation fallback. ops/generate.generate and
+    evals/runner.BatchedGenerator both call this — a drifted copy would
+    commit weights in one layout and jit for the other, resharding the
+    whole tree on every dispatch."""
+    import os
+
+    if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
+        return False
+    if os.environ.get("HALVA_TP_IMPL", "shmap") != "shmap":
+        return False
+    return manual_tp_ready(params, cfg, mesh.shape[MODEL_AXIS])
+
+
 def eval_shmap_shard_params(params: Params, mesh: Mesh) -> Params:
     """device_put params with the manual-TP layout (eval_shmap_pspecs)
     so generate's jit(shard_map) receives inputs already placed — a
@@ -372,12 +388,14 @@ def eval_shmap_shard_params(params: Params, mesh: Mesh) -> Params:
 
 
 def shard_packed_batch(batch, mesh: Mesh):
-    """Shard a packed DPA batch (train/pack.py): row arrays (ndim >= 2,
-    leading dim a "data" multiple) split over the data axis; scalars,
-    image stacks, and scatter plans are replicated — image features are
-    gathered into rows by global index inside the step, so their
-    placement is XLA's problem, and the arrays are small next to the
-    row activations."""
+    """Shard a packed DPA batch (train/pack.py): every array whose
+    leading dim divides the "data" axis splits over it — the token rows
+    AND the unique-image stack (the vision tower then runs
+    data-parallel over images); scalars and the scatter plans
+    replicate. The feature scatter indexes features by GLOBAL image
+    index inside the jitted step, so XLA inserts the (tiny,
+    (NI, T, D)-sized) cross-shard gathers on ICI; that beats
+    replicating the vision forward `data`-times over."""
     import numpy as np
 
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -197,14 +197,19 @@ class PackedDPABatcher:
         out = None
         if not self._try_place(item, pos, neg, ref):
             out = self.emit()
-            placed = self._try_place(item, pos, neg, ref)
-            assert placed, "sample does not fit an empty packed batch"
+            if not self._try_place(item, pos, neg, ref):
+                # does not fit even an EMPTY batch (e.g. pn_rows=1 and
+                # pos+neg together exceed seq_len): drop, like the
+                # over-length drop above — never kill the run
+                self.dropped += 1
         return out
 
     def _try_place(self, item, pos, neg, ref) -> bool:
         if self.n >= self.max_samples:
             return False
-        n_imgs = (1 if pos[3] is not None else 0) + (
+        n_imgs = (
+            1 if (pos[3] is not None or neg[3] is not None) else 0
+        ) + (
             1 if ref[3] is not None and item.get("ref_image") is not None
             else 0
         )
@@ -228,11 +233,16 @@ class PackedDPABatcher:
         c_neg = self.pn.place(r_neg, neg[0], neg[1], neg[2], sid, True)
         c_ref = self.ref.place(r_ref, ref[0], ref[1], ref[2], sid, False)
 
-        if pos[3] is not None:
+        if pos[3] is not None or neg[3] is not None:
+            # pos and neg SHARE the sample's image feature block; either
+            # side may lack the sentinel (its doc then keeps pad-token
+            # embeddings — the unpacked splice's no-image behavior)
             img_idx = len(self.images)
             self.images.append(np.asarray(item["image"], np.float32))
-            self.pn_scatter.append((img_idx, r_pos, c_pos + pos[3]))
-            self.pn_scatter.append((img_idx, r_neg, c_neg + neg[3]))
+            if pos[3] is not None:
+                self.pn_scatter.append((img_idx, r_pos, c_pos + pos[3]))
+            if neg[3] is not None:
+                self.pn_scatter.append((img_idx, r_neg, c_neg + neg[3]))
         if ref[3] is not None and item.get("ref_image") is not None:
             img_idx = len(self.images)
             self.images.append(np.asarray(item["ref_image"], np.float32))

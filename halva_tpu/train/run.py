@@ -164,11 +164,22 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
     steps_per_epoch = len(dataset) // global_batch
     num_opt_steps = int(rcfg.epochs * steps_per_epoch / rcfg.grad_accum_steps)
     num_micro_steps = num_opt_steps * rcfg.grad_accum_steps
-    stop_at = (
-        min(num_micro_steps, rcfg.max_steps)
-        if rcfg.max_steps
-        else num_micro_steps
-    )
+    if rcfg.pack:
+        # packed batches hold a VARIABLE number of samples (<=
+        # global_batch), so the sample-count cadence above undercounts
+        # packed steps whenever row capacity binds first; bounding the
+        # loop by it would silently drop each epoch's tail. The epoch
+        # budget lives in the index stream itself (epoch_indices yields
+        # exactly rcfg.epochs passes) — run until it drains. The LR
+        # schedule keeps the sample-count horizon (a lower bound): the
+        # cosine tail flattens at min-lr for the overshoot steps.
+        stop_at = rcfg.max_steps or float("inf")
+    else:
+        stop_at = (
+            min(num_micro_steps, rcfg.max_steps)
+            if rcfg.max_steps
+            else num_micro_steps
+        )
 
     tcfg = trainer_lib.TrainConfig(
         learning_rate=rcfg.learning_rate,
@@ -294,7 +305,7 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
         jax.process_index(),
         jax.process_count(),
     )
-    if start_step:
+    if start_step and batcher is None:
         import itertools
 
         host_batches = itertools.islice(host_batches, start_step, None)
@@ -317,7 +328,19 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
                     for i in batch_idx:
                         yield dataset[i]
 
-            yield from batcher.batches(items())
+            stream = batcher.batches(items())
+            if start_step:
+                # resume skips PACKED batches (micro counts those):
+                # packing is deterministic over the same index order, so
+                # replaying the first start_step packed batches lands on
+                # the exact sample the interrupted run would see next.
+                # An index-level skip (the unpacked path's islice) would
+                # misalign — a packed batch consumes a VARIABLE number
+                # of samples.
+                import itertools
+
+                stream = itertools.islice(stream, start_step, None)
+            yield from stream
             return
         for batch_idx in host_batches:
             samples = [dataset[i] for i in batch_idx]

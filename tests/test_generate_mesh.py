@@ -190,6 +190,31 @@ def test_tensor_parallel_int4_token_parity(params):
     np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
 
 
+def test_tp_packed_tree_refused_on_global_routes(params, monkeypatch):
+    """A tp-packed int4 tree dequants to block-permuted channels on any
+    global (non-shard_map) consumer: generate must refuse loudly for
+    (a) single-device calls and (b) the propagation fallback, instead
+    of emitting garbage."""
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    ptp = quantize_params_int4_host(jax.tree.map(np.asarray, params), tp=2)
+    ids, images, lens = _inputs()
+    with pytest.raises(ValueError, match="w4_pack_tp"):
+        generate(
+            ptp, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
+            attn_impl="xla",
+        )
+    monkeypatch.setenv("HALVA_TP_IMPL", "propagate")
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    with pytest.raises(ValueError, match="w4_pack_tp"):
+        generate(
+            ptp, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
+            attn_impl="xla", mesh=mesh,
+        )
+
+
 def test_manual_tp_w8a8_ksplit_is_requantization():
     """Under manual TP, W8A8's dynamic per-token activation scale is
     computed over the LOCAL K-shard of row-split layers (wo/down) —

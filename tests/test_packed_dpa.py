@@ -239,3 +239,39 @@ def test_packed_train_step_matches_unpacked_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-3, atol=2e-6
         )
+
+
+def test_oversize_pair_drops_instead_of_crashing():
+    """A sample whose pos+neg together exceed every row of an EMPTY
+    batch must be dropped (counted), not assert-kill the run."""
+    items = _make_items(3, seed=7)
+    # one row only: pos (len ~12+T-1) + neg can exceed 24 together but
+    # each fits alone
+    b = _batcher(max_samples=4, seq_len=24, pn_rows=1, ref_rows=1)
+    batches = list(b.batches(iter(items)))
+    placed = sum(int(x["n_samples"]) for x in batches)
+    assert placed + b.dropped == 3
+    assert b.dropped >= 1  # at least one pair cannot share the row
+
+
+def test_neg_without_image_sentinel():
+    """pos has IMAGE_TOKEN_INDEX, neg does not: the neg doc packs with
+    pad embeddings (no scatter entry), no crash; and vice versa."""
+    items = _make_items(2, seed=9)
+    items[0]["neg_input_ids"] = np.where(
+        items[0]["neg_input_ids"] == IMAGE_TOKEN_INDEX,
+        np.int32(7),
+        items[0]["neg_input_ids"],
+    ).astype(np.int32)
+    items[1]["input_ids"] = np.where(
+        items[1]["input_ids"] == IMAGE_TOKEN_INDEX,
+        np.int32(7),
+        items[1]["input_ids"],
+    ).astype(np.int32)
+    b = _batcher()
+    batches = list(b.batches(iter(items)))
+    assert sum(int(x["n_samples"]) for x in batches) == 2
+    bt = batches[0]
+    live = bt["pn_img_row"] < bt["pn_input_ids"].shape[0]
+    # one placement for each asymmetric sample (pos-only / neg-only)
+    assert int(live.sum()) == 2
