@@ -351,8 +351,18 @@ def build_generate_impl(
     allow_fused = not prop_tp
     tp = tp_n if manual_tp else 1
     tp_axis = "model" if (manual_tp and tp_n > 1) else None
+    # shard_map modes replicate the rng over the mesh; per-data-shard
+    # sampling must decorrelate it (identical prompts on different
+    # shards would otherwise draw IDENTICAL tokens). Model shards keep
+    # the same key — their logits are psum-identical and must sample in
+    # lockstep.
+    shard_rng = (
+        mesh is not None and not prop_tp and temperature > 0.0
+    )
 
     def impl(p, ids, im, lens, r):
+        if shard_rng:
+            r = jax.random.fold_in(r, jax.lax.axis_index("data"))
         ft, fl, sl, pc, ps = _prefill_impl(
             p, cfg, ids, im, lens, max_new_tokens, eff_attn, kv_quant,
             tp=tp, tp_axis=tp_axis,

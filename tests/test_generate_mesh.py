@@ -310,6 +310,37 @@ def test_tp_weights_actually_shard(params):
             assert entry != "data"
 
 
+def test_sampling_decorrelated_across_data_shards(params):
+    """Identical prompts placed on DIFFERENT data shards must not draw
+    identical token sequences: the replicated rng is folded with the
+    shard's axis index (without it, every shard consumed the same key
+    and same-logits rows sampled in lockstep)."""
+    b = 8
+    rng = np.random.RandomState(1)
+    ids = np.tile(
+        rng.randint(5, 200, (1, 24)).astype(np.int32), (b, 1)
+    )
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((b,), 24, np.int32)
+    images = np.tile(
+        rng.randn(1, 3, CFG.vision.image_size, CFG.vision.image_size)
+        .astype(np.float32),
+        (b, 1, 1, 1),
+    )
+    mesh = mesh_lib.make_mesh(
+        data=4, model=1, devices=jax.devices()[:4]
+    )
+    toks, _ = generate(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jnp.asarray(lens), MAX_NEW, eos_id=EOS, attn_impl="xla",
+        temperature=1.0, mesh=mesh,
+        rng=jax.random.PRNGKey(7),
+    )
+    toks = np.asarray(toks)
+    # rows 0 and 2 sit on different shards (batch 8 over 4 shards of 2)
+    assert not np.array_equal(toks[0], toks[2]), toks[:4]
+
+
 def test_batch_must_divide_data_axis(params):
     mesh = mesh_lib.make_mesh(
         data=4, model=1, devices=jax.devices()[:4]
