@@ -707,7 +707,8 @@ def decode_step(
     updated gen cache). The new token is written at gen slot `step`
     (lockstep across rows); its RoPE position is per-row `positions`.
 
-    On TPU, MHA dispatches to the fused Pallas kernel
+    On TPU, the step dispatches to the fused Pallas kernel (MHA and
+    GQA — GQA runs grouped in-kernel over the true KVH-sized caches)
     (ops/decode_attention.py:decode_attend_layer), passing the WHOLE
     stacked caches with the layer index as a scalar-prefetch argument —
     a per-layer XLA dynamic-slice cannot fuse into a Pallas custom call
@@ -759,7 +760,7 @@ def decode_step(
 
         seg_eo_flat = seg_even_odd(prompt_seg).reshape(b, -1)
     fused = (
-        kvh == h_
+        h_ % kvh == 0  # GQA runs grouped in-kernel (MHA: G == 1)
         and lane_ok
         and allow_fused
         and jax.default_backend() == "tpu"
@@ -776,7 +777,7 @@ def decode_step(
     # manual TP the weights are tp-packed (quantize_params_int4_host
     # tp=...; verified by partition.manual_tp_ready) so each shard's
     # block is self-consistent and the fused scan runs on local heads.
-    if w4 and (kvh == h_) and lane_ok and allow_fused and (
+    if w4 and (h_ % kvh == 0) and lane_ok and allow_fused and (
         os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     ):
         return _decode_step_w4(
@@ -929,7 +930,8 @@ def _decode_step_w4(
     carries only the layer counter — every matmul streams int4 blocks of
     the stacked (L, K, N) weights through ops/w4_matmul.w4_dense_stacked
     and attention through ops/decode_attention.decode_attend_layer, so
-    no per-layer weight or cache slice is ever materialized. MHA only.
+    no per-layer weight or cache slice is ever materialized. GQA runs
+    grouped in the attention kernel.
 
     tp/tp_axis (manual shard_map TP, see prefill): requires weights
     quantized with quantize_params_int4_host(tp=tp) — each shard's

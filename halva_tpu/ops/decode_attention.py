@@ -22,8 +22,11 @@ int8 dequant happens in-register on the VMEM-resident block; the
 per-(head, token) scales multiply the logits/probabilities exactly like
 the XLA oracle (models/llama.py:_decode_attend), so numerics match.
 
-MHA only (q heads == kv heads — llava-7b/13b); GQA callers use the XLA
-path (models/llama.py dispatches).
+GQA runs grouped: q (B, 1, H, Dh) folds to (KVH, G, Dh) per batch row
+and every batched dot carries G query rows per kv head — the caches
+stay at their true KVH size (no jnp.repeat materialization), so decode
+KV traffic for Mistral/Gemma-class checkpoints is the real KVH-sized
+cache. MHA is the G == 1 case of the same code path.
 """
 
 from __future__ import annotations
@@ -87,10 +90,12 @@ def _decode_kernel(
     sp: int,
     block_k: int,
     lanes: int,
+    groups: int = 1,
 ):
     del li_ref  # consumed by the index maps
     ki = pl.program_id(1)
-    h, d = q_ref.shape[1], q_ref.shape[2]
+    h, d = q_ref.shape[1], q_ref.shape[2]  # h = QUERY heads
+    hk = h // groups  # kv heads (cache-side block dim)
     sg = kg_ref.shape[3]
 
     @pl.when(ki == 0)
@@ -102,20 +107,26 @@ def _decode_kernel(
         l_s[...] = jnp.zeros((h, lanes), jnp.float32)
 
     q = q_ref[0]  # (H, D)
+    # GQA runs grouped: (H, D) -> (KVH, G, D) splits the MAJOR dim only
+    # (lane dim D untouched — layout-legal), and the batched dots carry
+    # G query rows per kv head instead of 1. MHA is the G == 1 case of
+    # the same code (the old explicit q[:, None, :] form).
+    q3 = q.reshape(hk, groups, d)
 
     def _merge_prompt_block(kt, vt, lp_scale_row, pv_scale_row, mask):
         """One softmax-merge of `cols` prompt kv rows into the running
-        (m, l, acc) scratch. kt/vt (H, cols, D); *_scale_row (H, cols)
-        f32 or None; mask (1, cols)."""
+        (m, l, acc) scratch. kt/vt (KVH, cols, D); *_scale_row
+        (KVH, cols) f32 or None; mask (1, cols)."""
         cols = kt.shape[1]
-        lp = jax.lax.dot_general(
-            q[:, None, :],  # (H, 1, D) — Mosaic batched-matvec form
+        lp3 = jax.lax.dot_general(
+            q3,  # (KVH, G, D) — Mosaic batched form, G rows per head
             kt,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # (H, cols)
+        )  # (KVH, G, cols)
         if lp_scale_row is not None:
-            lp = lp * lp_scale_row
+            lp3 = lp3 * lp_scale_row[:, None, :]
+        lp = lp3.reshape(h, cols)  # major-dim merge
         lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
         lp = jnp.where(mask, lp, NEG_INF)
         m_prev = m_s[...]
@@ -126,17 +137,21 @@ def _decode_kernel(
         p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (h, cols)))
         if pv_scale_row is not None:
             # v scales may be garbage past Sp; p is 0 there, 0*NaN=NaN
-            pv = jnp.where(mask, p * pv_scale_row, 0.0)
+            pv3 = jnp.where(
+                mask[None],
+                p.reshape(hk, groups, cols) * pv_scale_row[:, None, :],
+                0.0,
+            )
         else:
-            pv = p
+            pv3 = p.reshape(hk, groups, cols)
         l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         m_s[...] = m_new
         step_acc = jax.lax.dot_general(
-            pv.astype(q.dtype)[:, None, :],  # (H, 1, cols)
+            pv3.astype(q.dtype),  # (KVH, G, cols)
             vt,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # (H, D)
+        ).reshape(h, d)
         acc_s[...] = acc_s[...] * jnp.broadcast_to(
             alpha[:, :1], (h, d)
         ) + step_acc
@@ -205,16 +220,17 @@ def _decode_kernel(
 
     @pl.when(ki == nblocks - 1)
     def _gen_and_finalize():
-        kgt = kg_ref[0, 0].astype(q.dtype)  # (H, Sg, D)
+        kgt = kg_ref[0, 0].astype(q.dtype)  # (KVH, Sg, D)
         vgt = vg_ref[0, 0].astype(q.dtype)
-        lg = jax.lax.dot_general(
-            q[:, None, :],
+        lg3 = jax.lax.dot_general(
+            q3,
             kgt,
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]  # (H, Sg)
+        )  # (KVH, G, Sg)
         if quantized_gen:
-            lg = lg * gks_ref[0, 0].astype(jnp.float32)
+            lg3 = lg3 * gks_ref[0, 0].astype(jnp.float32)[:, None, :]
+        lg = lg3.reshape(h, sg)
         lg = lg * (scale * LOG2E)
         lg = jnp.where(gv_ref[0] != 0, lg, NEG_INF)
         m_prev2 = m_s[...]
@@ -224,18 +240,17 @@ def _decode_kernel(
         alpha2 = jnp.exp2(m_prev2 - m_fin)
         pg = jnp.exp2(lg - jnp.broadcast_to(m_fin[:, :1], (h, sg)))
         l_fin = l_prev2 * alpha2 + jnp.sum(pg, axis=1, keepdims=True)
+        pg3 = pg.reshape(hk, groups, sg)
         if quantized_gen:
-            pgv = pg * gvs_ref[0, 0].astype(jnp.float32)
-        else:
-            pgv = pg
+            pg3 = pg3 * gvs_ref[0, 0].astype(jnp.float32)[:, None, :]
         acc_fin = acc_s[...] * jnp.broadcast_to(
             alpha2[:, :1], (h, d)
         ) + jax.lax.dot_general(
-            pgv.astype(q.dtype)[:, None, :],
+            pg3.astype(q.dtype),
             vgt,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )[:, 0, :]
+        ).reshape(h, d)
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
         o_ref[0] = (
             acc_fin / jnp.broadcast_to(l_safe[:, :1], (h, d))
@@ -262,13 +277,15 @@ def decode_attend_layer(
     kp = prompt_cache["k4"] if quantized4 else prompt_cache["k"]
     gen_k, gen_v = gen_cache["k"], gen_cache["v"]
     if quantized4:
-        L, b, h, _s2, d = kp.shape
+        L, b, hk, _s2, d = kp.shape
         sp = prompt_seg.shape[1]  # true (unpacked) prompt length
     else:
-        L, b, h, sp, d = kp.shape
+        L, b, hk, sp, d = kp.shape
     sg = gen_k.shape[3]
     dh = q.shape[3]
-    assert h == q.shape[2], "fused decode attention is MHA-only"
+    h = q.shape[2]  # query heads; GQA: caches carry hk = h // groups
+    assert h % hk == 0, (h, hk)
+    groups = h // hk
     scale = dh**-0.5
     lanes = 128
     # block rows must be 8-aligned (Mosaic rejects e.g. bk=623): round
@@ -286,30 +303,30 @@ def decode_attend_layer(
         # even/odd plane on a leading dim (L, B, 2, H, S/2)
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
-            (1, 1, 2, h, bk // 2),
+            (1, 1, 2, hk, bk // 2),
             lambda bi, ki, li: (li[0], bi, 0, 0, ki),
         )
     elif quantized:
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
-            (1, 1, h, bk), lambda bi, ki, li: (li[0], bi, 0, ki)
+            (1, 1, hk, bk), lambda bi, ki, li: (li[0], bi, 0, ki)
         )
     else:
-        ks = jnp.ones((1, 1, h, 1), jnp.bfloat16)
+        ks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
         vs = ks
         s_spec = pl.BlockSpec(
-            (1, 1, h, 1), lambda bi, ki, li: (0, 0, 0, 0)
+            (1, 1, hk, 1), lambda bi, ki, li: (0, 0, 0, 0)
         )
     if quantized_gen:
         gks, gvs = gen_cache["k_scale"], gen_cache["v_scale"]
         gs_spec = pl.BlockSpec(
-            (1, 1, h, sg), lambda bi, ki, li: (li[0], bi, 0, 0)
+            (1, 1, hk, sg), lambda bi, ki, li: (li[0], bi, 0, 0)
         )
     else:
-        gks = jnp.ones((1, 1, h, 1), jnp.bfloat16)
+        gks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
         gvs = gks
         gs_spec = pl.BlockSpec(
-            (1, 1, h, 1), lambda bi, ki, li: (0, 0, 0, 0)
+            (1, 1, hk, 1), lambda bi, ki, li: (0, 0, 0, 0)
         )
 
     kernel = functools.partial(
@@ -322,10 +339,11 @@ def decode_attend_layer(
         sp=sp,
         block_k=bk,
         lanes=lanes,
+        groups=groups,
     )
     if quantized4:
         kv_spec = pl.BlockSpec(
-            (1, 1, h, bk // 2, d),
+            (1, 1, hk, bk // 2, d),
             lambda bi, ki, li: (li[0], bi, 0, ki, 0),
         )
         seg_spec = pl.BlockSpec(
@@ -334,7 +352,7 @@ def decode_attend_layer(
         seg_in = seg_even_odd(prompt_seg.astype(jnp.int32))
     else:
         kv_spec = pl.BlockSpec(
-            (1, 1, h, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
+            (1, 1, hk, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
         )
         seg_spec = pl.BlockSpec(
             (1, 1, bk), lambda bi, ki, li: (bi, 0, ki)
@@ -351,10 +369,10 @@ def decode_attend_layer(
             s_spec,
             s_spec,
             pl.BlockSpec(
-                (1, 1, h, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
+                (1, 1, hk, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
             ),
             pl.BlockSpec(
-                (1, 1, h, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
+                (1, 1, hk, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
             ),
             gs_spec,
             gs_spec,

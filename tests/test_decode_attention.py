@@ -139,3 +139,62 @@ def test_fused_int8_gen_cache():
             kg_scale=gks[li], vg_scale=gvs[li],
         )
         _assert_close(got, want)
+
+
+def _setup_gqa(seed=0, layers=2, b=2, sp=300, h=8, kvh=2, d=64, sg=16):
+    rng = np.random.RandomState(seed)
+
+    def t(*shape):
+        return jnp.asarray(rng.randn(*shape), jnp.float32).astype(
+            jnp.bfloat16
+        )
+
+    q = t(b, 1, h, d)
+    kp, vp = t(layers, b, kvh, sp, d), t(layers, b, kvh, sp, d)
+    kg, vg = t(layers, b, kvh, sg, d), t(layers, b, kvh, sg, d)
+    seg = np.ones((b, sp), np.int32)
+    seg[0, 250:] = 0
+    seg[1, 100:] = 0
+    gv = jnp.asarray(
+        np.arange(sg)[None, :] <= np.array([3, 7, 0])[:b, None]
+    )
+    return q, kp, vp, kg, vg, jnp.asarray(seg), gv
+
+
+def test_fused_gqa_matches_oracle_bf16():
+    """GQA (kvh < h): the kernel runs G query rows per kv head against
+    the true KVH-sized caches; the oracle already folds q to
+    (B, KVH, G, Dh)."""
+    q, kp, vp, kg, vg, seg, gv = _setup_gqa()
+    for li in range(kp.shape[0]):
+        got = decode_attend_layer(
+            q, {"k": kp, "v": vp}, seg,
+            {"k": kg, "v": vg}, gv, jnp.int32(li),
+        )
+        want = _oracle(q, kp, vp, kg, vg, seg, gv, li, quant=False)
+        _assert_close(got, want)
+
+
+def test_fused_gqa_matches_oracle_int8():
+    q, kp, vp, kg, vg, seg, gv = _setup_gqa(seed=4, h=8, kvh=4)
+    L = kp.shape[0]
+    ks = []
+    for li in range(L):
+        kq, s1 = _quantize_kv(kp[li])
+        vq, s2 = _quantize_kv(vp[li])
+        ks.append((kq, vq, s1, s2))
+    pc = {
+        "k": jnp.stack([x[0] for x in ks]),
+        "v": jnp.stack([x[1] for x in ks]),
+        "k_scale": jnp.stack([x[2] for x in ks]),
+        "v_scale": jnp.stack([x[3] for x in ks]),
+    }
+    for li in range(L):
+        got = decode_attend_layer(
+            q, pc, seg, {"k": kg, "v": vg}, gv, jnp.int32(li),
+        )
+        want = _decode_attend(
+            q, pc["k"][li], pc["v"][li], kg[li], vg[li], seg, gv,
+            kp_scale=pc["k_scale"][li], vp_scale=pc["v_scale"][li],
+        )
+        _assert_close(got, want)
