@@ -568,16 +568,26 @@ def prefill(
         positions, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
 
+    rope = cfg.position_embedding == "rope"
+
     def scan_fn(x, layer_params):
         ap, mp = layer_params["attn"], layer_params["mlp"]
         y = _norm(cfg, x, layer_params["input_norm"]["scale"])
         q = dense(y, ap["wq"]).reshape(b, s, h_, dh)
         k = dense(y, ap["wk"]).reshape(b, s, kvh, dh)
         v = dense(y, ap["wv"]).reshape(b, s, kvh, dh)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if rope:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+        # ALiBi / sliding window: same dispatch as the training forward
+        # (_layer) — MPT serving must not silently rotate, and Mistral
+        # prompts longer than the window must mask (decode_step applies
+        # the matching per-step bias/window to the cached keys)
         attn_out = attention(
-            q, k, v, segment_ids, segment_ids, causal=True, impl=attn_impl
+            q, k, v, segment_ids, segment_ids, causal=True,
+            impl=attn_impl,
+            alibi=cfg.position_embedding == "alibi",
+            sliding_window=cfg.sliding_window,
         )
         x = x + red(dense(attn_out.reshape(b, s, h_ * dh), ap["wo"]))
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
@@ -642,6 +652,8 @@ def _decode_attend(
     vp_scale: Optional[jnp.ndarray] = None,
     kg_scale: Optional[jnp.ndarray] = None,  # (B, KVH, Sg) int8 gen scales
     vg_scale: Optional[jnp.ndarray] = None,
+    bias_p: Optional[jnp.ndarray] = None,  # (B, H, Sp) ALiBi bias
+    bias_g: Optional[jnp.ndarray] = None,  # (B, H, Sg)
 ) -> jnp.ndarray:
     """Single-query attention over split prompt/generated caches with one
     softmax across both (logits are tiny; no KV concat is materialized).
@@ -672,6 +684,10 @@ def _decode_attend(
                     preferred_element_type=jnp.float32) * scale
     if kg_scale is not None:
         lg = lg * kg_scale.astype(jnp.float32)[:, :, None, :]
+    if bias_p is not None:  # ALiBi: additive, after dequant scaling
+        lp = lp + bias_p.reshape(b, kvh, g, sp)
+    if bias_g is not None:
+        lg = lg + bias_g.reshape(b, kvh, g, kg.shape[2])
     lp = jnp.where(prompt_seg[:, None, None, :] != 0, lp, -1e30)
     lg = jnp.where(gen_valid[:, None, None, :], lg, -1e30)
     logits = jnp.concatenate([lp, lg], axis=-1)
@@ -744,6 +760,39 @@ def decode_step(
 
     quantized4 = "k4" in prompt_cache
     quantized = (not quantized4) and "k_scale" in prompt_cache
+    rope = cfg.position_embedding == "rope"
+    alibi = cfg.position_embedding == "alibi"
+    window = cfg.sliding_window
+    sp_true = prompt_seg.shape[1]
+    # cached-key positions: prompts are right-padded contiguous from 0
+    # (position == index; padding masked by segment 0), gen slot s' sits
+    # at position = positions - step + s'
+    if alibi or window is not None:
+        kpos_p = jnp.broadcast_to(
+            jnp.arange(sp_true, dtype=jnp.int32)[None, :], (b, sp_true)
+        )
+        kpos_g = (
+            positions[:, None]
+            - step
+            + jnp.arange(sg, dtype=jnp.int32)[None, :]
+        )
+    if window is not None:
+        # Mistral local attention: drop keys older than the window (the
+        # prefill kernel applied the same rule inside the prompt)
+        gen_valid = gen_valid & (positions[:, None] - kpos_g < window)
+    bias_p = bias_g = None
+    if alibi:
+        from halva_tpu.ops.attention import alibi_bias
+
+        bias_p = alibi_bias(h_, positions[:, None], kpos_p)[:, :, 0]
+        bias_g = alibi_bias(h_, positions[:, None], kpos_g)[:, :, 0]
+    # prompt keys outside the window: mask via segment ids (the fused
+    # kernel is only used when the whole cache fits the window — see
+    # pos_ok below — so the masked seg never reaches it)
+    if window is not None and sp_true + sg > window:
+        prompt_seg = jnp.where(
+            positions[:, None] - kpos_p < window, prompt_seg, 0
+        )
     # dh must be lane-aligned (128): the fused kernel's bf16
     # minor-dim-insertion reshapes ((H, D) -> (H, 1, D)) are only legal
     # Mosaic relayouts when the lane dim is a 128-multiple — measured
@@ -759,9 +808,23 @@ def decode_step(
         from halva_tpu.ops.decode_attention import seg_even_odd
 
         seg_eo_flat = seg_even_odd(prompt_seg).reshape(b, -1)
+        if bias_p is not None:
+            bp = bias_p
+            if bp.shape[-1] % 2:
+                bp = jnp.pad(bp, ((0, 0), (0, 0), (0, 1)))
+            # match the even/odd key order of the packed-cache fallback
+            bias_p = jnp.concatenate(
+                [bp[..., 0::2], bp[..., 1::2]], axis=-1
+            )
+    # the fused kernel computes RoPE-style plain dot logits with no bias
+    # or window: ALiBi always takes the XLA oracle; a sliding window is
+    # fused-safe only when the whole cache fits inside it (then the
+    # window masks nothing)
+    pos_ok = rope and (window is None or sp_true + sg <= window)
     fused = (
         h_ % kvh == 0  # GQA runs grouped in-kernel (MHA: G == 1)
         and lane_ok
+        and pos_ok
         and allow_fused
         and jax.default_backend() == "tpu"
         and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
@@ -777,7 +840,7 @@ def decode_step(
     # manual TP the weights are tp-packed (quantize_params_int4_host
     # tp=...; verified by partition.manual_tp_ready) so each shard's
     # block is self-consistent and the fused scan runs on local heads.
-    if w4 and (h_ % kvh == 0) and lane_ok and allow_fused and (
+    if w4 and (h_ % kvh == 0) and lane_ok and pos_ok and allow_fused and (
         os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
     ):
         return _decode_step_w4(
@@ -793,8 +856,9 @@ def decode_step(
         q = dense(y, ap["wq"]).reshape(b, 1, h_, dh)
         k = dense(y, ap["wk"]).reshape(b, 1, kvh, dh)
         v = dense(y, ap["wv"]).reshape(b, 1, kvh, dh)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+        if rope:
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
 
         gen = _write_gen(gen, k, v, li, step)
 
@@ -860,6 +924,8 @@ def decode_step(
                 vp_scale=vps,
                 kg_scale=gl.get("k_scale"),
                 vg_scale=gl.get("v_scale"),
+                bias_p=bias_p,
+                bias_g=bias_g,
             )
         x = x + red(dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"]))
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])

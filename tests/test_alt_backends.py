@@ -164,3 +164,65 @@ def test_mpt_parity():
         llama.forward(params, cfg, jnp.asarray(ids), attn_impl="xla")
     )
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-3)
+
+
+def _decode_vs_full(cfg, params, total_len=12, prompt_len=7, b=2):
+    """prefill + decode_step trajectory must equal the full forward —
+    the serving-path twin of the training forward for this config."""
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, cfg.vocab_size, (b, total_len))
+    full = np.asarray(
+        llama.forward(params, cfg, jnp.asarray(ids), attn_impl="xla")
+    )
+    seg = jnp.ones((b, prompt_len), jnp.int32)
+    pos = jnp.broadcast_to(
+        jnp.arange(prompt_len, dtype=jnp.int32), (b, prompt_len)
+    )
+    embeds = llama.embed(params, jnp.asarray(ids[:, :prompt_len]))
+    hidden, prompt_cache = llama.prefill(
+        params, cfg, embeds, seg, pos,
+        cache_dtype=jnp.float32, attn_impl="xla",
+    )
+    np.testing.assert_allclose(
+        np.asarray(llama.lm_logits(params, cfg, hidden)),
+        full[:, :prompt_len], atol=2e-4, rtol=3e-3,
+    )
+    max_new = total_len - prompt_len
+    gen_cache = llama.init_gen_cache(cfg, b, max_new, dtype=jnp.float32)
+    for step in range(max_new):
+        t = prompt_len + step
+        tok = jnp.asarray(ids[:, t : t + 1])
+        step_logits, gen_cache = llama.decode_step(
+            params, cfg, llama.embed(params, tok),
+            jnp.full((b,), t, jnp.int32), prompt_cache, seg,
+            gen_cache, jnp.int32(step),
+        )
+        np.testing.assert_allclose(
+            np.asarray(step_logits), full[:, t], atol=2e-4, rtol=3e-3
+        )
+
+
+def test_alibi_decode_matches_full_forward():
+    """MPT-class serving: prefill must NOT rotate (no RoPE) and decode
+    must apply the per-step ALiBi bias to both cache halves (was
+    silently wrong: RoPE applied + bias dropped)."""
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, max_position_embeddings=64,
+        position_embedding="alibi",
+    )
+    params = llama.init_params(jax.random.PRNGKey(2), cfg)
+    _decode_vs_full(cfg, params)
+
+
+def test_sliding_window_decode_matches_full_forward():
+    """Mistral-class serving with a window SMALLER than the sequence:
+    decode must mask prompt and generated keys older than the window
+    exactly like the full forward."""
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_layers=2, num_heads=4, num_kv_heads=2,
+        max_position_embeddings=64, sliding_window=4,
+    )
+    params = llama.init_params(jax.random.PRNGKey(5), cfg)
+    _decode_vs_full(cfg, params)
