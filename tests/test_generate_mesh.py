@@ -190,6 +190,32 @@ def test_tensor_parallel_int4_token_parity(params):
     np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
 
 
+def test_tensor_parallel_int4_kv8_token_parity(params):
+    """The headline serving config (int4 weights + int8 KV cache) under
+    manual TP: per-(token, head) KV scales quantize identically on
+    local head slices, so tokens match the single-device program."""
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    pnp = jax.tree.map(np.asarray, params)
+    p1 = quantize_params_int4_host(pnp)
+    ptp = quantize_params_int4_host(pnp, tp=2)
+    ids, images, lens = _inputs()
+    max_new = MAX_NEW + 16  # own jit-cache key
+    toks1, num1 = generate(
+        p1, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla", kv_quant="int8",
+    )
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    toks2, num2 = generate(
+        ptp, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla", kv_quant="int8", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(toks1))
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
+
+
 def test_tp_packed_tree_refused_on_global_routes(params, monkeypatch):
     """A tp-packed int4 tree dequants to block-permuted channels on any
     global (non-shard_map) consumer: generate must refuse loudly for
