@@ -132,3 +132,46 @@ def test_generate_int4_kv_end_to_end(prompt_len):
     assert toks.shape == (B, 8)
     assert np.all(toks >= 0) and np.all(toks < cfg.llm.vocab_size)
     assert np.all(np.asarray(num) == 8)
+
+
+def test_fused_kernel_gqa_packed_cache():
+    """int4 packed cache + GQA (kvh < h): the grouped kernel path over
+    even/odd sub-blocks matches the XLA oracle on the unpacked view."""
+    rng = np.random.RandomState(6)
+    L, B, H, KVH, S, D, Sg = 2, 2, 8, 2, 10, 128, 128
+    cache = _packed_cache(rng, L, B, KVH, S, D)
+    q = jnp.asarray(rng.randn(B, 1, H, D), jnp.bfloat16)
+    seg = np.ones((B, S), np.int32)
+    seg[1, 7:] = 0
+    seg = jnp.asarray(seg)
+    gen = {
+        "k": jnp.asarray(rng.randn(L, B, KVH, Sg, D), jnp.bfloat16),
+        "v": jnp.asarray(rng.randn(L, B, KVH, Sg, D), jnp.bfloat16),
+    }
+    gv = jnp.zeros((B, Sg), bool).at[:, :3].set(True)
+    for layer in (0, 1):
+        fused = decode_attend_layer(
+            q, cache, seg, gen, gv, jnp.int32(layer)
+        )
+        klo, khi = llama._unpack_kv4(cache["k4"][layer])
+        vlo, vhi = llama._unpack_kv4(cache["v4"][layer])
+        kp = jnp.concatenate([klo, khi], axis=2).astype(jnp.int8)
+        vp = jnp.concatenate([vlo, vhi], axis=2).astype(jnp.int8)
+        kps = jnp.concatenate(
+            [cache["k_scale"][layer][:, 0], cache["k_scale"][layer][:, 1]],
+            axis=2,
+        )
+        vps = jnp.concatenate(
+            [cache["v_scale"][layer][:, 0], cache["v_scale"][layer][:, 1]],
+            axis=2,
+        )
+        seg_eo = seg_even_odd(seg).reshape(B, -1)
+        ref = llama._decode_attend(
+            q, kp, vp, gen["k"][layer], gen["v"][layer], seg_eo, gv,
+            kp_scale=kps, vp_scale=vps,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32),
+            np.asarray(ref, np.float32),
+            atol=8e-3,
+        )
