@@ -49,6 +49,10 @@ def _add_model_args(p: argparse.ArgumentParser):
                         "(nibble-packed token pairs) halves it again")
     p.add_argument("--temperature", type=float, default=0.0)
     p.add_argument("--top-p", type=float, default=1.0)
+    # the reference loaders' --num_beams (model_vqa_loader.py:106-111);
+    # HF-semantics beam search (ops/beam.py), single-device per process
+    p.add_argument("--num-beams", type=int, default=1)
+    p.add_argument("--length-penalty", type=float, default=1.0)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--answers-file", required=True)
     # slice-level eval parallelism (replaces the reference's one-
@@ -132,6 +136,8 @@ def _build_generator(args):
         max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
         top_p=args.top_p,
+        num_beams=getattr(args, "num_beams", 1),
+        length_penalty=getattr(args, "length_penalty", 1.0),
         mesh=mesh,
         prefetch_workers=getattr(args, "prefetch_workers", 0),
         kv_quant=getattr(args, "kv_quant", False),

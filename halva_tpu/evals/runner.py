@@ -98,11 +98,21 @@ class BatchedGenerator:
         attn_impl: str = "auto",
         temperature: float = 0.0,
         top_p: float = 1.0,
+        num_beams: int = 1,
+        length_penalty: float = 1.0,
         seed: int = 0,
         mesh=None,
         prefetch_workers: int = 0,
         kv_quant=False,  # False | 'int8' | 'int4'
     ):
+        if num_beams > 1 and mesh is not None:
+            raise ValueError(
+                "num_beams > 1 runs single-device (ops/beam.py); use "
+                "--num-chunks process fanout for multi-chip beam eval"
+            )
+        if num_beams > 1 and temperature > 0:
+            raise ValueError("beam search is deterministic; drop "
+                             "--temperature or --num-beams")
         if mesh is not None:
             dp = mesh.shape.get("data", 1)
             if batch_size % dp != 0:
@@ -138,6 +148,8 @@ class BatchedGenerator:
         self.attn_impl = attn_impl
         self.temperature = temperature
         self.top_p = top_p
+        self.num_beams = num_beams
+        self.length_penalty = length_penalty
         self.seed = seed
         self.eos_id = tokenizer.eos_token_id
 
@@ -238,23 +250,40 @@ class BatchedGenerator:
             for bi, (idxs, batch_ids, imgs, lens, bh) in enumerate(it):
                 host_s += bh
                 t0 = time.perf_counter()
-                tokens, num = generate(
-                    self.params,
-                    self.cfg,
-                    jnp.asarray(batch_ids),
-                    jnp.asarray(imgs),
-                    jnp.asarray(lens),
-                    max_new_tokens=self.max_new_tokens,
-                    eos_id=self.eos_id,
-                    attn_impl=self.attn_impl,
-                    temperature=self.temperature,
-                    top_p=self.top_p,
-                    rng=_jax.random.PRNGKey(
-                        self.seed + bi * self.batch_size
-                    ),
-                    kv_quant=self.kv_quant,
-                    mesh=self.mesh,
-                )
+                if self.num_beams > 1:
+                    from halva_tpu.ops.beam import generate_beam
+
+                    tokens, num = generate_beam(
+                        self.params,
+                        self.cfg,
+                        jnp.asarray(batch_ids),
+                        jnp.asarray(imgs),
+                        jnp.asarray(lens),
+                        max_new_tokens=self.max_new_tokens,
+                        eos_id=self.eos_id,
+                        num_beams=self.num_beams,
+                        length_penalty=self.length_penalty,
+                        attn_impl=self.attn_impl,
+                        kv_quant=self.kv_quant,
+                    )
+                else:
+                    tokens, num = generate(
+                        self.params,
+                        self.cfg,
+                        jnp.asarray(batch_ids),
+                        jnp.asarray(imgs),
+                        jnp.asarray(lens),
+                        max_new_tokens=self.max_new_tokens,
+                        eos_id=self.eos_id,
+                        attn_impl=self.attn_impl,
+                        temperature=self.temperature,
+                        top_p=self.top_p,
+                        rng=_jax.random.PRNGKey(
+                            self.seed + bi * self.batch_size
+                        ),
+                        kv_quant=self.kv_quant,
+                        mesh=self.mesh,
+                    )
                 tokens = np.asarray(tokens)  # host readback = fence
                 device_s += time.perf_counter() - t0
                 texts = decode_tokens(

@@ -1,0 +1,177 @@
+"""Beam-search parity vs the HF transformers oracle.
+
+A tiny random HF Llama is built from config (no network), its weights
+converted through models/convert_hf.py, and `ops.beam.generate_beam`
+must reproduce `model.generate(num_beams=K, do_sample=False,
+early_stopping=False, length_penalty=L)` token-for-token on text-only
+prompts (the vision tower is bypassed when no image sentinel is
+present). This pins the reference eval loaders' --num_beams surface
+(eval_hall/model_vqa_loader.py:106-111)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from halva_tpu.config import LlamaConfig, LlavaConfig, ViTConfig
+from halva_tpu.models import llava
+from halva_tpu.models.convert_hf import llama_from_hf
+from halva_tpu.ops.beam import generate_beam
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+LLM = LlamaConfig(
+    vocab_size=96,
+    hidden_size=64,
+    intermediate_size=160,
+    num_layers=2,
+    num_heads=4,
+    max_position_embeddings=256,
+    rms_norm_eps=1e-5,
+)
+CFG = LlavaConfig(
+    llm=LLM,
+    vision=ViTConfig(
+        image_size=28, patch_size=14, hidden_size=32,
+        intermediate_size=64, num_layers=1, num_heads=2,
+    ),
+)
+
+
+def _models(seed):
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=LLM.vocab_size,
+        hidden_size=LLM.hidden_size,
+        intermediate_size=LLM.intermediate_size,
+        num_hidden_layers=LLM.num_layers,
+        num_attention_heads=LLM.num_heads,
+        num_key_value_heads=LLM.num_heads,
+        max_position_embeddings=LLM.max_position_embeddings,
+        rms_norm_eps=LLM.rms_norm_eps,
+        attn_implementation="eager",
+        tie_word_embeddings=False,
+    )
+    torch.manual_seed(seed)
+    model = transformers.LlamaForCausalLM(hf_cfg).eval()
+    params = llava.init_params(jax.random.PRNGKey(seed), CFG)
+    params["llm"] = llama_from_hf(model.state_dict(), LLM)
+    return model, params
+
+
+def _hf_beam(model, ids, max_new, eos, k, length_penalty=1.0):
+    with torch.no_grad():
+        out = model.generate(
+            torch.tensor(ids),
+            attention_mask=torch.ones_like(torch.tensor(ids)),
+            max_new_tokens=max_new,
+            num_beams=k,
+            do_sample=False,
+            early_stopping=False,
+            length_penalty=length_penalty,
+            eos_token_id=eos,
+            pad_token_id=0,
+        )
+    return out.numpy()[:, ids.shape[1]:]
+
+
+def _ours(params, ids, max_new, eos, k, length_penalty=1.0):
+    b, s = ids.shape
+    images = np.zeros(
+        (b, 3, CFG.vision.image_size, CFG.vision.image_size), np.float32
+    )
+    lens = np.full((b,), s, np.int32)
+    tokens, num = generate_beam(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jnp.asarray(lens), max_new_tokens=max_new, eos_id=eos,
+        num_beams=k, length_penalty=length_penalty, attn_impl="xla",
+    )
+    return np.asarray(tokens), np.asarray(num)
+
+
+def _assert_match(hf_gen, tokens, num, eos, seed):
+    for i in range(tokens.shape[0]):
+        n = int(num[i])
+        ours_row = tokens[i, :n]
+        hf_row = hf_gen[i]
+        # HF pads finished hypotheses with pad_token_id=0 after eos
+        np.testing.assert_array_equal(
+            ours_row, hf_row[:n],
+            err_msg=f"seed={seed} row={i} ours={ours_row} hf={hf_row}",
+        )
+        # nothing but padding after the hypothesis on the HF side
+        tail = hf_row[n:]
+        assert np.all((tail == 0) | (tail == eos)), (
+            f"seed={seed} row={i}: HF continued past our hypothesis: "
+            f"{hf_row} vs n={n}"
+        )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_beam_matches_hf(seed):
+    """Several random models: eos chosen from the model's own greedy
+    output so the finished-hypothesis path is exercised."""
+    model, params = _models(seed)
+    rng = np.random.RandomState(seed)
+    ids = rng.randint(3, LLM.vocab_size, (2, 9)).astype(np.int32)
+
+    # pick an eos the model actually likes: run greedy, take a token it
+    # emits mid-sequence so beams finish at different steps
+    with torch.no_grad():
+        greedy = model.generate(
+            torch.tensor(ids), max_new_tokens=10, do_sample=False,
+            pad_token_id=0,
+        ).numpy()[:, ids.shape[1]:]
+    eos = int(greedy[0, 4])
+
+    max_new, k = 12, 3
+    hf_gen = _hf_beam(model, ids, max_new, eos, k)
+    tokens, num = _ours(params, ids, max_new, eos, k)
+    _assert_match(hf_gen, tokens, num, eos, seed)
+
+
+def test_beam_no_eos_budget_finalize():
+    """eos never appears (id outside what the model emits): every beam
+    runs to the token budget and the in-loop max-length finalize must
+    pick the same hypothesis as HF."""
+    model, params = _models(7)
+    rng = np.random.RandomState(7)
+    ids = rng.randint(3, LLM.vocab_size, (2, 7)).astype(np.int32)
+    eos = 1  # BOS-ish id random tiny models essentially never argmax
+    max_new, k = 8, 4
+    hf_gen = _hf_beam(model, ids, max_new, eos, k)
+    tokens, num = _ours(params, ids, max_new, eos, k)
+    # if HF did emit eos=1 the test premise breaks; regenerate seeds
+    assert not (hf_gen == eos).any(), "premise: eos never generated"
+    assert np.all(num == max_new)
+    _assert_match(hf_gen, tokens, num, eos, 7)
+
+
+def test_beam_length_penalty():
+    """length_penalty != 1 changes hypothesis ranking; parity must hold
+    through the penalized-score bookkeeping."""
+    model, params = _models(11)
+    rng = np.random.RandomState(11)
+    ids = rng.randint(3, LLM.vocab_size, (1, 8)).astype(np.int32)
+    with torch.no_grad():
+        greedy = model.generate(
+            torch.tensor(ids), max_new_tokens=8, do_sample=False,
+            pad_token_id=0,
+        ).numpy()[:, ids.shape[1]:]
+    eos = int(greedy[0, 3])
+    for lp in (0.5, 2.0):
+        hf_gen = _hf_beam(model, ids, 10, eos, 3, length_penalty=lp)
+        tokens, num = _ours(params, ids, 10, eos, 3, length_penalty=lp)
+        _assert_match(hf_gen, tokens, num, eos, 11)
+
+
+def test_beam_rejects_k1():
+    _, params = _models(0)
+    with pytest.raises(ValueError):
+        generate_beam(
+            params, CFG, jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, 3, 28, 28), jnp.float32),
+            jnp.full((1,), 4, jnp.int32),
+            max_new_tokens=4, eos_id=2, num_beams=1,
+        )

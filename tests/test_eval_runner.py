@@ -96,3 +96,44 @@ def test_vqa_requests(tmp_path):
     assert len(reqs) == 2
     assert reqs[0].question_id == 2
     assert reqs[0].image_path == "/imgs/i2.jpg"
+
+
+def test_batched_generator_beams(tmp_path):
+    """--num-beams surface through BatchedGenerator: beam decode runs
+    end-to-end and differs from greedy only in token choice (same
+    request count/ordering); invalid combos are rejected."""
+    rng = np.random.RandomState(3)
+    img_paths = []
+    for i in range(3):
+        p = tmp_path / f"img{i}.png"
+        Image.fromarray(
+            rng.randint(0, 255, (32, 40, 3), dtype=np.uint8)
+        ).save(p)
+        img_paths.append(str(p))
+    reqs = [
+        EvalRequest(
+            question_id=i,
+            text=f"What is object {i}?",
+            image_path=img_paths[i],
+        )
+        for i in range(3)
+    ]
+    params = llava.init_params(jax.random.PRNGKey(1), LLAVA_TINY)
+    common = dict(
+        tokenizer=SPTok(),
+        image_processor=ImageProcessor(size=28, crop_size=28),
+        batch_size=2,
+        max_new_tokens=4,
+        prompt_bucket=16,
+        attn_impl="xla",
+    )
+    texts = BatchedGenerator(
+        params, LLAVA_TINY, num_beams=2, **common
+    ).run(reqs)
+    assert len(texts) == 3
+    assert all(isinstance(t, str) for t in texts)
+
+    with pytest.raises(ValueError):
+        BatchedGenerator(
+            params, LLAVA_TINY, num_beams=2, temperature=0.7, **common
+        )
