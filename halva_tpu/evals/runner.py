@@ -105,10 +105,15 @@ class BatchedGenerator:
         prefetch_workers: int = 0,
         kv_quant=False,  # False | 'int8' | 'int4'
     ):
-        if num_beams > 1 and mesh is not None:
+        if (
+            num_beams > 1
+            and mesh is not None
+            and mesh.shape.get("model", 1) > 1
+        ):
             raise ValueError(
-                "num_beams > 1 runs single-device (ops/beam.py); use "
-                "--num-chunks process fanout for multi-chip beam eval"
+                "num_beams > 1 supports {data: N} meshes only "
+                "(ops/beam.py); drop --mesh-model or use --num-chunks "
+                "process fanout for tensor-parallel beam eval"
             )
         if num_beams > 1 and temperature > 0:
             raise ValueError("beam search is deterministic; drop "
@@ -265,6 +270,7 @@ class BatchedGenerator:
                         length_penalty=self.length_penalty,
                         attn_impl=self.attn_impl,
                         kv_quant=self.kv_quant,
+                        mesh=self.mesh,
                     )
                 else:
                     tokens, num = generate(

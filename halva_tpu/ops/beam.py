@@ -41,10 +41,11 @@ do_sample=False, early_stopping=False) the TPU way:
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from halva_tpu.config import LlavaConfig
 from halva_tpu.models import llama
@@ -266,6 +267,7 @@ def generate_beam(
     length_penalty: float = 1.0,
     attn_impl: str = "auto",
     kv_quant=False,
+    mesh: Optional[Mesh] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Beam-search decode; returns (tokens (B, max_new), num_generated).
 
@@ -275,6 +277,13 @@ def generate_beam(
     loop, see ops/generate.py on why phases never split). Rows with
     prompt_length 0 are dead pad rows that return empty hypotheses.
 
+    mesh: a {data: N} mesh runs shard_map eval data parallelism —
+    a batch item's K beams always live on ONE shard (the search needs
+    no cross-item communication), each shard runs the complete
+    single-chip beam program on its slice, tokens are bit-identical to
+    the single-device program. model > 1 is not supported for beams
+    (use greedy/sampling TP, or --num-chunks process fanout).
+
     HF-semantics parity (generate(num_beams=K, do_sample=False,
     early_stopping=False, length_penalty=L)) is oracle-tested in
     tests/test_beam.py. num_beams=1 callers should use generate() —
@@ -283,9 +292,14 @@ def generate_beam(
     if num_beams < 2:
         raise ValueError("generate_beam needs num_beams >= 2; use "
                          "ops.generate.generate for greedy/sampling")
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        raise ValueError(
+            "beam search supports {data: N} meshes only; tensor-"
+            "parallel beams are not implemented"
+        )
     key = (
         cfg, max_new_tokens, eos_id, num_beams, length_penalty,
-        attn_impl, kv_quant, input_ids.shape, images.shape,
+        attn_impl, kv_quant, input_ids.shape, images.shape, mesh,
     )
 
     def make():
@@ -295,7 +309,22 @@ def generate_beam(
                 num_beams, length_penalty, attn_impl, kv_quant,
             )
 
-        return jax.jit(impl)
+        if mesh is None:
+            return jax.jit(impl)
+        dp = mesh.shape.get("data", 1)
+        if input_ids.shape[0] % dp != 0:
+            raise ValueError(
+                f"batch {input_ids.shape[0]} must divide the mesh "
+                f"data axis ({dp})"
+            )
+        pspec = jax.tree.map(lambda _: P(), params)
+        return jax.jit(jax.shard_map(
+            impl,
+            mesh=mesh,
+            in_specs=(pspec, P("data"), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        ))
 
     fn = _cached_jit(_BEAM_JITS, key, make)
     return fn(params, input_ids, images, prompt_lengths)

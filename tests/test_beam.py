@@ -175,3 +175,39 @@ def test_beam_rejects_k1():
             jnp.full((1,), 4, jnp.int32),
             max_new_tokens=4, eos_id=2, num_beams=1,
         )
+
+
+def test_beam_data_parallel_mesh_parity():
+    """{data: 4} shard_map beams == single-device beams token-for-token
+    (a batch item's K beams never leave their shard)."""
+    from halva_tpu.parallel import mesh as mesh_lib
+
+    model, params = _models(5)
+    rng = np.random.RandomState(5)
+    ids = rng.randint(3, LLM.vocab_size, (4, 8)).astype(np.int32)
+    images = np.zeros(
+        (4, 3, CFG.vision.image_size, CFG.vision.image_size), np.float32
+    )
+    lens = np.full((4,), 8, np.int32)
+    kw = dict(max_new_tokens=6, eos_id=2, num_beams=3, attn_impl="xla")
+    t1, n1 = generate_beam(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jnp.asarray(lens), **kw,
+    )
+    mesh = mesh_lib.make_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t2, n2 = generate_beam(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jnp.asarray(lens), mesh=mesh, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n2))
+
+    with pytest.raises(ValueError):
+        generate_beam(
+            params, CFG, jnp.asarray(ids), jnp.asarray(images),
+            jnp.asarray(lens),
+            mesh=mesh_lib.make_mesh(
+                data=2, model=2, devices=jax.devices()[:4]
+            ),
+            **kw,
+        )
