@@ -297,6 +297,17 @@ def generate_beam(
             "beam search supports {data: N} meshes only; tensor-"
             "parallel beams are not implemented"
         )
+    stamp = (
+        int(params.get("w4_pack_tp", 1)) if isinstance(params, dict) else 1
+    )
+    if stamp > 1:
+        # a tp-packed int4 tree dequants to block-permuted output
+        # channels outside its manual-TP shard_map (see generate())
+        raise ValueError(
+            f"params are int4-packed for manual TP={stamp} "
+            f"(w4_pack_tp); beam search has no TP mode — requantize "
+            f"with quantize_params_int4_host(tp=1)"
+        )
     key = (
         cfg, max_new_tokens, eos_id, num_beams, length_penalty,
         attn_impl, kv_quant, input_ids.shape, images.shape, mesh,

@@ -211,3 +211,26 @@ def test_beam_data_parallel_mesh_parity():
             ),
             **kw,
         )
+
+
+@pytest.mark.parametrize("kvq", ["int8", "int4"])
+def test_beam_quantized_kv_smoke(kvq):
+    """Beams over the quantized prompt/gen caches (the serving configs)
+    run end-to-end; hypotheses stay close to the bf16-cache ones (the
+    quantizers only perturb logits)."""
+    model, params = _models(2)
+    rng = np.random.RandomState(2)
+    ids = rng.randint(3, LLM.vocab_size, (2, 8)).astype(np.int32)
+    images = np.zeros(
+        (2, 3, CFG.vision.image_size, CFG.vision.image_size), np.float32
+    )
+    lens = np.full((2,), 8, np.int32)
+    tokens, num = generate_beam(
+        params, CFG, jnp.asarray(ids), jnp.asarray(images),
+        jnp.asarray(lens), max_new_tokens=6, eos_id=2, num_beams=2,
+        attn_impl="xla", kv_quant=kvq,
+    )
+    tokens, num = np.asarray(tokens), np.asarray(num)
+    assert tokens.shape == (2, 6)
+    assert (num > 0).all()
+    assert ((tokens >= 0) & (tokens < LLM.vocab_size)).all()
