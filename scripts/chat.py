@@ -30,6 +30,9 @@ def main():
     p.add_argument("--quant", choices=["none", "int8"], default="none")
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--question", default=None, help="one-shot question")
+    p.add_argument("--num-beams", type=int, default=1,
+                   help="beam search (HF semantics, ops/beam.py); "
+                        "1 = greedy")
     args = p.parse_args()
 
     from transformers import AutoTokenizer
@@ -37,8 +40,8 @@ def main():
     from halva_tpu.conversation import get_template
     from halva_tpu.constants import DEFAULT_IMAGE_TOKEN
     from halva_tpu.mm_utils import (
-        clip_vit_l_336_processor,
         process_images,
+        processor_for_vision,
         tokenizer_image_token,
     )
     from halva_tpu.models.builder import load_pretrained_model
@@ -50,28 +53,48 @@ def main():
         vision_tower_path=args.vision_tower_path,
         quant=args.quant,
     )
-    tok = AutoTokenizer.from_pretrained(
-        args.tokenizer or args.model_base or args.model_path,
-        use_fast=False,
-    )
+    tok_dir = args.tokenizer or args.model_base or args.model_path
+    try:
+        # reference loaders use the slow (sentencepiece) tokenizer
+        tok = AutoTokenizer.from_pretrained(tok_dir, use_fast=False)
+    except Exception:
+        # fast-only tokenizer dirs (no sentencepiece model) still load
+        tok = AutoTokenizer.from_pretrained(tok_dir, use_fast=True)
     template = get_template(args.conv_mode)
-    proc = clip_vit_l_336_processor()
+    # sized from the loaded config (CLIP-336 for llava-1.5, SigLIP-384
+    # for VILA towers) — a hardcoded 336 processor broke every other
+    # tower's pos-embed add
+    proc = processor_for_vision(cfg.vision)
     image = Image.open(args.image).convert("RGB")
-    pixels = process_images([image], proc, "pad")
+    pixels = process_images([image], proc, cfg.image_aspect_ratio)
 
     def answer(question: str) -> str:
         prompt = template.prompt(DEFAULT_IMAGE_TOKEN + "\n" + question)
         ids = tokenizer_image_token(prompt, tok)
         batch = np.asarray([ids], np.int32)
-        toks, num = generate_greedy(
-            params,
-            cfg,
-            jnp.asarray(batch),
-            jnp.asarray(pixels),
-            jnp.asarray([len(ids)], np.int32),
-            max_new_tokens=args.max_new_tokens,
-            eos_id=tok.eos_token_id,
-        )
+        if args.num_beams > 1:
+            from halva_tpu.ops.beam import generate_beam
+
+            toks, num = generate_beam(
+                params,
+                cfg,
+                jnp.asarray(batch),
+                jnp.asarray(pixels),
+                jnp.asarray([len(ids)], np.int32),
+                max_new_tokens=args.max_new_tokens,
+                eos_id=tok.eos_token_id,
+                num_beams=args.num_beams,
+            )
+        else:
+            toks, num = generate_greedy(
+                params,
+                cfg,
+                jnp.asarray(batch),
+                jnp.asarray(pixels),
+                jnp.asarray([len(ids)], np.int32),
+                max_new_tokens=args.max_new_tokens,
+                eos_id=tok.eos_token_id,
+            )
         return decode_tokens(
             toks, num, tok, tok.eos_token_id,
             stop_strs=(template.stop_str(),),
