@@ -78,6 +78,18 @@ def host_bf16_tree(cfg, seed=0):
         lambda: llava.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     )
     flat, tree = jax.tree_util.tree_flatten(struct)
+
+    # every mode runs in its own process (relay HBM is never freed) and
+    # each used to re-draw the same ~10-minute 7B randn; cache the drawn
+    # leaves on disk (bf16 stored as uint16 — np.save has no bf16)
+    cache = os.path.join(OUT_DIR, f"host_bf16_seed{seed}_v{SCHEMA}.npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        leaves = [
+            z[f"a{i}"].view(jnp.bfloat16) for i in range(len(flat))
+        ]
+        return jax.tree_util.tree_unflatten(tree, leaves)
+
     rng = np.random.RandomState(seed)
     leaves = [
         (rng.randn(*l.shape).astype(np.float32) * 0.02).astype(
@@ -89,6 +101,15 @@ def host_bf16_tree(cfg, seed=0):
     params["llm"]["lm_head"]["kernel"] = (
         params["llm"]["lm_head"]["kernel"].astype(np.float32) * 100.0
     ).astype(jnp.bfloat16)
+    flat2, _ = jax.tree_util.tree_flatten(params)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    tmp = cache + ".tmp.npz"
+    np.savez(
+        tmp.removesuffix(".npz"),
+        **{f"a{i}": np.asarray(l).view(np.uint16) for i, l in
+           enumerate(flat2)},
+    )
+    os.replace(tmp, cache)
     return params
 
 
