@@ -1,0 +1,56 @@
+#!/bin/bash
+# Resumable serialized real-chip measurement queue (round 3).
+# Skips any job already recorded as "DONE <name> rc=0" in queue.log, so
+# the queue can be relaunched after a container/session restart without
+# repeating finished (expensive) chip jobs. One job at a time: the axon
+# relay exposes a single chip and HBM is never reclaimed in-process.
+set -u
+cd /root/repo
+LOG=/tmp/chipq
+mkdir -p "$LOG"
+
+run() {
+  name="$1"; shift
+  if grep -q "DONE  $name rc=0" "$LOG/queue.log" 2>/dev/null; then
+    echo "=== [$(date +%H:%M:%S)] SKIP  $name (already done)" | tee -a "$LOG/queue.log"
+    return 0
+  fi
+  echo "=== [$(date +%H:%M:%S)] START $name: $*" | tee -a "$LOG/queue.log"
+  t0=$SECONDS
+  "$@" > "$LOG/$name.log" 2>&1
+  rc=$?
+  echo "=== [$(date +%H:%M:%S)] DONE  $name rc=$rc dt=$((SECONDS-t0))s" | tee -a "$LOG/queue.log"
+}
+
+# 1. quant quality: each mode its own process, then the report
+for m in bf16 int8 int4 int4g nf4 kv4; do
+  run "qq_$m" python scripts/quant_quality.py --mode "$m"
+done
+run qq_report python scripts/quant_quality.py --report
+cp /tmp/halva_quant_quality/report.json /root/repo/QUANT_QUALITY.json 2>/dev/null
+
+# 2. flagship train step at the recipe's max_len 2048
+run train7b_2048 python scripts/bench_train7b.py --text-len 2048 --iters 3
+# packed flagship step (round-3 beyond-verdict feature)
+run train7b_pack python scripts/bench_train7b.py --pack --iters 3
+
+# 3. flash vs splash vs official, fwd+bwd
+run flash_cmp python scripts/bench_flash.py --splash --official --bwd
+
+# 4. eval host-IO overlap
+run hostio python scripts/bench_eval_hostio.py
+
+# 5. headline-bench variants (queue2)
+run bench_default python bench.py
+run bench_kv4 env HALVA_BENCH_KV=int4 python bench.py
+run bench_w4a8 env HALVA_W4A8=1 python bench.py
+
+# 6. 13B single-chip serving (queue3)
+run bench13b_b16 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=16 python bench.py
+if grep -q '"value": 0' "$LOG/bench13b_b16.log" 2>/dev/null || ! grep -q imgs "$LOG/bench13b_b16.log"; then
+  run bench13b_b8 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=8 python bench.py
+else
+  run bench13b_b24 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=24 python bench.py
+fi
+
+echo "=== [$(date +%H:%M:%S)] QUEUE-ALL COMPLETE" | tee -a "$LOG/queue.log"
