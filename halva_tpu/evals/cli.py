@@ -95,14 +95,21 @@ def _build_generator(args):
     # pre-quant tree/config divide (manual_tp_ready) before packing.
     import os as _os
 
+    # --mesh-model alone implies a {data:1, model:N} mesh (TP without
+    # eval-DP — the weights-too-big-per-chip case); requiring
+    # --mesh-data too silently dropped the flag (round-3 review finding)
+    mesh_data = getattr(args, "mesh_data", 0)
+    mesh_model = getattr(args, "mesh_model", 1) or 1
+    if mesh_model > 1 and not mesh_data:
+        mesh_data = 1
     quant_tp = 1
     if (
         args.quant in ("int4", "int4g")
-        and getattr(args, "mesh_data", 0)
-        and (getattr(args, "mesh_model", 1) or 1) > 1
+        and mesh_data
+        and mesh_model > 1
         and _os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
     ):
-        quant_tp = args.mesh_model
+        quant_tp = mesh_model
     params, cfg = load_pretrained_model(
         args.model_path,
         args.model_base,
@@ -112,15 +119,15 @@ def _build_generator(args):
         quant_tp=quant_tp,
     )
     mesh = None
-    if getattr(args, "mesh_data", 0):
+    if mesh_data:
         from halva_tpu.parallel.mesh import make_mesh
 
         import jax
 
-        n = args.mesh_data * args.mesh_model
+        n = mesh_data * mesh_model
         mesh = make_mesh(
-            data=args.mesh_data,
-            model=args.mesh_model,
+            data=mesh_data,
+            model=mesh_model,
             devices=jax.devices()[:n],
         )
     return BatchedGenerator(

@@ -122,8 +122,8 @@ class BatchedGenerator:
             dp = mesh.shape.get("data", 1)
             if batch_size % dp != 0:
                 raise ValueError(
-                    f"batch_size {batch_size} must divide the mesh "
-                    f"data axis ({dp})"
+                    f"batch_size {batch_size} must be a multiple of "
+                    f"the mesh data axis size ({dp})"
                 )
             from halva_tpu.parallel import partition
 

@@ -555,7 +555,8 @@ def prefill(
     True | "int8" = int8 values + per-(token, head) scales ({k,v} int8 +
     {k_scale,v_scale} (L, B, KVH, S)); "int4" = nibble-packed token
     pairs ({k4,v4} (L, B, KVH, ceil(S/2), Dh) int8 + even/odd-split
-    {k_scale,v_scale} (L, B, KVH, 2, ceil(S/2)) — see _quantize_kv4).
+    {k_scale,v_scale} (L, B, 2, KVH, ceil(S/2)) — even/odd plane is
+    dim 2, AHEAD of heads; see _quantize_kv4 and _cache_constraint).
     """
     b, s, d = inputs_embeds.shape
     h_, kvh, dh = cfg.num_heads // tp, cfg.kv_heads // tp, cfg.head_size

@@ -49,7 +49,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from halva_tpu.config import LlavaConfig
 from halva_tpu.models import llama
-from halva_tpu.ops.generate import _cached_jit, _prefill_impl
+from halva_tpu.ops.generate import _cached_jit, _params_key, _prefill_impl
 
 Params = Dict[str, Any]
 
@@ -311,6 +311,7 @@ def generate_beam(
     key = (
         cfg, max_new_tokens, eos_id, num_beams, length_penalty,
         attn_impl, kv_quant, input_ids.shape, images.shape, mesh,
+        _params_key(params),
     )
 
     def make():
@@ -325,8 +326,8 @@ def generate_beam(
         dp = mesh.shape.get("data", 1)
         if input_ids.shape[0] % dp != 0:
             raise ValueError(
-                f"batch {input_ids.shape[0]} must divide the mesh "
-                f"data axis ({dp})"
+                f"batch {input_ids.shape[0]} must be a multiple of "
+                f"the mesh data axis size ({dp})"
             )
         pspec = jax.tree.map(lambda _: P(), params)
         return jax.jit(jax.shard_map(

@@ -119,6 +119,23 @@ def _prefill_impl(
 _JIT_CACHE_MAX = 16
 
 
+def _params_key(params) -> Any:
+    """Cache-key component capturing everything about `params` that the
+    built executable bakes in besides leaf shapes/dtypes (which jit
+    retraces on): the pytree STRUCTURE (a bf16 tree and an int8/int4
+    tree at the same batch shapes must not share a shard_map fn whose
+    in_specs were derived from the other tree) and the trace-time quant
+    routing globals (set_w8a8/set_w4a8 flip which dense kernel the
+    trace embeds, invisible to shapes)."""
+    from halva_tpu.ops import quant
+
+    return (
+        jax.tree_util.tree_structure(params),
+        quant.w8a8_enabled(),
+        quant.w4a8_enabled(),
+    )
+
+
 def _cached_jit(cache: Dict[Any, Any], key, make):
     """Bounded insertion-order jit cache: long-lived serving processes
     that vary (batch, bucket, max_new) would otherwise accumulate
@@ -154,7 +171,7 @@ def _prefill_phase(
     with persistently-cached executables — see generate's docstring)."""
     key = (
         cfg, max_new_tokens, attn_impl, kv_quant,
-        input_ids.shape, images.shape,
+        input_ids.shape, images.shape, _params_key(params),
     )
     def make():
         def impl(p, ids, im, lens):
@@ -297,7 +314,7 @@ def _decode_phase(
     key = (
         cfg, max_new_tokens, eos_id, temperature, top_p,
         first_tok.shape, prompt_seg.shape,
-        "k_scale" in prompt_cache, rng is None,
+        "k_scale" in prompt_cache, rng is None, _params_key(params),
     )
     def make():
         def impl(p, ft, sl, pc, ps, r):
@@ -519,6 +536,7 @@ def generate(
     key = (
         cfg, max_new_tokens, eos_id, attn_impl, kv_quant, temperature,
         top_p, input_ids.shape, images.shape, mesh, manual_tp,
+        _params_key(params),
     )
 
     def make():
@@ -533,8 +551,8 @@ def generate(
         )
         if input_ids.shape[0] % dp != 0:
             raise ValueError(
-                f"batch {input_ids.shape[0]} must divide the mesh "
-                f"data axis ({dp})"
+                f"batch {input_ids.shape[0]} must be a multiple of "
+                f"the mesh data axis size ({dp})"
             )
         return fn
 

@@ -46,14 +46,35 @@ LLM_RULES = [
     # trains LoRA (frozen base), so there is no optimizer state on
     # these weights to shard anyway.
     (r"embed/embedding(_q)?$", ("vocab", "embed_replicated")),
-    (r"attn/w[qkv]/kernel(_q)?$", ("layers", "embed", "heads")),
-    (r"attn/wo/kernel(_q)?$", ("layers", "heads", "embed")),
+    (r"embed/embedding_scale$", ("vocab", "none")),
+    # quantized kernel variants share the plain kernel's logical axes:
+    # _q (int8, same shape), _q4 (NF4 codes, same shape), _q4p (packed
+    # int4 nibbles — the last dim holds OUTPUT-CHANNEL PAIRS, still the
+    # kernel's output-logical axis; propagation sharding only moves
+    # bytes, it never reinterprets the packed layout). Without these
+    # rules every int4/NF4 LLM weight silently replicated over "model"
+    # on the propagation-TP route (round-3 review finding) — the one
+    # route a 13B-int4 --mesh-model user relies on for HBM relief.
+    # Scales: 3D (L, 1, N) per-channel follow the kernel (the size-1 dim
+    # replicates via the divisibility guard); 4D (L, 2, G, N/2) grouped
+    # scales split with the packed channels (column-split layers) or the
+    # K-groups (row-split wo/down).
+    (r"attn/w[qkv]/kernel(_q|_q4|_q4p)?$", ("layers", "embed", "heads")),
+    (r"attn/w[qkv]/kernel_scale4?$", ("layers", "none", "heads")),
+    (r"attn/w[qkv]/kernel_scale4p$", ("layers", "none", "none", "heads")),
+    (r"attn/wo/kernel(_q|_q4|_q4p)?$", ("layers", "heads", "embed")),
+    (r"attn/wo/kernel_scale4?$", ("layers", "none", "embed")),
+    (r"attn/wo/kernel_scale4p$", ("layers", "none", "heads", "none")),
     (r"attn/w[qkv]/lora_a$", ("layers", "embed", "lora")),
     (r"attn/w[qkv]/lora_b$", ("layers", "lora", "heads")),
     (r"attn/wo/lora_a$", ("layers", "heads", "lora")),
     (r"attn/wo/lora_b$", ("layers", "lora", "embed")),
-    (r"mlp/(gate|up)/kernel(_q)?$", ("layers", "embed", "mlp")),
-    (r"mlp/down/kernel(_q)?$", ("layers", "mlp", "embed")),
+    (r"mlp/(gate|up)/kernel(_q|_q4|_q4p)?$", ("layers", "embed", "mlp")),
+    (r"mlp/(gate|up)/kernel_scale4?$", ("layers", "none", "mlp")),
+    (r"mlp/(gate|up)/kernel_scale4p$", ("layers", "none", "none", "mlp")),
+    (r"mlp/down/kernel(_q|_q4|_q4p)?$", ("layers", "mlp", "embed")),
+    (r"mlp/down/kernel_scale4?$", ("layers", "none", "embed")),
+    (r"mlp/down/kernel_scale4p$", ("layers", "none", "mlp", "none")),
     (r"mlp/(gate|up)/lora_a$", ("layers", "embed", "lora")),
     (r"mlp/(gate|up)/lora_b$", ("layers", "lora", "mlp")),
     (r"mlp/down/lora_a$", ("layers", "mlp", "lora")),
@@ -61,10 +82,12 @@ LLM_RULES = [
     (r"(input_norm|post_attn_norm)/scale$", ("layers", "embed")),
     (r"final_norm/scale$", ("embed",)),
     (r"lm_head/kernel(_q)?$", ("embed_replicated", "vocab")),
+    (r"lm_head/kernel_scale$", ("none", "vocab")),
     # (vision replication rationale: ~0.6GB bf16 for CLIP-L/SigLIP;
     # replication avoids all-gathers inside the frozen no-grad tower.
     # Revisit if a tower ever dominates HBM.)
-    (r"projector/.*kernel$", ("embed", "heads")),
+    (r"projector/.*kernel(_q)?$", ("embed", "heads")),
+    (r"projector/.*kernel_scale$", ("none", "heads")),
 ]
 
 LOGICAL_TO_MESH = {
@@ -76,6 +99,7 @@ LOGICAL_TO_MESH = {
     "layers": None,
     "lora": None,
     "patch": None,
+    "none": None,  # structurally unsharded dims (packed planes, groups)
 }
 
 # Eval/serving-time mapping: no FSDP (decode re-reads every weight every
@@ -93,6 +117,7 @@ EVAL_LOGICAL_TO_MESH = {
     "layers": None,
     "lora": None,
     "patch": None,
+    "none": None,
 }
 
 

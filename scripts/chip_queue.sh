@@ -1,9 +1,12 @@
 #!/bin/bash
-# Resumable serialized real-chip measurement queue (round 3).
-# Skips any job already recorded as "DONE <name> rc=0" in queue.log, so
-# the queue can be relaunched after a container/session restart without
-# repeating finished (expensive) chip jobs. One job at a time: the axon
-# relay exposes a single chip and HBM is never reclaimed in-process.
+# THE serialized real-chip measurement queue (round 3) — canonical,
+# resumable. Supersedes run_chip_queue{,2,3,_all}.sh (which duplicated
+# this harness four times). One job at a time: the axon relay exposes a
+# single chip and HBM is never reclaimed in-process, so every mode runs
+# in its own python process. Resumable: any job already recorded as
+# "DONE <name> rc=0" in queue.log is skipped, so the queue can be
+# relaunched after a container/session restart without repeating
+# finished (multi-hour) chip jobs.
 set -u
 cd /root/repo
 LOG=/tmp/chipq
@@ -20,6 +23,14 @@ run() {
   "$@" > "$LOG/$name.log" 2>&1
   rc=$?
   echo "=== [$(date +%H:%M:%S)] DONE  $name rc=$rc dt=$((SECONDS-t0))s" | tee -a "$LOG/queue.log"
+}
+
+# imgs/s reported by a bench log, or empty if the run never printed the
+# JSON line. Used instead of grepping for '"value": 0', which also
+# matched any sub-1 throughput like '"value": 0.85' and misrouted the
+# 13B batch ladder.
+bench_value() {
+  sed -n 's/.*"value": \([0-9.]*\).*/\1/p' "$LOG/$1.log" 2>/dev/null | tail -1
 }
 
 # 1. quant quality: each mode its own process, then the report
@@ -40,17 +51,21 @@ run flash_cmp python scripts/bench_flash.py --splash --official --bwd
 # 4. eval host-IO overlap
 run hostio python scripts/bench_eval_hostio.py
 
-# 5. headline-bench variants (queue2)
+# 5. headline-bench variants
 run bench_default python bench.py
 run bench_kv4 env HALVA_BENCH_KV=int4 python bench.py
 run bench_w4a8 env HALVA_W4A8=1 python bench.py
 
-# 6. 13B single-chip serving (queue3)
+# 6. 13B single-chip serving: int4 LLM kernels (~6.6 GB) + int8
+# embeds/vision fit beside an int8 KV cache on the 15.75 GB v5e — the
+# reference needs an 80 GB A100 for fp16 13B eval. Explicit batch
+# ladder (each OOM retry costs a remote compile).
 run bench13b_b16 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=16 python bench.py
-if grep -q '"value": 0' "$LOG/bench13b_b16.log" 2>/dev/null || ! grep -q imgs "$LOG/bench13b_b16.log"; then
-  run bench13b_b8 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=8 python bench.py
-else
+v=$(bench_value bench13b_b16)
+if [ -n "$v" ] && awk "BEGIN{exit !($v > 0)}"; then
   run bench13b_b24 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=24 python bench.py
+else
+  run bench13b_b8 env HALVA_BENCH_PRESET=llava-v1.5-13b HALVA_BENCH_BATCH=8 python bench.py
 fi
 
-echo "=== [$(date +%H:%M:%S)] QUEUE-ALL COMPLETE" | tee -a "$LOG/queue.log"
+echo "=== [$(date +%H:%M:%S)] QUEUE COMPLETE" | tee -a "$LOG/queue.log"

@@ -113,12 +113,6 @@ def host_bf16_tree(cfg, seed=0):
     return params
 
 
-def _np_int4_stacked(w, group_size=None):
-    from halva_tpu.ops.w4_matmul import quantize_kernel_int4_stacked_host
-
-    return quantize_kernel_int4_stacked_host(w, group_size=group_size)
-
-
 def _np_nf4_stacked(w):
     from halva_tpu.ops.quant import NF4_CODE as code_tuple
 
@@ -138,24 +132,28 @@ def _np_nf4_stacked(w):
 
 def quantize_mode(host_tree, mode):
     from halva_tpu.ops.quant import quantize_params_host
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
 
     if mode == "bf16":
         return host_tree
-    int8_tree = quantize_params_host(host_tree)
     if mode == "int8":
-        return int8_tree
+        return quantize_params_host(host_tree)
+    if mode in ("int4", "int4g"):
+        # THE serving quantizer (models/builder quant="int4"/"int4g"),
+        # not a local re-implementation — the proxy must measure exactly
+        # the tree load_pretrained_model would serve
+        return quantize_params_int4_host(
+            host_tree, group_size=128 if mode == "int4g" else None
+        )
 
-    # int4 / nf4: re-derive the stacked 3D LLM kernels from the ORIGINAL
-    # bf16 values (not from int8)
+    # nf4: re-derive the stacked 3D LLM kernels from the ORIGINAL bf16
+    # values (not from int8); everything else keeps the int8 layout
+    int8_tree = quantize_params_host(host_tree)
+
     def rewrite(orig, q):
         if isinstance(q, dict):
             if "kernel_q" in q and q["kernel_q"].ndim == 3:
-                w = orig["kernel"]
-                if mode == "int4":
-                    return _np_int4_stacked(w)
-                if mode == "int4g":
-                    return _np_int4_stacked(w, group_size=128)
-                return _np_nf4_stacked(w)
+                return _np_nf4_stacked(orig["kernel"])
             return {
                 k: rewrite(orig.get(k) if isinstance(orig, dict) else None, v)
                 for k, v in q.items()

@@ -88,3 +88,36 @@ def test_pope_cli_on_component_checkpoint_with_mesh(setup):
         # reference answers-JSONL schema (model_vqa_loader.py:122-129)
         assert {"question_id", "prompt", "text", "answer_id",
                 "model_id"} <= set(a)
+
+
+def test_mesh_model_alone_builds_tp_mesh(setup, tmp_path):
+    """--mesh-model without --mesh-data must imply {data:1, model:N}
+    (TP for weights-too-big-per-chip), not silently run single-device
+    (round-3 review finding). Answers must match the mesh-data run's
+    schema and cover every question."""
+    from halva_tpu.evals import cli
+
+    out = str(tmp_path / "answers_tp.jsonl")
+    cli.main(
+        [
+            "pope",
+            "--model-path", setup["components"],
+            "--tokenizer", setup["tok_dir"],
+            "--question-file", setup["qfile"],
+            "--image-folder", setup["img_dir"],
+            "--answers-file", out,
+            "--batch-size", "4",
+            "--max-new-tokens", "4",
+            "--mesh-model", "2",
+        ]
+    )
+    answers = [json.loads(l) for l in open(out)]
+    assert {a["question_id"] for a in answers} == set(range(6))
+    # and the texts agree with the {data:2} run (same model, same
+    # greedy decode — the mesh layout must not change tokens)
+    prev = {
+        a["question_id"]: a["text"]
+        for a in map(json.loads, open(setup["out"]))
+    }
+    for a in answers:
+        assert a["text"] == prev[a["question_id"]], a

@@ -372,8 +372,123 @@ def test_batch_must_divide_data_axis(params):
         data=4, model=1, devices=jax.devices()[:4]
     )
     ids, images, lens = _inputs(b=6, dead_rows=())
-    with pytest.raises(ValueError, match="divide the mesh"):
+    with pytest.raises(ValueError, match="mesh data axis"):
         generate(
             params, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
             attn_impl="xla", mesh=mesh,
         )
+
+
+def test_jit_cache_keyed_on_tree_structure(params, single):
+    """Two param trees with DIFFERENT pytree structures (bf16 vs int8)
+    at identical (cfg, shapes, max_new) must not share a cached
+    shard_map fn — the in_specs are derived from the tree given to the
+    FIRST call, and reusing them for the other tree is a pytree
+    mismatch (round-3 review finding). The bf16 `single` fixture +
+    data-mesh call already populated this exact key."""
+    from halva_tpu.ops.quant import quantize_params_host
+
+    p8 = quantize_params_host(jax.tree.map(np.asarray, params))
+    ids, images, lens = _inputs()
+    toks1, num1 = generate(
+        p8, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
+        attn_impl="xla",
+    )
+    mesh = mesh_lib.make_mesh(
+        data=4, model=1, devices=jax.devices()[:4]
+    )
+    # same key as test_data_parallel_mesh_token_parity except treedef
+    toks2, num2 = generate(
+        p8, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
+        attn_impl="xla", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(toks1))
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
+    # and the bf16 entry was not clobbered either
+    toks3, _ = generate(
+        params, CFG, ids, images, lens, MAX_NEW, eos_id=EOS,
+        attn_impl="xla", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks3), single[0])
+
+
+def test_jit_cache_keyed_on_quant_globals(params, monkeypatch):
+    """set_w8a8/set_w4a8 flip which dense kernel a trace embeds without
+    changing any shape: the cache key must change with them, or an
+    in-process toggle silently serves the stale executable."""
+    from halva_tpu.ops import quant
+    from halva_tpu.ops.generate import _params_key
+
+    monkeypatch.setattr(quant, "_W8A8", True)
+    monkeypatch.setattr(quant, "_W4A8", False)
+    k1 = _params_key(params)
+    monkeypatch.setattr(quant, "_W8A8", False)
+    k2 = _params_key(params)
+    monkeypatch.setattr(quant, "_W4A8", True)
+    k3 = _params_key(params)
+    assert k1 != k2 and k2 != k3 and k1 != k3
+
+
+def test_propagation_tp_splits_quantized_leaves(params):
+    """The propagation-TP serving plan must TP-split int4/NF4/int8
+    leaves over "model" — these trees are exactly the ones routed to
+    propagation (manual TP rejects plain-packed int4 and NF4), and
+    replicating them forfeits the HBM relief --mesh-model exists for
+    (round-3 review finding)."""
+    from halva_tpu.ops.quant import quantize_params
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+    from halva_tpu.parallel.mesh import MODEL_AXIS
+
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+
+    def spec_of(tree, path):
+        specs = partition.eval_param_pspecs(tree, mesh)
+        node = specs
+        for k in path.split("/"):
+            node = node[k]
+        return node
+
+    p4 = quantize_params_int4_host(jax.tree.map(np.asarray, params))
+    for leaf, dim in (
+        ("llm/layers/attn/wq/kernel_q4p", -1),
+        ("llm/layers/attn/wq/kernel_scale4p", -1),
+        ("llm/layers/mlp/gate/kernel_q4p", -1),
+        ("llm/layers/attn/wo/kernel_q4p", 1),
+        ("llm/layers/mlp/down/kernel_q4p", 1),
+    ):
+        sp = tuple(spec_of(p4, leaf))
+        assert len(sp) and sp[dim] == MODEL_AXIS, (leaf, sp)
+
+    pnf4 = quantize_params(params, bits=4)
+    sp = tuple(spec_of(pnf4, "llm/layers/attn/wq/kernel_q4"))
+    assert sp[-1] == MODEL_AXIS, sp
+    sp = tuple(spec_of(pnf4, "llm/layers/mlp/gate/kernel_scale4"))
+    assert sp[-1] == MODEL_AXIS, sp
+
+
+def test_propagation_tp_int4_token_parity(params, single, monkeypatch):
+    """End-to-end: a PLAIN (tp=1) packed-int4 tree on a model>1 mesh
+    routes to propagation and must match its own single-device tokens —
+    the newly TP-split packed/scale leaves change only layout, never
+    math."""
+    monkeypatch.setenv("HALVA_TP_IMPL", "propagate")
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    p4 = quantize_params_int4_host(jax.tree.map(np.asarray, params))
+    ids, images, lens = _inputs()
+    max_new = MAX_NEW + 20  # own jit-cache key
+    toks1, num1 = generate(
+        p4, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla",
+    )
+    mesh = mesh_lib.make_mesh(
+        data=2, model=2, devices=jax.devices()[:4]
+    )
+    toks2, num2 = generate(
+        p4, CFG, ids, images, lens, max_new, eos_id=EOS,
+        attn_impl="xla", mesh=mesh,
+    )
+    np.testing.assert_array_equal(np.asarray(toks2), np.asarray(toks1))
+    np.testing.assert_array_equal(np.asarray(num2), np.asarray(num1))
