@@ -3,8 +3,10 @@
 Replaces the reference's one-process-per-GPU bs=1 loaders
 (eval_hall/model_vqa_loader.py:31-130, model_chair_loader.py,
 model_amber_loader.py, model_vqa_mmhal.py) with a single driver that
-buckets prompts by length and runs batched KV-cached greedy decode on the
-whole TPU slice — the designed >=2x A100 imgs/sec path (BASELINE.md).
+buckets prompts by length and runs batched KV-cached decode — greedy,
+nucleus sampling (temperature/top_p), or beam search (num_beams/
+length_penalty) — on the whole TPU slice; the designed >=2x A100
+imgs/sec path (BASELINE.md).
 
 Answers are written as flushed JSONL rows with the reference's schema
 (question_id/prompt/text/answer_id/model_id) so every metric computer and
@@ -82,7 +84,9 @@ def build_prompt(
 
 
 class BatchedGenerator:
-    """Length-bucketed batched greedy decode over a prepared model."""
+    """Length-bucketed batched decode over a prepared model: greedy by
+    default, nucleus sampling when temperature > 0, beam search when
+    num_beams > 1 (the reference loaders' full generate surface)."""
 
     def __init__(
         self,

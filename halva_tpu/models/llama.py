@@ -655,6 +655,7 @@ def _decode_attend(
     vg_scale: Optional[jnp.ndarray] = None,
     bias_p: Optional[jnp.ndarray] = None,  # (B, H, Sp) ALiBi bias
     bias_g: Optional[jnp.ndarray] = None,  # (B, H, Sg)
+    beam_k: int = 1,
 ) -> jnp.ndarray:
     """Single-query attention over split prompt/generated caches with one
     softmax across both (logits are tiny; no KV concat is materialized).
@@ -663,6 +664,13 @@ def _decode_attend(
     against the raw KV-head caches — no jnp.repeat materialization, so
     decode KV traffic is the true KVH-sized cache for Mistral/Gemma-class
     checkpoints (for MHA, G == 1 and the shapes are unchanged).
+
+    beam_k > 1 (beam search, ops/beam.py): q and the GEN cache carry
+    B*K rows while the read-only prompt cache (kp/vp + scales + seg +
+    bias_p) stays at B item rows — beams fold into an extra einsum batch
+    dim exactly like GQA groups fold over kv heads, so the dominant
+    prompt KV is neither duplicated in HBM nor re-read per beam. Only
+    the tiny per-item tensors (segment ids, scales, bias rows) repeat.
 
     This XLA body is the numerics oracle for the fused Pallas kernel
     (ops/decode_attention.py, dispatched in decode_step) and the
@@ -677,8 +685,26 @@ def _decode_attend(
     # fuses into the dot's operand pipeline); per-(token, head) scales
     # fold into the TINY logits / probability tensors instead of a
     # materialized dequantized KV copy.
-    lp = jnp.einsum("bngd,bnkd->bngk", q3, kp.astype(q3.dtype),
-                    preferred_element_type=jnp.float32) * scale
+    if beam_k > 1:
+        bb = b // beam_k
+        assert kp.shape[0] == bb, (kp.shape, b, beam_k)
+        lp = jnp.einsum(
+            "bjngd,bnkd->bjngk",
+            q3.reshape(bb, beam_k, kvh, g, dh),
+            kp.astype(q3.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, kvh, g, sp) * scale
+        # per-item small tensors broadcast to the B*K row space
+        prompt_seg = jnp.repeat(prompt_seg, beam_k, axis=0)
+        if kp_scale is not None:
+            kp_scale = jnp.repeat(kp_scale, beam_k, axis=0)
+        if vp_scale is not None:
+            vp_scale = jnp.repeat(vp_scale, beam_k, axis=0)
+        if bias_p is not None:
+            bias_p = jnp.repeat(bias_p, beam_k, axis=0)
+    else:
+        lp = jnp.einsum("bngd,bnkd->bngk", q3, kp.astype(q3.dtype),
+                        preferred_element_type=jnp.float32) * scale
     if kp_scale is not None:
         lp = lp * kp_scale.astype(jnp.float32)[:, :, None, :]
     lg = jnp.einsum("bngd,bnkd->bngk", q3, kg.astype(q3.dtype),
@@ -698,9 +724,17 @@ def _decode_attend(
         pp = pp * vp_scale.astype(jnp.float32)[:, :, None, :]
     if vg_scale is not None:
         pg = pg * vg_scale.astype(jnp.float32)[:, :, None, :]
-    out = jnp.einsum("bngk,bnkd->bngd", pp.astype(q3.dtype),
-                     vp.astype(q3.dtype),
-                     preferred_element_type=jnp.float32)
+    if beam_k > 1:
+        out = jnp.einsum(
+            "bjngk,bnkd->bjngd",
+            pp.astype(q3.dtype).reshape(b // beam_k, beam_k, kvh, g, sp),
+            vp.astype(q3.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, kvh, g, dh)
+    else:
+        out = jnp.einsum("bngk,bnkd->bngd", pp.astype(q3.dtype),
+                         vp.astype(q3.dtype),
+                         preferred_element_type=jnp.float32)
     out = out + jnp.einsum("bngk,bnkd->bngd", pg.astype(q3.dtype),
                            vg.astype(q3.dtype),
                            preferred_element_type=jnp.float32)
@@ -719,10 +753,17 @@ def decode_step(
     allow_fused: bool = True,
     tp: int = 1,
     tp_axis: Optional[str] = None,
+    beam_k: int = 1,
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over the split cache: returns (fp32 logits (B, V),
     updated gen cache). The new token is written at gen slot `step`
     (lockstep across rows); its RoPE position is per-row `positions`.
+
+    beam_k > 1 (ops/beam.py): token_embeds/positions/gen_cache carry
+    B*K beam rows while the read-only prompt cache + prompt_seg stay at
+    B item rows — row r attends its item's prompt (r // K) so the
+    dominant prompt KV is never duplicated. Requires beams of an item
+    in lockstep (same position every step — beam.py guarantees it).
 
     On TPU, the step dispatches to the fused Pallas kernel (MHA and
     GQA — GQA runs grouped in-kernel over the true KVH-sized caches)
@@ -765,12 +806,18 @@ def decode_step(
     alibi = cfg.position_embedding == "alibi"
     window = cfg.sliding_window
     sp_true = prompt_seg.shape[1]
+    # prompt-side tensors live in the B-item row space; beams of an item
+    # share positions (lockstep), so item positions = every beam_k-th row
+    bb = b // beam_k
+    pos_item = (
+        positions.reshape(bb, beam_k)[:, 0] if beam_k > 1 else positions
+    )
     # cached-key positions: prompts are right-padded contiguous from 0
     # (position == index; padding masked by segment 0), gen slot s' sits
     # at position = positions - step + s'
     if alibi or window is not None:
         kpos_p = jnp.broadcast_to(
-            jnp.arange(sp_true, dtype=jnp.int32)[None, :], (b, sp_true)
+            jnp.arange(sp_true, dtype=jnp.int32)[None, :], (bb, sp_true)
         )
         kpos_g = (
             positions[:, None]
@@ -785,14 +832,14 @@ def decode_step(
     if alibi:
         from halva_tpu.ops.attention import alibi_bias
 
-        bias_p = alibi_bias(h_, positions[:, None], kpos_p)[:, :, 0]
+        bias_p = alibi_bias(h_, pos_item[:, None], kpos_p)[:, :, 0]
         bias_g = alibi_bias(h_, positions[:, None], kpos_g)[:, :, 0]
     # prompt keys outside the window: mask via segment ids (the fused
     # kernel is only used when the whole cache fits the window — see
     # pos_ok below — so the masked seg never reaches it)
     if window is not None and sp_true + sg > window:
         prompt_seg = jnp.where(
-            positions[:, None] - kpos_p < window, prompt_seg, 0
+            pos_item[:, None] - kpos_p < window, prompt_seg, 0
         )
     # dh must be lane-aligned (128): the fused kernel's bf16
     # minor-dim-insertion reshapes ((H, D) -> (H, 1, D)) are only legal
@@ -808,7 +855,7 @@ def decode_step(
         # packed layout natively).
         from halva_tpu.ops.decode_attention import seg_even_odd
 
-        seg_eo_flat = seg_even_odd(prompt_seg).reshape(b, -1)
+        seg_eo_flat = seg_even_odd(prompt_seg).reshape(bb, -1)
         if bias_p is not None:
             bp = bias_p
             if bp.shape[-1] % 2:
@@ -847,7 +894,7 @@ def decode_step(
         return _decode_step_w4(
             params, cfg, token_embeds, positions, prompt_cache,
             prompt_seg, gen_cache, step, cos, sin, gen_valid,
-            tp=tp, tp_axis=tp_axis,
+            tp=tp, tp_axis=tp_axis, beam_k=beam_k,
         )
 
     def scan_fn(carry, layer_params):
@@ -868,6 +915,7 @@ def decode_step(
 
             attn_out = decode_attend_layer(
                 q, prompt_cache, prompt_seg, gen, gen_valid, li,
+                beam_k=beam_k,
             )
         else:
             if quantized4:
@@ -927,6 +975,7 @@ def decode_step(
                 vg_scale=gl.get("v_scale"),
                 bias_p=bias_p,
                 bias_g=bias_g,
+                beam_k=beam_k,
             )
         x = x + red(dense(attn_out.reshape(b, 1, h_ * dh), ap["wo"]))
         y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
@@ -992,6 +1041,7 @@ def _decode_step_w4(
     gen_valid: jnp.ndarray,
     tp: int = 1,
     tp_axis: Optional[str] = None,
+    beam_k: int = 1,
 ) -> Tuple[jnp.ndarray, Params]:
     """decode_step body for stacked-int4 serving weights: the scan
     carries only the layer counter — every matmul streams int4 blocks of
@@ -1039,6 +1089,7 @@ def _decode_step_w4(
 
         attn_out = decode_attend_layer(
             q, prompt_cache, prompt_seg, gen, gen_valid, li,
+            beam_k=beam_k,
         )
         x = x + red(w4_dense_stacked(
             attn_out.reshape(b, h_ * dh), lyr["attn"]["wo"], li

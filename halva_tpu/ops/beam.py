@@ -14,11 +14,14 @@ do_sample=False, early_stopping=False) the TPU way:
   finished hypotheses live in a fixed (B, K) set kept sorted by
   penalized score. No Python control flow: one `lax.while_loop` whose
   carry is the whole search state.
-- The prompt KV cache is computed ONCE at batch B and repeated to B*K
-  rows; only the small generated cache is beam-reordered each step
+- The prompt KV cache is computed ONCE at batch B and STAYS at B item
+  rows — decode attention maps beam row r to prompt row r // K
+  (llama.decode_step beam_k: einsum beam-fold in the XLA oracle,
+  grid-static index maps in the fused Pallas kernel), so the dominant
+  decode-time buffer is never duplicated K-fold in HBM. Only the small
+  generated cache lives at B*K rows and is beam-reordered each step
   (gather on the batch dim by parent-beam index — the standard TPU
-  cache-reorder beam step). The fused Pallas decode kernel keeps
-  serving each row.
+  cache-reorder beam step).
 - HF-semantics notes kept bit-compatible (oracle-tested vs transformers
   on tiny random Llamas, tests/test_beam.py):
   * initial frontier scores are [0, -inf, ...] so step 1 fans out of
@@ -49,7 +52,14 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from halva_tpu.config import LlavaConfig
 from halva_tpu.models import llama
-from halva_tpu.ops.generate import _cached_jit, _params_key, _prefill_impl
+from halva_tpu.ops.generate import (
+    _cached_jit,
+    _params_key,
+    _prefill_impl,
+    check_batch_divides,
+    init_gen_cache_like,
+    w4_pack_stamp,
+)
 
 Params = Dict[str, Any]
 
@@ -151,15 +161,14 @@ def _beam_body_factory(cfg, k: int, max_new: int, eos_id: int,
         gen_cache = jax.tree.map(
             lambda a: jnp.take(a, parent_rows, axis=1), st.gen_cache
         )
-        flat_tok = new_seqs[:, :, :].reshape(b * k, max_new)
         flat_tok = jax.lax.dynamic_slice(
-            flat_tok, (0, st.step), (b * k, 1)
+            new_seqs.reshape(b * k, max_new), (0, st.step), (b * k, 1)
         )[:, 0]
         pos = jnp.repeat(spliced_len, k) + st.step
         embeds = llama.embed(params["llm"], flat_tok[:, None])
         logits, gen_cache = llama.decode_step(
             params["llm"], cfg, embeds, pos, prompt_cache, prompt_seg,
-            gen_cache, st.step, allow_fused=allow_fused,
+            gen_cache, st.step, allow_fused=allow_fused, beam_k=k,
         )
         return BeamState(
             st.step + 1, logits, new_seqs, new_scores, gen_cache,
@@ -193,18 +202,12 @@ def _beam_impl(
         )
     )
     del first_tok
-    # one shared prefill at batch B; beams share the read-only prompt
-    # cache by row repetition (B*K rows)
-    prompt_cache = jax.tree.map(
-        lambda a: jnp.repeat(a, k, axis=1), prompt_cache
-    )
-    prompt_seg = jnp.repeat(prompt_seg, k, axis=0)
+    # one shared prefill at batch B; the read-only prompt cache STAYS at
+    # B item rows (decode_step beam_k maps beam row -> item row), so
+    # --num-beams costs K * gen-cache, not K * prompt-cache, in HBM
 
-    quant = "k_scale" in prompt_cache
-    gen_cache = llama.init_gen_cache(
-        cfg.llm, b * k, max_new_tokens,
-        dtype=prompt_cache["k"].dtype if not quant else jnp.bfloat16,
-        quantized=quant,
+    gen_cache = init_gen_cache_like(
+        cfg.llm, b * k, max_new_tokens, prompt_cache
     )
 
     init = BeamState(
@@ -242,11 +245,19 @@ def _beam_impl(
 
     # finished slots are sorted desc by penalized score: slot 0 wins
     tokens = final.fin_tokens[:, 0]  # (B, max_new)
-    num = final.fin_lens[:, 0]
-    # pad beyond the hypothesis with eos so decode_tokens trims; a
-    # hypothesis that ended with eos keeps it (HF stores it too)
+    hyp_len = final.fin_lens[:, 0]  # incl. a trailing eos (HF keeps it)
+    # num counts CONTENT tokens — a trailing eos is excluded so the
+    # count contract matches generate() (generate.py counts != eos_id);
+    # `tokens` still carries the eos (HF sequences keep it, and the
+    # padding below writes eos there anyway)
+    last = jnp.take_along_axis(
+        tokens, jnp.maximum(hyp_len - 1, 0)[:, None], axis=1
+    )[:, 0]
+    num = hyp_len - ((hyp_len > 0) & (last == eos_id)).astype(jnp.int32)
+    # pad beyond the hypothesis with eos so decode_tokens trims
     tokens = jnp.where(
-        jnp.arange(max_new_tokens, dtype=jnp.int32)[None, :] < num[:, None],
+        jnp.arange(max_new_tokens, dtype=jnp.int32)[None, :]
+        < hyp_len[:, None],
         tokens, jnp.int32(eos_id),
     )
     return tokens, num
@@ -273,9 +284,16 @@ def generate_beam(
 
     `tokens` holds the best finished hypothesis per item (its eos, when
     it ended with one, included — HF sequences keep it); rows are padded
-    with eos_id past `num_generated`. One jit program (prefill + beam
-    loop, see ops/generate.py on why phases never split). Rows with
+    with eos_id past the hypothesis. `num_generated` counts CONTENT
+    tokens (a trailing eos excluded) — the same contract as
+    generate(), so callers can slice tokens[i, :num[i]] from either
+    entry point. One jit program (prefill + beam loop, see
+    ops/generate.py on why phases never split). Rows with
     prompt_length 0 are dead pad rows that return empty hypotheses.
+
+    HBM: the prompt KV cache stays at B item rows (decode_step beam_k);
+    beams add only the (B*K)-row gen cache, so --num-beams at serving
+    batch sizes does not multiply the dominant decode-time buffer.
 
     mesh: a {data: N} mesh runs shard_map eval data parallelism —
     a batch item's K beams always live on ONE shard (the search needs
@@ -297,9 +315,7 @@ def generate_beam(
             "beam search supports {data: N} meshes only; tensor-"
             "parallel beams are not implemented"
         )
-    stamp = (
-        int(params.get("w4_pack_tp", 1)) if isinstance(params, dict) else 1
-    )
+    stamp = w4_pack_stamp(params)
     if stamp > 1:
         # a tp-packed int4 tree dequants to block-permuted output
         # channels outside its manual-TP shard_map (see generate())
@@ -324,11 +340,7 @@ def generate_beam(
         if mesh is None:
             return jax.jit(impl)
         dp = mesh.shape.get("data", 1)
-        if input_ids.shape[0] % dp != 0:
-            raise ValueError(
-                f"batch {input_ids.shape[0]} must be a multiple of "
-                f"the mesh data axis size ({dp})"
-            )
+        check_batch_divides(input_ids.shape[0], dp)
         pspec = jax.tree.map(lambda _: P(), params)
         return jax.jit(jax.shard_map(
             impl,

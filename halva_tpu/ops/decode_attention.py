@@ -267,20 +267,31 @@ def decode_attend_layer(
     gen_valid: jnp.ndarray = None,  # (B, Sg) bool
     layer: jnp.ndarray = None,  # () int32 — layer's cache slice to use
     block_k: int = DEFAULT_BLOCK_K,
+    beam_k: int = 1,
 ) -> jnp.ndarray:
     """One decode-attention layer over the stacked caches, merged prompt
     + generated softmax, normalized output (B, 1, H, Dh). The layer
     index rides a scalar-prefetch argument into the BlockSpec index
     maps, so no per-layer XLA slice of the caches is ever materialized
-    (a 96MB copy per layer per step at llava-7b b24)."""
+    (a 96MB copy per layer per step at llava-7b b24).
+
+    beam_k > 1 (beam search): q / gen cache / gen_valid carry B*K beam
+    rows; the read-only PROMPT operands (cache, scales, seg) stay at B
+    item rows and every prompt index map reads row `bi // beam_k` — the
+    dominant prompt KV is never duplicated in HBM (beams of one item
+    re-stream the same blocks; the index arithmetic is grid-static)."""
     quantized4 = "k4" in prompt_cache
     kp = prompt_cache["k4"] if quantized4 else prompt_cache["k"]
     gen_k, gen_v = gen_cache["k"], gen_cache["v"]
     if quantized4:
-        L, b, hk, _s2, d = kp.shape
+        L, bp_rows, hk, _s2, d = kp.shape
         sp = prompt_seg.shape[1]  # true (unpacked) prompt length
     else:
-        L, b, hk, sp, d = kp.shape
+        L, bp_rows, hk, sp, d = kp.shape
+    b = q.shape[0]  # beam rows (== bp_rows unless beam_k > 1)
+    assert bp_rows * beam_k == b, (kp.shape, q.shape, beam_k)
+    # prompt-side index maps address the B-item row space
+    bdiv = (lambda bi: bi) if beam_k == 1 else (lambda bi: bi // beam_k)
     sg = gen_k.shape[3]
     dh = q.shape[3]
     h = q.shape[2]  # query heads; GQA: caches carry hk = h // groups
@@ -304,12 +315,12 @@ def decode_attend_layer(
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
             (1, 1, 2, hk, bk // 2),
-            lambda bi, ki, li: (li[0], bi, 0, 0, ki),
+            lambda bi, ki, li: (li[0], bdiv(bi), 0, 0, ki),
         )
     elif quantized:
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
-            (1, 1, hk, bk), lambda bi, ki, li: (li[0], bi, 0, ki)
+            (1, 1, hk, bk), lambda bi, ki, li: (li[0], bdiv(bi), 0, ki)
         )
     else:
         ks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
@@ -344,18 +355,19 @@ def decode_attend_layer(
     if quantized4:
         kv_spec = pl.BlockSpec(
             (1, 1, hk, bk // 2, d),
-            lambda bi, ki, li: (li[0], bi, 0, ki, 0),
+            lambda bi, ki, li: (li[0], bdiv(bi), 0, ki, 0),
         )
         seg_spec = pl.BlockSpec(
-            (1, 2, bk // 2), lambda bi, ki, li: (bi, 0, ki)
+            (1, 2, bk // 2), lambda bi, ki, li: (bdiv(bi), 0, ki)
         )
         seg_in = seg_even_odd(prompt_seg.astype(jnp.int32))
     else:
         kv_spec = pl.BlockSpec(
-            (1, 1, hk, bk, d), lambda bi, ki, li: (li[0], bi, 0, ki, 0)
+            (1, 1, hk, bk, d),
+            lambda bi, ki, li: (li[0], bdiv(bi), 0, ki, 0),
         )
         seg_spec = pl.BlockSpec(
-            (1, 1, bk), lambda bi, ki, li: (bi, 0, ki)
+            (1, 1, bk), lambda bi, ki, li: (bdiv(bi), 0, ki)
         )
         seg_in = prompt_seg.astype(jnp.int32)[:, None, :]
     grid_spec = pltpu.PrefetchScalarGridSpec(

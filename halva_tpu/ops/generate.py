@@ -136,6 +136,38 @@ def _params_key(params) -> Any:
     )
 
 
+def w4_pack_stamp(params) -> int:
+    """The tp an int4 tree was nibble-packed for
+    (quantize_params_int4_host(tp=...)); 1 for unpacked/non-dict trees.
+    Shared by every decode entry point (generate, generate_beam) — the
+    refusal rules differ per entry, the stamp read must not."""
+    return int(params.get("w4_pack_tp", 1)) if isinstance(params, dict) else 1
+
+
+def check_batch_divides(n_rows: int, dp: int) -> None:
+    """Mesh decode shards rows over the "data" axis; refuse loudly when
+    they do not divide (shard_map would otherwise error opaquely)."""
+    if n_rows % dp != 0:
+        raise ValueError(
+            f"batch {n_rows} must be a multiple of the mesh data axis "
+            f"size ({dp})"
+        )
+
+
+def init_gen_cache_like(cfg_llm, rows, max_new_tokens: int, prompt_cache,
+                        tp: int = 1):
+    """Generated-token cache matching the prompt cache's quantization:
+    int8 gen for int8/int4 prompt caches (halves the gen-side decode
+    read traffic — 3.8 GB/step bf16 at b56 Sg=128), the prompt dtype
+    otherwise. One shared rule for greedy/sampling and beam decode."""
+    quant = "k_scale" in prompt_cache
+    return llama.init_gen_cache(
+        cfg_llm, rows, max_new_tokens,
+        dtype=prompt_cache["k"].dtype if not quant else jnp.bfloat16,
+        quantized=quant, tp=tp,
+    )
+
+
 def _cached_jit(cache: Dict[Any, Any], key, make):
     """Bounded insertion-order jit cache: long-lived serving processes
     that vary (batch, bucket, max_new) would otherwise accumulate
@@ -224,16 +256,8 @@ def _decode_impl(
     b = first_tok.shape[0]
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    # the generated cache follows the prompt cache's quantization: int8
-    # gen halves its decode read traffic (3.8 GB/step bf16 at b56 Sg=128)
-    quant = "k_scale" in prompt_cache
-    gen_cache = llama.init_gen_cache(
-        cfg.llm,
-        b,
-        max_new_tokens,
-        dtype=prompt_cache["k"].dtype if not quant else jnp.bfloat16,
-        quantized=quant,
-        tp=tp,
+    gen_cache = init_gen_cache_like(
+        cfg.llm, b, max_new_tokens, prompt_cache, tp=tp
     )
     if mesh is not None:
         gen_cache = _cache_constraint(gen_cache, cfg.llm.kv_heads, mesh)
@@ -517,9 +541,7 @@ def generate(
     # propagate forces the sharding-propagation fallback for A/B. One
     # shared decision with BatchedGenerator's weight placement.
     manual_tp = partition.manual_tp_route(params, cfg, mesh)
-    stamp = (
-        int(params.get("w4_pack_tp", 1)) if isinstance(params, dict) else 1
-    )
+    stamp = w4_pack_stamp(params)
     if stamp > 1 and not (
         manual_tp and mesh is not None and mesh.shape.get("model") == stamp
     ):
@@ -549,11 +571,7 @@ def generate(
         fn, dp = _make_sharded_generate(
             params, cfg, impl, mesh, manual_tp=manual_tp
         )
-        if input_ids.shape[0] % dp != 0:
-            raise ValueError(
-                f"batch {input_ids.shape[0]} must be a multiple of "
-                f"the mesh data axis size ({dp})"
-            )
+        check_batch_divides(input_ids.shape[0], dp)
         return fn
 
     fn = _cached_jit(_GENERATE_JITS, key, make)

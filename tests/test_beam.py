@@ -234,3 +234,44 @@ def test_beam_quantized_kv_smoke(kvq):
     assert tokens.shape == (2, 6)
     assert (num > 0).all()
     assert ((tokens >= 0) & (tokens < LLM.vocab_size)).all()
+
+
+def test_beam_dead_pad_rows():
+    """Tail-batch pad rows (prompt_length 0, the exact rows
+    BatchedGenerator appends to non-divisible eval tails) flow through
+    the beam loop as done-at-step-0 items: they return empty
+    hypotheses (num 0, all-eos tokens) and do not disturb live rows."""
+    model, params = _models(3)
+    rng = np.random.RandomState(3)
+    ids = rng.randint(3, LLM.vocab_size, (3, 8)).astype(np.int32)
+    images = rng.randn(
+        3, 3, CFG.vision.image_size, CFG.vision.image_size
+    ).astype(np.float32)
+    eos = 2
+    max_new = 6
+
+    # live-only reference run (rows 0 and 1)
+    lens_live = np.full((2,), 8, np.int32)
+    t_live, n_live = generate_beam(
+        params, CFG, jnp.asarray(ids[:2]), jnp.asarray(images[:2]),
+        jnp.asarray(lens_live), max_new_tokens=max_new, eos_id=eos,
+        num_beams=2, attn_impl="xla",
+    )
+
+    # same rows plus a dead pad row (prompt_length 0, zeroed inputs —
+    # runner.py pads tails exactly like this)
+    ids_p = ids.copy()
+    ids_p[2] = 0
+    images_p = images.copy()
+    images_p[2] = 0.0
+    lens_p = np.asarray([8, 8, 0], np.int32)
+    t_pad, n_pad = generate_beam(
+        params, CFG, jnp.asarray(ids_p), jnp.asarray(images_p),
+        jnp.asarray(lens_p), max_new_tokens=max_new, eos_id=eos,
+        num_beams=2, attn_impl="xla",
+    )
+    t_pad, n_pad = np.asarray(t_pad), np.asarray(n_pad)
+    np.testing.assert_array_equal(t_pad[:2], np.asarray(t_live))
+    np.testing.assert_array_equal(n_pad[:2], np.asarray(n_live))
+    assert n_pad[2] == 0
+    assert (t_pad[2] == eos).all()

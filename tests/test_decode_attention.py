@@ -198,3 +198,79 @@ def test_fused_gqa_matches_oracle_int8():
             kp_scale=pc["k_scale"][li], vp_scale=pc["v_scale"][li],
         )
         _assert_close(got, want)
+
+
+def test_fused_beam_k_shared_prompt_rows():
+    """beam_k > 1: q/gen carry B*K rows while the prompt operands stay
+    at B item rows (ops/beam.py never duplicates the prompt cache). The
+    kernel's bi // beam_k index maps must reproduce the beam_k=1 kernel
+    run over an explicitly repeated prompt cache, bf16 and int8."""
+    k = 3
+    q, kp, vp, kg, vg, seg, gv = _setup(seed=5, b=2, sg=16)
+    b = 2
+    rng = np.random.RandomState(9)
+    qk = jnp.asarray(
+        rng.randn(b * k, 1, q.shape[2], q.shape[3]), jnp.float32
+    ).astype(jnp.bfloat16)
+    kgk = jnp.repeat(kg, k, axis=1)  # per-beam gen caches (distinct ok)
+    vgk = jnp.repeat(vg, k, axis=1) * 1.5
+    gvk = jnp.repeat(gv, k, axis=0)
+
+    for quant in (False, True):
+        if quant:
+            kq, ks = _quantize_kv(kp)
+            vq, vs = _quantize_kv(vp)
+            cache = {"k": kq, "v": vq, "k_scale": ks, "v_scale": vs}
+            cache_rep = {
+                kk: jnp.repeat(vv, k, axis=1) for kk, vv in cache.items()
+            }
+        else:
+            cache = {"k": kp, "v": vp}
+            cache_rep = {
+                kk: jnp.repeat(vv, k, axis=1) for kk, vv in cache.items()
+            }
+        for li in (0, 2):
+            got = decode_attend_layer(
+                qk, cache, seg, {"k": kgk, "v": vgk}, gvk,
+                jnp.int32(li), beam_k=k,
+            )
+            want = decode_attend_layer(
+                qk, cache_rep, jnp.repeat(seg, k, axis=0),
+                {"k": kgk, "v": vgk}, gvk, jnp.int32(li),
+            )
+            _assert_close(got, want)
+
+
+def test_oracle_beam_k_matches_repeated():
+    """XLA oracle beam fold (llama._decode_attend beam_k): identical to
+    running the oracle over an explicitly repeated prompt."""
+    k = 2
+    q, kp, vp, kg, vg, seg, gv = _setup(seed=6, b=2, sg=8)
+    b, h, d = 2, q.shape[2], q.shape[3]
+    rng = np.random.RandomState(10)
+    qk = jnp.asarray(rng.randn(b * k, 1, h, d), jnp.float32).astype(
+        jnp.bfloat16
+    )
+    kgk, vgk = jnp.repeat(kg, k, axis=1), jnp.repeat(vg, k, axis=1)
+    gvk = jnp.repeat(gv, k, axis=0)
+    li = 1
+    kq, ks = _quantize_kv(kp[li])
+    vq, vs = _quantize_kv(vp[li])
+    # jit: CPU eager dispatch rejects bf16 x bf16 -> f32 dots; the
+    # production path always runs this body inside one jit program
+    got = jax.jit(
+        lambda: _decode_attend(
+            qk, kq, vq, kgk[li], vgk[li], seg, gvk,
+            kp_scale=ks, vp_scale=vs, beam_k=k,
+        )
+    )()
+    want = jax.jit(
+        lambda: _decode_attend(
+            qk,
+            jnp.repeat(kq, k, axis=0), jnp.repeat(vq, k, axis=0),
+            kgk[li], vgk[li], jnp.repeat(seg, k, axis=0), gvk,
+            kp_scale=jnp.repeat(ks, k, axis=0),
+            vp_scale=jnp.repeat(vs, k, axis=0),
+        )
+    )()
+    _assert_close(got, want, atol=1e-5)
