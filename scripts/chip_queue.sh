@@ -37,6 +37,10 @@ bench_value() {
 for m in bf16 int8 int4 int4g nf4 kv4; do
   run "qq_$m" python scripts/quant_quality.py --mode "$m"
 done
+# kernel exactness: same int4 tree, pure-XLA decode (no Pallas kernels)
+run qq_int4xla python scripts/quant_quality.py --mode int4_xla
+# per-matmul quantizer error at 7B shapes (host/CPU only, transferable)
+run qq_werr python scripts/quant_quality.py --weights-err
 run qq_report python scripts/quant_quality.py --report
 cp /tmp/halva_quant_quality/report.json /root/repo/QUANT_QUALITY.json 2>/dev/null
 

@@ -14,8 +14,29 @@ relay platform), then the report:
     python scripts/quant_quality.py --mode int8
     python scripts/quant_quality.py --mode int4
     python scripts/quant_quality.py --mode nf4
-    python scripts/quant_quality.py --mode kv4   # int4 W + int4 KV
+    python scripts/quant_quality.py --mode kv4      # int4 W + int4 KV
+    python scripts/quant_quality.py --mode int4_xla # kernel exactness
+    python scripts/quant_quality.py --weights-err   # host, no chip
     python scripts/quant_quality.py --report
+
+READING THE NUMBERS. The random proxy net is EXPANSIVE at 7B width:
+every matmul multiplies activation RMS by sigma*sqrt(K) = 0.02*64 =
+1.28, so layer branches dominate the residual stream and per-matmul
+quantization noise compounds over 32 layers — int4's ~12.6% per-matmul
+error (see --weights-err) decorrelates the logits (top-1 agreement ~0)
+even though the SAME quantizer at narrow widths (contractive net)
+leaves logits at corr 0.9999. Trained checkpoints are contractive /
+structured, so the agreement numbers transfer to real serving only for
+modes whose per-matmul error is negligible (int8: lossless here, and
+~0.4% per-matmul). For int4/int4g the transferable evidence is
+(a) --weights-err (matches RTN-int4 literature: per-channel ~12%,
+g128 ~9%), and (b) the int4_xla mode, which reruns the int4 tree with
+HALVA_DECODE_ATTN=xla: agreement between the fused Pallas serving
+kernels and the pure-XLA path on the SAME quantized numbers proves the
+kernels compute RTN-int4 math faithfully at 7B shapes on the chip —
+quality on real checkpoints is then exactly published RTN behavior
+(e.g. AWQ paper, arXiv 2306.00978, Table: RTN g128 int4 on 7B models
+loses ~0.3-0.6 ppl), not a property this proxy can measure.
 
 Modes mirror the serving paths: int8 = weight-only per-channel
 (ops/quant.quantize_params_host); int4 = stacked packed-nibble LLM
@@ -192,8 +213,13 @@ def run_mode(mode):
     _prog(f"mode={mode}: building host bf16 tree")
     host = host_bf16_tree(cfg)
     # kv4 = the int4-weight serving config with the nibble-packed int4
-    # prompt-KV cache (llama._quantize_kv4) instead of int8 KV
-    wmode = "int4" if mode == "kv4" else mode
+    # prompt-KV cache (llama._quantize_kv4) instead of int8 KV.
+    # int4_xla = the int4 tree decoded with HALVA_DECODE_ATTN=xla (no
+    # Pallas W4-GEMV / fused-attention kernels): agreement with the
+    # plain int4 run is the on-chip kernel-exactness proof.
+    if mode == "int4_xla":
+        os.environ["HALVA_DECODE_ATTN"] = "xla"
+    wmode = {"kv4": "int4", "int4_xla": "int4"}.get(mode, mode)
     _prog("quantizing on host")
     quant = quantize_mode(host, wmode)
     _prog("device_put")
@@ -228,6 +254,77 @@ def run_mode(mode):
         schema=np.int32(SCHEMA),
     )
     print(f"{mode}: saved tokens+logits to {OUT_DIR}")
+
+
+def weights_err():
+    """Host-only (CPU) per-matmul relative output error of each weight
+    quantizer at the REAL 7B shapes — the transferable damage metric:
+    unlike token agreement it does not depend on the random proxy net's
+    expansive dynamics, and it is directly comparable to published RTN
+    numbers. Error = ||dense(x, quantized) - x @ W|| / ||x @ W|| with
+    f32 x @ W as reference; the bf16 row is the arithmetic floor."""
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    from halva_tpu.models import llama
+    from halva_tpu.ops.w4_matmul import quantize_kernel_int4_stacked_host
+    from halva_tpu.ops.quant import quantize_params_host
+
+    cfg = LLAVA_V15_7B
+    _prog("weights-err: loading host bf16 tree")
+    host = host_bf16_tree(cfg)
+    rng = np.random.RandomState(11)
+    samples = {
+        "attn_wq": np.asarray(
+            host["llm"]["layers"]["attn"]["wq"]["kernel"][:1], np.float32
+        ),
+        "mlp_gate": np.asarray(
+            host["llm"]["layers"]["mlp"]["gate"]["kernel"][:1], np.float32
+        ),
+    }
+    del host
+
+    def node_for(mode, w):
+        wb = w.astype(jnp.bfloat16)
+        if mode == "bf16":
+            return {"kernel": wb}
+        if mode == "int8":
+            return quantize_params_host({"kernel": wb})
+        if mode == "int4":
+            return quantize_kernel_int4_stacked_host(wb)
+        if mode == "int4g":
+            return quantize_kernel_int4_stacked_host(wb, group_size=128)
+        return _np_nf4_stacked(wb)
+
+    out = {}
+    for name, w in samples.items():
+        x = rng.randn(4, w.shape[1]).astype(np.float32)
+        y_ref = x @ w[0]
+        row = {}
+        for mode in ("bf16", "int8", "int4", "int4g", "nf4"):
+            node = jax.tree.map(
+                lambda a: jnp.asarray(a)[0], node_for(mode, w)
+            )
+            yq = np.asarray(
+                jax.jit(
+                    lambda node=node: llama.dense(
+                        jnp.asarray(x, jnp.bfloat16), node
+                    )
+                )(),
+                np.float32,
+            )
+            row[mode] = round(
+                float(
+                    np.linalg.norm(yq - y_ref) / np.linalg.norm(y_ref)
+                ),
+                5,
+            )
+        out[name] = row
+        _prog(f"weights-err {name}: {row}")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(os.path.join(OUT_DIR, "weights_err.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
 
 
 def _schema_of(z):
@@ -289,11 +386,40 @@ def report():
             "n_prompts": int(t.shape[0]),
             "decode_tokens": int(t.shape[1]),
         }
+    # kernel exactness: fused Pallas serving kernels (W4 GEMV + decode
+    # attention) vs the pure-XLA decode of the SAME int4 tree — token
+    # agreement here proves the kernels compute RTN-int4 math
+    # faithfully at 7B shapes on-chip, independent of model skill
+    p4 = os.path.join(OUT_DIR, "int4.npz")
+    px = os.path.join(OUT_DIR, "int4_xla.npz")
+    if os.path.exists(p4) and os.path.exists(px):
+        z4, zx = np.load(p4), np.load(px)
+        if _schema_of(z4) == SCHEMA and _schema_of(zx) == SCHEMA:
+            out["int4_kernel_vs_xla"] = {
+                "top1_agreement": round(
+                    float((z4["tokens"] == zx["tokens"]).mean()), 4
+                ),
+                "prefill_logit_corr": round(float(np.mean([
+                    np.corrcoef(z4["logits"][r], zx["logits"][r])[0, 1]
+                    for r in range(z4["logits"].shape[0])
+                ])), 5,),
+                "note": "fused Pallas kernels vs pure XLA on the SAME "
+                        "int4 tree (HALVA_DECODE_ATTN=xla): on-chip "
+                        "kernel exactness, not model quality",
+            }
+    werr_p = os.path.join(OUT_DIR, "weights_err.json")
+    if os.path.exists(werr_p):
+        with open(werr_p) as f:
+            out["_per_matmul_rel_err"] = json.load(f)
     out["_oracle"] = {
         "prefill_top2_margin_median": round(float(np.median(margins)), 4),
         "prefill_logit_std": round(float(blog.std()), 4),
         "note": "random weights, lm_head scaled for trained-model "
-                "margin regime (see host_bf16_tree)",
+                "margin regime; EXPANSIVE at 7B width (sigma*sqrt(K) = "
+                "1.28 per matmul) so per-matmul noise compounds over 32 "
+                "layers — read int4/int4g rows via _per_matmul_rel_err "
+                "and int4_kernel_vs_xla, not top1_agreement (module "
+                "docstring)",
     }
     print(json.dumps(out, indent=2))
     with open(os.path.join(OUT_DIR, "report.json"), "w") as f:
@@ -303,14 +429,19 @@ def report():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--mode", choices=["bf16", "int8", "int4", "int4g", "nf4", "kv4"]
+        "--mode",
+        choices=["bf16", "int8", "int4", "int4g", "nf4", "kv4",
+                 "int4_xla"],
     )
     ap.add_argument("--report", action="store_true")
+    ap.add_argument("--weights-err", action="store_true")
     args = ap.parse_args()
     if args.report:
         report()
+    elif args.weights_err:
+        weights_err()
     else:
-        assert args.mode, "--mode or --report"
+        assert args.mode, "--mode, --report, or --weights-err"
         run_mode(args.mode)
 
 
