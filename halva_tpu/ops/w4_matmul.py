@@ -179,11 +179,12 @@ def quantize_params_int4_host(
 
     N_SPLIT_KEYS = {"wq", "wk", "wv", "gate", "up"}
 
-    def rewrite(orig, q, path=()):
-        if isinstance(q, dict):
-            if "kernel_q" in q and q["kernel_q"].ndim == 3:
+    def rewrite(node, path=()):
+        if isinstance(node, dict):
+            k3 = node.get("kernel")
+            if k3 is not None and getattr(k3, "ndim", 0) == 3:
                 g = group_size
-                if g is not None and orig["kernel"].shape[1] % g != 0:
+                if g is not None and k3.shape[1] % g != 0:
                     g = None
                 kt = (
                     tp
@@ -195,20 +196,26 @@ def quantize_params_int4_host(
                     )
                     else 1
                 )
-                return quantize_kernel_int4_stacked_host(
-                    orig["kernel"], group_size=g, tp=kt
+                # SIBLING LEAVES SURVIVE: real CLIP/SigLIP stacks carry
+                # per-layer biases next to the kernel (convert_hf) and
+                # dense() adds them only if present — an early version
+                # returned just the packed dict and silently served the
+                # vision tower bias-free
+                out = {k: v for k, v in node.items() if k != "kernel"}
+                out.update(
+                    quantize_kernel_int4_stacked_host(
+                        k3, group_size=g, tp=kt
+                    )
                 )
-            return {
-                k: rewrite(
-                    orig.get(k) if isinstance(orig, dict) else None,
-                    v,
-                    path + (k,),
-                )
-                for k, v in q.items()
-            }
-        return q
+                return out
+            return {k: rewrite(v, path + (k,)) for k, v in node.items()}
+        return node
 
-    out = rewrite(params, quantize_params_host(params))
+    # int4 first (3D stacks, siblings kept), THEN one int8 pass for what
+    # remains (2D kernels, embeds) — the int4 nodes no longer carry a
+    # "kernel" key so quantize_params_host leaves them alone, and the
+    # stacked weights are never pointlessly int8-quantized first
+    out = quantize_params_host(rewrite(params))
     if tp > 1:
         out["w4_pack_tp"] = np.int32(tp)
     return out

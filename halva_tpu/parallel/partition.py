@@ -17,6 +17,7 @@ replication for that dim (keeps tiny test configs working on 8 devices).
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
@@ -59,20 +60,26 @@ LLM_RULES = [
     # replicates via the divisibility guard); 4D (L, 2, G, N/2) grouped
     # scales split with the packed channels (column-split layers) or the
     # K-groups (row-split wo/down).
-    (r"attn/w[qkv]/kernel(_q|_q4|_q4p)?$", ("layers", "embed", "heads")),
+    # NF4 kernel_q4 codes are jnp.uint4 — device_put with a sharded
+    # layout RECURSES on the axon platform (CLAUDE.md: "jnp.int4 arrays
+    # break this platform twice"), so the code planes stay replicated
+    # (their bf16 scales still shard); int4/int4g pack nibbles in int8
+    # and are the TP-shardable 4-bit serving formats
+    (r"kernel_q4$", ("layers", "none", "none")),
+    (r"attn/w[qkv]/kernel(_q|_q4p)?$", ("layers", "embed", "heads")),
     (r"attn/w[qkv]/kernel_scale4?$", ("layers", "none", "heads")),
     (r"attn/w[qkv]/kernel_scale4p$", ("layers", "none", "none", "heads")),
-    (r"attn/wo/kernel(_q|_q4|_q4p)?$", ("layers", "heads", "embed")),
+    (r"attn/wo/kernel(_q|_q4p)?$", ("layers", "heads", "embed")),
     (r"attn/wo/kernel_scale4?$", ("layers", "none", "embed")),
     (r"attn/wo/kernel_scale4p$", ("layers", "none", "heads", "none")),
     (r"attn/w[qkv]/lora_a$", ("layers", "embed", "lora")),
     (r"attn/w[qkv]/lora_b$", ("layers", "lora", "heads")),
     (r"attn/wo/lora_a$", ("layers", "heads", "lora")),
     (r"attn/wo/lora_b$", ("layers", "lora", "embed")),
-    (r"mlp/(gate|up)/kernel(_q|_q4|_q4p)?$", ("layers", "embed", "mlp")),
+    (r"mlp/(gate|up)/kernel(_q|_q4p)?$", ("layers", "embed", "mlp")),
     (r"mlp/(gate|up)/kernel_scale4?$", ("layers", "none", "mlp")),
     (r"mlp/(gate|up)/kernel_scale4p$", ("layers", "none", "none", "mlp")),
-    (r"mlp/down/kernel(_q|_q4|_q4p)?$", ("layers", "mlp", "embed")),
+    (r"mlp/down/kernel(_q|_q4p)?$", ("layers", "mlp", "embed")),
     (r"mlp/down/kernel_scale4?$", ("layers", "none", "embed")),
     (r"mlp/down/kernel_scale4p$", ("layers", "none", "mlp", "none")),
     (r"mlp/(gate|up)/lora_a$", ("layers", "embed", "lora")),
@@ -185,6 +192,11 @@ def replication_fallbacks(params: Params, mesh: Mesh):
         for dim, logical in zip(shape, axes):
             mesh_axis = LOGICAL_TO_MESH.get(logical)
             if mesh_axis is None:
+                continue
+            # a size-1 dim CAN'T shard and loses nothing by replicating
+            # (e.g. the G=1 grouped-scale plane of per-channel int4) —
+            # not a silent fallback worth failing a plan over
+            if dim == 1:
                 continue
             n = mesh.shape[mesh_axis]
             if n > 1 and dim % n != 0:
@@ -390,8 +402,6 @@ def manual_tp_route(params: Params, cfg, mesh: Optional[Mesh]) -> bool:
     evals/runner.BatchedGenerator both call this — a drifted copy would
     commit weights in one layout and jit for the other, resharding the
     whole tree on every dispatch."""
-    import os
-
     if mesh is None or mesh.shape.get(MODEL_AXIS, 1) <= 1:
         return False
     if os.environ.get("HALVA_TP_IMPL", "shmap") != "shmap":
@@ -421,10 +431,6 @@ def shard_packed_batch(batch, mesh: Mesh):
     index inside the jitted step, so XLA inserts the (tiny,
     (NI, T, D)-sized) cross-shard gathers on ICI; that beats
     replicating the vision forward `data`-times over."""
-    import numpy as np
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     rows = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     n_data = mesh.shape.get("data", 1)

@@ -461,9 +461,12 @@ def test_propagation_tp_splits_quantized_leaves(params):
         sp = tuple(spec_of(p4, leaf))
         assert len(sp) and sp[dim] == MODEL_AXIS, (leaf, sp)
 
+    # NF4 code planes are jnp.uint4 — device_put with a sharded layout
+    # recurses on the axon platform (CLAUDE.md landmine), so they must
+    # REPLICATE; their bf16 scales still TP-split
     pnf4 = quantize_params(params, bits=4)
-    sp = tuple(spec_of(pnf4, "llm/layers/attn/wq/kernel_q4"))
-    assert sp[-1] == MODEL_AXIS, sp
+    sp = spec_of(pnf4, "llm/layers/attn/wq/kernel_q4")
+    assert all(a is None for a in tuple(sp)), sp
     sp = tuple(spec_of(pnf4, "llm/layers/mlp/gate/kernel_scale4"))
     assert sp[-1] == MODEL_AXIS, sp
 

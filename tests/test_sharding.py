@@ -170,3 +170,26 @@ def test_replication_fallback_detects_indivisible():
     )
     bad = partition.replication_fallbacks(abs_params, mesh)
     assert bad and any("embed" in b for b in bad)
+
+
+def test_replication_fallbacks_skips_size1_dims():
+    """A size-1 dim (the G=1 grouped-scale plane of per-channel int4
+    wo/down) cannot shard and must NOT be reported as a silent
+    replication fallback — the 7B/13B dryrun proofs assert [] on the
+    headline int4 serving tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from halva_tpu.config import PRESETS
+    from halva_tpu.models import llava
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+    from halva_tpu.parallel import partition
+    from halva_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    cfg = PRESETS["llava-tiny"]
+    p = llava.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    p4 = quantize_params_int4_host(
+        jax.tree.map(lambda a: np.asarray(a), p)
+    )
+    assert partition.replication_fallbacks(p4, mesh) == []

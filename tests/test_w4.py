@@ -397,3 +397,32 @@ def test_quantize_params_tp_stamps_and_splits():
         p2["llm"]["layers"]["attn"]["wo"]["kernel_q4p"],
         p1["llm"]["layers"]["attn"]["wo"]["kernel_q4p"],
     )
+
+
+def test_quantize_params_int4_host_preserves_siblings():
+    """Stacked 3D kernels carry sibling leaves (per-layer biases in the
+    CLIP/SigLIP stacks); the int4 rewrite must keep them — an early
+    version returned only the packed dict and silently served the
+    vision tower bias-free (round-3 review finding)."""
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    rng = np.random.RandomState(0)
+    tree = {
+        "vision": {
+            "layers": {
+                "attn": {
+                    "wq": {
+                        "kernel": rng.randn(2, 8, 8).astype(np.float32),
+                        "bias": rng.randn(2, 8).astype(np.float32),
+                    }
+                }
+            }
+        }
+    }
+    out = quantize_params_int4_host(tree)
+    node = out["vision"]["layers"]["attn"]["wq"]
+    assert "kernel" not in node
+    assert {"kernel_q4p", "kernel_scale4p"} <= set(node)
+    np.testing.assert_array_equal(
+        node["bias"], tree["vision"]["layers"]["attn"]["wq"]["bias"]
+    )
