@@ -174,7 +174,15 @@ def quantize_mode(host_tree, mode):
     def rewrite(orig, q):
         if isinstance(q, dict):
             if "kernel_q" in q and q["kernel_q"].ndim == 3:
-                return _np_nf4_stacked(orig["kernel"])
+                # sibling leaves (per-layer vision biases) survive — the
+                # early form returned only the NF4 dict and served the
+                # tower bias-free, same bug as the int4 quantizer
+                out = {
+                    k: v for k, v in q.items()
+                    if k not in ("kernel_q", "kernel_scale")
+                }
+                out.update(_np_nf4_stacked(orig["kernel"]))
+                return out
             return {
                 k: rewrite(orig.get(k) if isinstance(orig, dict) else None, v)
                 for k, v in q.items()
