@@ -39,16 +39,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = -1e30
-LOG2E = 1.4426950408889634
+# shared with the flash kernel — one backend-detection rule (the axon
+# relay reports "tpu"; a drifted copy would silently flip one kernel to
+# interpret mode) and one softmax-domain constant set
+from halva_tpu.ops.flash_attention import LOG2E, NEG_INF, _interp
+
 # one (1,1,H,bk,D) int8 block is bk*4KB. 512 (2MB) is the measured
 # ceiling: 1024-row blocks (4MB k + 4MB v + gen + scratch, double-
 # buffered) blow VMEM and fail remote compile
 DEFAULT_BLOCK_K = 512
-
-
-def _interp() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def seg_even_odd(seg: jnp.ndarray) -> jnp.ndarray:
@@ -262,10 +261,10 @@ def decode_attend_layer(
     prompt_cache,  # {k, v: (L, B, H, Sp, Dh) int8|bf16,
     #                [k_scale, v_scale: (L, B, H, Sp) bf16]}
     prompt_seg: jnp.ndarray,  # (B, Sp)
-    gen_cache=None,  # {k, v: (L, B, H, Sg, Dh) bf16|int8,
-    #                  [k_scale, v_scale: (L, B, H, Sg) bf16]}
-    gen_valid: jnp.ndarray = None,  # (B, Sg) bool
-    layer: jnp.ndarray = None,  # () int32 — layer's cache slice to use
+    gen_cache,  # {k, v: (L, B, H, Sg, Dh) bf16|int8,
+    #             [k_scale, v_scale: (L, B, H, Sg) bf16]}
+    gen_valid: jnp.ndarray,  # (B, Sg) bool
+    layer: jnp.ndarray,  # () int32 — layer's cache slice to use
     block_k: int = DEFAULT_BLOCK_K,
     beam_k: int = 1,
 ) -> jnp.ndarray:

@@ -124,6 +124,14 @@ def _fwd_kernel(
         num_kv_blocks = jnp.minimum(
             num_kv_blocks, (q_start + bq + block_k - 1) // block_k
         )
+    kv_block_lo = 0
+    if window:
+        # skip kv blocks entirely below the window: block ki is fully
+        # masked iff its LEAST row-col distance, q_start - (ki*block_k
+        # + block_k - 1), is already >= window — on a 32k Mistral-style
+        # packed sequence this skips ~85% of the blocks the mask would
+        # otherwise zero
+        kv_block_lo = jnp.maximum((q_start - window + 1) // block_k, 0)
 
     if alibi_heads:
         slope = _alibi_slope(pl.program_id(1), alibi_heads) * LOG2E
@@ -183,8 +191,10 @@ def _fwd_kernel(
     o0 = jnp.zeros((bq, d), jnp.float32)
     m0 = jnp.full((bq, nl), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, nl), jnp.float32)
+    # pair-index lower bound: the pair containing kv_block_lo (its first
+    # element may sit one block below the window — masked, not skipped)
     o_acc, m, l = jax.lax.fori_loop(
-        0, (num_kv_blocks + 1) // 2, body, (o0, m0, l0)
+        kv_block_lo // 2, (num_kv_blocks + 1) // 2, body, (o0, m0, l0)
     )
 
     l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -231,6 +241,10 @@ def _bwd_dq_kernel(
         num_kv_blocks = jnp.minimum(
             num_kv_blocks, (q_start + bq + block_k - 1) // block_k
         )
+    kv_block_lo = 0
+    if window:
+        # skip kv blocks entirely below the window (see _fwd_kernel)
+        kv_block_lo = jnp.maximum((q_start - window + 1) // block_k, 0)
     if alibi_heads:
         slope = _alibi_slope(pl.program_id(1), alibi_heads) * LOG2E
 
@@ -258,7 +272,7 @@ def _bwd_dq_kernel(
         return dq + jnp.dot(ds, k, preferred_element_type=jnp.float32)
 
     dq0 = jnp.zeros((bq, d), jnp.float32)
-    dq = jax.lax.fori_loop(0, num_kv_blocks, body, dq0)
+    dq = jax.lax.fori_loop(kv_block_lo, num_kv_blocks, body, dq0)
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
 
 
@@ -302,6 +316,17 @@ def _bwd_dkv_kernel(
         # context-parallel q offset the kv column is at global kv_start
         # while local q row i sits at global q_off + i
         q_block_lo = jnp.maximum(kv_start - q_off, 0) // block_q
+    if window:
+        # skip q blocks entirely ABOVE the window of this kv block:
+        # local q block qi is fully masked iff its least row-col
+        # distance, (qi*block_q + q_off) - (kv_start + bk - 1), is
+        # already >= window (mirror of _fwd_kernel's kv_block_lo)
+        num_q_blocks = jnp.minimum(
+            num_q_blocks,
+            jnp.maximum(
+                -(-(kv_start + bk - 1 + window - q_off) // block_q), 0
+            ),
+        )
     if alibi_heads:
         slope = _alibi_slope(pl.program_id(1), alibi_heads) * LOG2E
 
@@ -606,6 +631,12 @@ def flash_attention(
     # with "index in dimension 3 is a multiple of 128"; padded rows are
     # dead via zero segment ids, so rounding up is mask-safe)
     block_q = min(block_q, max(-(-sq // 128) * 128, 128))
+    # caller-supplied sizes must be 128-multiples too (cp_flash_attention
+    # passes min(block_q, sq_local)): round UP — padded rows/cols are
+    # dead via zero segment ids, while an unaligned size is a REAL-TPU
+    # Mosaic compile failure the CPU interpret tests cannot catch
+    block_q = -(-block_q // 128) * 128
+    block_k = -(-block_k // 128) * 128
     h = q.shape[2]
     if alibi and (h & (h - 1)):
         raise ValueError(

@@ -216,6 +216,78 @@ def test_sliding_window_matches_reference():
     )
 
 
+def test_sliding_window_block_skip_fwd_and_grads():
+    """Shapes chosen so the kernels' window block-skip lower bounds are
+    actually live (kv_block_lo > 0 for late q blocks in fwd/dq; dkv's
+    num_q_blocks clamp bites for early kv blocks): s=512 w=128 with
+    128-row blocks gives 4x4 blocks where e.g. q block 3 skips kv
+    blocks 0-1 entirely."""
+    b, s, h, d = 1, 512, 2, 32
+    w = 128
+    q, k, v = _rand((b, s, h, d), 23), _rand((b, s, h, d), 24), _rand(
+        (b, s, h, d), 25
+    )
+    seg = jnp.ones((b, s), jnp.int32)
+    ct = _rand((b, s, h, d), 26)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            flash_attention(
+                q, k, v, seg, seg, causal=True, sliding_window=w,
+                block_q=128, block_k=128,
+            )
+            * ct
+        )
+
+    def loss_ref(q, k, v):
+        mask = make_attention_mask(seg, seg, causal=True, sliding_window=w)
+        return jnp.sum(attention_reference(q, k, v, mask=mask) * ct)
+
+    got = flash_attention(
+        q, k, v, seg, seg, causal=True, sliding_window=w,
+        block_q=128, block_k=128,
+    )
+    mask = make_attention_mask(seg, seg, causal=True, sliding_window=w)
+    want = attention_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-5, rtol=5e-4
+        )
+
+
+def test_sliding_window_skip_with_q_offset():
+    """Window block-skip must use GLOBAL q rows when q_offset shifts the
+    local shard (context parallelism): local q row 0 at global offset
+    384 with w=128 sees only kv cols 257..384."""
+    b, s, h, d = 1, 512, 2, 32
+    w = 128
+    off = 384
+    sq = 128
+    q = _rand((b, sq, h, d), 27)
+    k, v = _rand((b, s, h, d), 28), _rand((b, s, h, d), 29)
+    qseg = jnp.ones((b, sq), jnp.int32)
+    kseg = jnp.ones((b, s), jnp.int32)
+    got = flash_attention(
+        q, k, v, qseg, kseg, causal=True, sliding_window=w,
+        block_q=128, block_k=128, q_offset=jnp.int32(off),
+    )
+    pos_q = jnp.arange(off, off + sq)
+    pos_k = jnp.arange(s)
+    mask = (
+        (pos_q[:, None] >= pos_k[None, :])
+        & (pos_q[:, None] - pos_k[None, :] < w)
+    )[None]
+    want = attention_reference(q, k, v, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
 def test_alibi_non_pow2_heads_rejected():
     b, s, h, d = 1, 64, 3, 16
     q = _rand((b, s, h, d), 20)
