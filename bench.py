@@ -158,6 +158,103 @@ def init_params_host_int4(cfg, seed=0):
     return rewrite(init_params_host_int8(cfg, seed))
 
 
+def _synth_spec(cfg, weights: str):
+    """Leaf-spec tree for the synthetic serving params: mirrors the
+    structure/dtype rules of init_params_host_int8/int4 exactly (kernel
+    2D/3D -> int8 [+ 3D -> packed int4], embedding rows>=4096 -> int8,
+    everything else bf16 randn*0.02), but as a plan that can be executed
+    ON DEVICE. Leaves are ("randn"|"int8"|"int4p"|"const", shape[, value,
+    dtype])."""
+    struct = jax.eval_shape(
+        lambda: llava.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    )
+
+    def rewrite(node):
+        if not isinstance(node, dict):
+            if isinstance(node, (list, tuple)):
+                return type(node)(rewrite(x) for x in node)
+            return ("randn", tuple(node.shape))
+        if "kernel" in node and len(node["kernel"].shape) in (2, 3):
+            shp = tuple(node["kernel"].shape)
+            out = {k: rewrite(v) for k, v in node.items() if k != "kernel"}
+            if weights == "int4" and len(shp) == 3:
+                # any random byte is a valid packed nibble pair — no
+                # pack math needed for a throughput-only tree
+                out["kernel_q4p"] = ("int4p", (shp[0], shp[1], shp[2] // 2))
+                out["kernel_scale4p"] = (
+                    "const", (shp[0], 2, 1, shp[2] // 2), 0.02 / 7, "bf16",
+                )
+            else:
+                out["kernel_q"] = ("int8", shp)
+                out["kernel_scale"] = (
+                    "const", shp[:-2] + (1, shp[-1]), 0.02 / 127, "bf16",
+                )
+            return out
+        if "embedding" in node and node["embedding"].shape[0] >= 4096:
+            shp = tuple(node["embedding"].shape)
+            out = {k: rewrite(v) for k, v in node.items() if k != "embedding"}
+            out["embedding_q"] = ("int8", shp)
+            out["embedding_scale"] = (
+                "const", (shp[0], 1), 0.02 / 127, "bf16",
+            )
+            return out
+        return {k: rewrite(v) for k, v in node.items()}
+
+    return rewrite(struct)
+
+
+def init_params_device(cfg, weights: str = "int4", seed: int = 0):
+    """Synthetic int8/int4 serving tree generated ON DEVICE in one jitted
+    program. The host-build path (init_params_host_*) costs ~20 min per
+    process on this platform (single-threaded numpy gen + a slow relay
+    transfer of the multi-GB tree); weight VALUES are
+    throughput-irrelevant, so the bench generates random quantized
+    leaves directly in HBM — no bf16 ever materializes (the Array.delete
+    landmine) and nothing crosses the host link."""
+    spec = _synth_spec(cfg, weights)
+    is_leaf = lambda x: isinstance(x, tuple) and x and isinstance(x[0], str)
+    leaves, treedef = jax.tree.flatten(spec, is_leaf=is_leaf)
+
+    def gen(key):
+        keys = jax.random.split(key, len(leaves))
+        outs = []
+        for k, sp in zip(keys, leaves):
+            kind, shape = sp[0], sp[1]
+            if kind == "randn":
+                outs.append(
+                    jax.random.normal(k, shape, jnp.bfloat16) * 0.02
+                )
+            elif kind == "int8":
+                outs.append(
+                    jax.random.randint(k, shape, -127, 128, jnp.int8)
+                )
+            elif kind == "int4p":
+                outs.append(
+                    jax.random.randint(k, shape, -128, 128, jnp.int8)
+                )
+            else:
+                dt = jnp.bfloat16 if sp[3] == "bf16" else jnp.float32
+                outs.append(jnp.full(shape, sp[2], dt))
+        return jax.tree.unflatten(treedef, outs)
+
+    return jax.jit(gen)(jax.random.PRNGKey(seed))
+
+
+def synth_params(cfg, weights: str, seed: int = 0):
+    """Synthetic serving tree for benches: device-side generation by
+    default, HALVA_BENCH_PARAM_GEN=host forces the numpy path (exact
+    structural twin; used when a host copy of the tree is needed)."""
+    if weights == "bfloat16":
+        return llava.init_params(jax.random.PRNGKey(seed), cfg, jnp.bfloat16)
+    if os.environ.get("HALVA_BENCH_PARAM_GEN", "device") == "host":
+        build = (
+            init_params_host_int4 if weights == "int4"
+            else init_params_host_int8
+        )
+        return build(cfg, seed)
+    return init_params_device(cfg, weights, seed)
+
+
 def make_inputs(cfg, batch):
     rng = np.random.RandomState(0)
     prompt_len = 48  # text part; splice adds 575
@@ -238,28 +335,25 @@ def main():
     # single-chip decode is weights-bound at batch 1 (measured 0.36
     # imgs/s = 1.45x baseline on this chip, 2026-08-16).
     weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int4")
-    _prog(f"building host {weights} params for {cfg.llm.num_layers}-layer preset")
+    _prog(f"building {weights} params for {cfg.llm.num_layers}-layer preset")
+    params = synth_params(cfg, weights)
     if weights == "int4":
         # stacked-int4 LLM layers (ops/w4_matmul serving path): weight
         # HBM halves, buying batch 48-56 (measured 2026-08-17: b32 6.65,
         # b48 7.06, b56 7.10 imgs/s vs int8 b24 6.28). int4 prompt KV
         # (HALVA_BENCH_KV=int4) frees another ~4.5 GB at b56 — start
         # the ladder higher.
-        params = init_params_host_int4(cfg)
         batches = [56, 48, 32, 24, 16, 8, 4, 2, 1]
         if os.environ.get("HALVA_BENCH_KV", "int8") == "int4":
             batches = [96, 80, 64] + batches
     elif weights == "int8":
-        params = init_params_host_int8(cfg)
         # batch 24 measured optimal on v5e (2026-08-16: b16 4.66, b24
         # 5.26, b32 4.05 imgs/s — W8A8 + int8 prompt-KV)
         batches = [24, 16, 8, 4, 2, 1]
     else:
-        params = llava.init_params(
-            jax.random.PRNGKey(0), cfg, jnp.bfloat16
-        )
         batches = [2, 1]
-    jax.block_until_ready(params)
+    # host-readback fence (block_until_ready no-ops on the axon relay)
+    np.asarray(jax.tree.leaves(params)[0][:1])
     _prog("params on device")
     if os.environ.get("HALVA_BENCH_BATCH"):
         batches = [int(os.environ["HALVA_BENCH_BATCH"])]

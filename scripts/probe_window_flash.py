@@ -79,9 +79,11 @@ got2 = np.asarray(
 )
 pos_q = jnp.arange(off, off + sq)
 pos_k = jnp.arange(S)
+# 4D (B, 1, Sq, Skv) per attention_reference's mask contract (the
+# leading axis must be batch, not rely on B=1 broadcasting)
 m2 = (
     (pos_q[:, None] >= pos_k[None, :]) & (pos_q[:, None] - pos_k[None, :] < W)
-)[None]
+)[None, None]
 want2 = np.asarray(attention_reference(q2, k, v, mask=m2))
 e2 = float(np.max(np.abs(got2 - want2)))
 print(f"window q_offset fwd: max err {e2:.6f}", flush=True)
