@@ -252,8 +252,43 @@ def load_pretrained_model(
     loader's token re-add + mean-init embedding resize
     (llava/model/builder.py:89-96 -> models/vocab.py), BEFORE any
     quantization.
+
+    Quantized loads are disk-cached (utils/treecache.py, keyed by the
+    checkpoint files + quant config; HALVA_QUANT_CACHE=off disables):
+    the host pipeline above costs ~17 min at 7B on this platform, a
+    warm load is np.load + device_put.
     """
     from halva_tpu.train import vila as vila_lib
+
+    def to_device(p):
+        return jax.tree.map(
+            lambda x: jnp.asarray(x)
+            # int8 payloads, bf16 scales, and integer metadata (the
+            # w4_pack_tp stamp) keep their dtype; floats go to `dtype`
+            if x.dtype in (np.int8, np.int32, jnp.bfloat16)
+            else jnp.asarray(x, dtype),
+            p,
+        )
+
+    cache_path = None
+    if quant in ("int8", "int4", "int4g"):
+        from halva_tpu.utils import treecache
+
+        cdir = treecache.cache_dir()
+        if cdir is not None:
+            key = treecache.cache_key(
+                quant,
+                quant_tp,
+                dtype,
+                [model_path, model_base, vision_tower_path],
+                extra={
+                    "tok_len": len(tokenizer) if tokenizer is not None else None
+                },
+            )
+            cache_path = os.path.join(cdir, f"qtree_{key}.npz")
+            if os.path.exists(cache_path):
+                params, cfg = treecache.load_tree(cache_path)
+                return to_device(params), cfg
 
     if vila_lib.is_component_checkpoint(model_path):
         cfg = vila_lib.load_component_config(model_path)
@@ -341,14 +376,11 @@ def load_pretrained_model(
             from halva_tpu.ops.quant import quantize_params_host
 
             params = quantize_params_host(params)
-        params = jax.tree.map(
-            lambda x: jnp.asarray(x)
-            # int8 payloads, bf16 scales, and integer metadata (the
-            # w4_pack_tp stamp) keep their dtype; floats go to `dtype`
-            if x.dtype in (np.int8, np.int32, jnp.bfloat16)
-            else jnp.asarray(x, dtype),
-            params,
-        )
+        if cache_path is not None:
+            from halva_tpu.utils import treecache
+
+            treecache.save_tree(cache_path, params, cfg)
+        params = to_device(params)
     else:
         params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     return params, cfg

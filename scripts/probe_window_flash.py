@@ -52,6 +52,15 @@ def loss_ref(q, k, v):
     return jnp.sum(attention_reference(q, k, v, mask=mask) * ct)
 
 
+# Tolerances: on real TPU the MXU rounds fp32 operands to bf16 at
+# DEFAULT precision (both in the kernel and in the XLA oracle), so
+# ~bf16-ulp disagreement is expected — measured 6.5e-3 fwd on v5e.
+# The failure mode this probe exists for (a wrong kv_block_lo bound
+# dropping a whole 256-col KV block) shifts outputs by O(0.1-1), so
+# 2e-2 / 5e-2 cleanly separate "rounding" from "wrong bounds".
+# (CPU interpret mode runs true fp32 and lands ~1e-5.)
+FWD_TOL, BWD_TOL = (2e-2, 5e-2) if not os.environ.get("HALVA_PROBE_CPU") else (2e-3, 5e-3)
+
 got = np.asarray(
     flash_attention(q, k, v, seg, seg, causal=True, sliding_window=W)
 )
@@ -59,14 +68,14 @@ mask = make_attention_mask(seg, seg, causal=True, sliding_window=W)
 want = np.asarray(attention_reference(q, k, v, mask=mask))
 err = float(np.max(np.abs(got - want)))
 print(f"window fwd: max err {err:.6f}", flush=True)
-assert err < 2e-3, err
+assert err < FWD_TOL, err
 
 gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
 gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
 for name, a, b in zip("qkv", gf, gr):
     e = float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
     print(f"window d{name}: max err {e:.6f}", flush=True)
-    assert e < 5e-3, (name, e)
+    assert e < BWD_TOL, (name, e)
 
 # context-parallel shard: local q rows 1024..1535 at global offset
 off, sq = 1024, 512
@@ -87,5 +96,5 @@ m2 = (
 want2 = np.asarray(attention_reference(q2, k, v, mask=m2))
 e2 = float(np.max(np.abs(got2 - want2)))
 print(f"window q_offset fwd: max err {e2:.6f}", flush=True)
-assert e2 < 2e-3, e2
+assert e2 < FWD_TOL, e2
 print("WINDOW FLASH PROBE OK", flush=True)

@@ -147,6 +147,42 @@ def test_peft_adapter_merge(tmp_path, monkeypatch):
         assert "lora_a" not in p
 
 
+def test_quant_tree_disk_cache(tmp_path, monkeypatch):
+    """Quantized serving loads are cached on disk: the second load must
+    skip the whole host pipeline (checkpoint read + quantize) and return
+    an identical tree; touching the checkpoint invalidates the entry."""
+    d, lm, vt, _ = _hf_llava_dir(tmp_path)
+    monkeypatch.setattr(builder, "config_from_hf", lambda _: TINY)
+    monkeypatch.setenv("HALVA_QUANT_CACHE", str(tmp_path / "qcache"))
+
+    cold, _ = builder.load_pretrained_model(d, dtype=jnp.bfloat16, quant="int8")
+    cache_files = list((tmp_path / "qcache").glob("qtree_*.npz"))
+    assert len(cache_files) == 1
+
+    # a warm load must not re-run the host pipeline
+    def boom(*a, **k):
+        raise AssertionError("cache miss: host pipeline re-ran")
+
+    monkeypatch.setattr(builder, "load_hf_state_dict", boom)
+    warm, cfg = builder.load_pretrained_model(
+        d, dtype=jnp.bfloat16, quant="int8"
+    )
+    assert cfg.llm.hidden_size == TINY.llm.hidden_size
+    for a, b in zip(jax.tree.leaves(cold), jax.tree.leaves(warm)):
+        assert a.dtype == b.dtype and a.shape == b.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # different quant config -> different key -> pipeline runs again
+    with pytest.raises(AssertionError, match="host pipeline"):
+        builder.load_pretrained_model(d, dtype=jnp.bfloat16, quant="int4")
+
+    # touching a checkpoint file invalidates the int8 entry too
+    p = os.path.join(d, "pytorch_model.bin")
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 7))
+    with pytest.raises(AssertionError, match="host pipeline"):
+        builder.load_pretrained_model(d, dtype=jnp.bfloat16, quant="int8")
+
+
 def test_missing_tower_raises(tmp_path, monkeypatch):
     d, *_ = _hf_llava_dir(tmp_path, with_tower=False)
     monkeypatch.setattr(builder, "config_from_hf", lambda _: TINY)
