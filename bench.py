@@ -395,7 +395,10 @@ def main():
                 ),
                 "baseline_is_estimate": True,
                 "detail": {
-                    "model": "llava-v1.5-7b architecture",
+                    "model": os.environ.get(
+                        "HALVA_BENCH_PRESET", "llava-v1.5-7b"
+                    )
+                    + " architecture",
                     "weights": weights
                     + (" (weight-only per-channel)" if weights == "int8" else ""),
                     "batch": batch,

@@ -40,13 +40,14 @@ LLM_TARGETS = (
 
 def _iter_dense(params: Params, prefix: str = ""):
     """Yield (path, dense_param_dict) for every dict holding a 'kernel'
-    (bf16/fp32), 'kernel_q' (int8) or 'kernel_q4' (NF4) — the latter two
-    are QLoRA-class bases."""
+    (bf16/fp32), 'kernel_q' (int8), 'kernel_q4' (NF4) or 'kernel_q4p'
+    (packed symmetric int4) — the quantized ones are QLoRA-class bases."""
     if isinstance(params, dict):
         if (
             "kernel" in params
             or "kernel_q" in params
             or "kernel_q4" in params
+            or "kernel_q4p" in params
         ):
             yield prefix.rstrip("/"), params
             return
@@ -74,15 +75,20 @@ def add_lora(
     for path, p in _iter_dense(params):
         if not any(re.search(t, path) for t in targets):
             continue
-        kern = p.get("kernel", p.get("kernel_q", p.get("kernel_q4")))
-        # int8/NF4 base (QLoRA-class, train_halva.py:1036-1052): adapters
-        # train in bf16 on top of the frozen quantized kernel
+        kern = p.get(
+            "kernel",
+            p.get("kernel_q", p.get("kernel_q4", p.get("kernel_q4p"))),
+        )
+        # int8/int4/NF4 base (QLoRA-class, train_halva.py:1036-1052):
+        # adapters train in bf16 on top of the frozen quantized kernel
         dt = dtype or (
             jnp.bfloat16
             if kern.dtype in (jnp.int8, jnp.uint4)
             else kern.dtype
         )
         *lead, d_in, d_out = kern.shape
+        if "kernel_q4p" in p:
+            d_out *= 2  # packed int4: two output nibbles per int8 byte
         key, k1 = jax.random.split(key)
         # kaiming-uniform bound for A (fan_in = d_in)
         bound = float(np.sqrt(3.0) / np.sqrt(d_in))

@@ -39,6 +39,8 @@ os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
+if os.environ.get("HALVA_BENCH_CPU"):  # CPU dry-run of this bench
+    jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import jax.numpy as jnp
 
@@ -137,6 +139,14 @@ def main():
                    help="adamw8bit (block-quantized moments) frees "
                         "~0.5 GB at 7B r=128 — required headroom for a "
                         "13B single-chip step attempt")
+    p.add_argument("--base", default="int8", choices=["int8", "int4"],
+                   help="frozen-base quantization. int8 is the 7B "
+                        "single-chip recipe; int4 (packed, bf16-dequant "
+                        "forward, models/llama.py dense kernel_q4p "
+                        "branch) is what makes a 13B step FIT one v5e: "
+                        "the int8-base 13B step needs 20.31G vs 15.75G "
+                        "HBM (args 15.24G + 3G XLA relayout copies of "
+                        "the frozen QKV stacks; measured 2026-08-19)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--pack", action="store_true",
                    help="packed-row step (train/pack.py): variable-"
@@ -153,10 +163,12 @@ def main():
     cfg = PRESETS[args.preset]
     quant_lib.set_w8a8(False)  # training uses the dequant gradient path
 
-    # int8 base built host-side (see bench.py for the platform rationale)
+    # synthetic quantized base tree, generated on device by default
+    # (bench.synth_params; HALVA_BENCH_PARAM_GEN=host forces the numpy
+    # path) — the host build costs ~20 min/process at 7B on this host
     import bench
 
-    params = bench.init_params_host_int8(cfg)
+    params = bench.synth_params(cfg, args.base)
     params = lora_lib.add_lora(
         params, jax.random.PRNGKey(1), rank=args.lora_r,
         alpha=2.0 * args.lora_r,
@@ -232,14 +244,14 @@ def main():
         tok_grad = (rows + ref_rows) * seq
         flops = 2 * n_llm * (3 * tok_grad + 1 * ref_rows * seq)
         out = {
-            "metric": "dpa_7b_train_step_packed",
+            "metric": "dpa_%s_train_step_packed" % ("13b" if "13b" in args.preset else "7b"),
             "value": round(dt * 1e3, 1),
             "unit": "ms/step",
             "detail": {
                 "preset": args.preset,
-                "recipe": "packed rows (train/pack.py) + int8 base + "
-                          "bf16 LoRA r=%d + loss_chunk=%d + remat"
-                % (args.lora_r, args.loss_chunk),
+                "recipe": "packed rows (train/pack.py) + %s base + "
+                          "bf16 LoRA r=%d + loss_chunk=%d + remat + %s"
+                % (args.base, args.lora_r, args.loss_chunk, args.optim),
                 "pn_rows": rows, "seq_len": seq,
                 "mean_text_len": args.mean_text,
                 "samples_per_step": round(samples_per_step, 2),
@@ -293,13 +305,13 @@ def main():
     micro_steps = DATA_SAMPLES / global_micro
     hours = micro_steps * dt / 3600
     out = {
-        "metric": "dpa_7b_train_step",
+        "metric": "dpa_%s_train_step" % ("13b" if "13b" in args.preset else "7b"),
         "value": round(dt * 1e3, 1),
         "unit": "ms/step",
         "detail": {
             "preset": args.preset,
-            "recipe": "int8 base + bf16 LoRA r=%d + loss_chunk=%d + remat"
-            % (args.lora_r, args.loss_chunk),
+            "recipe": "%s base + bf16 LoRA r=%d + loss_chunk=%d + remat + %s"
+            % (args.base, args.lora_r, args.loss_chunk, args.optim),
             "micro_batch": b,
             "text_len": args.text_len,
             "spliced_len": spliced,
