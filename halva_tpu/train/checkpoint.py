@@ -18,6 +18,7 @@ import os
 import re
 from typing import Any, Dict, Optional, Tuple
 
+import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -89,7 +90,21 @@ def save_params(directory: str, params: Params) -> None:
 
 
 def load_params(directory: str, like: Optional[Params] = None) -> Params:
+    """like=None restores from the checkpoint's own metadata as HOST
+    numpy arrays — ignoring the recorded device shardings twice over:
+    (a) orbax stamps the saving platform's devices into the array
+    metadata, so a template-free restore fails the moment the platform
+    changes (save on a CPU dev box or a training pod, load on one
+    serving chip: "Device TFRT_CPU_0 was not found"); (b) the eval
+    loader quantizes on HOST before device_put, and a restore-to-device
+    would strand the full bf16 tree in HBM (Array.delete is a no-op on
+    the relay platform). Torch .bin checkpoints are device-free by
+    construction (llava/model/builder.py) — orbax ones must be too."""
     ckptr = ocp.StandardCheckpointer()
-    out = ckptr.restore(os.path.abspath(directory), like)
+    path = os.path.abspath(directory)
+    if like is None:
+        meta = ckptr.metadata(path).item_metadata.tree
+        like = jax.tree.map(lambda m: np.empty(m.shape, m.dtype), meta)
+    out = ckptr.restore(path, like)
     ckptr.close()
     return out
