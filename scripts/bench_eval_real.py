@@ -95,6 +95,8 @@ def main():
     p.add_argument("--tokens", type=int, default=128)
     p.add_argument("--quant", default="int4")
     p.add_argument("--setup-only", action="store_true")
+    p.add_argument("--warm-only", action="store_true",
+                   help="skip the cold (cache-rebuild) run")
     args = p.parse_args()
 
     tok_dir, comp, img_dir = setup(args.images)
@@ -103,7 +105,8 @@ def main():
 
     cache_dir = os.path.join(FIX, "qcache")
     results = {}
-    for run in ("cold", "warm"):
+    runs = ("warm",) if args.warm_only else ("cold", "warm")
+    for run in runs:
         if run == "cold":
             subprocess.run(["rm", "-rf", cache_dir])
         out = os.path.join(FIX, f"answers_{run}.jsonl")
@@ -118,13 +121,18 @@ def main():
         env = dict(os.environ, HALVA_QUANT_CACHE=cache_dir)
         print(f"[{run}] {' '.join(cmd)}", flush=True)
         t0 = time.time()
-        r = subprocess.run(
-            cmd, env=env, cwd=REPO, capture_output=True, text=True
-        )
+        err_path = os.path.join(FIX, f"stderr_{run}.log")
+        with open(err_path, "w") as ef:
+            r = subprocess.run(
+                cmd, env=env, cwd=REPO, stdout=ef, stderr=subprocess.STDOUT,
+                text=True,
+            )
         wall = time.time() - t0
-        sys.stderr.write(r.stderr[-3000:])
         if r.returncode != 0:
-            print(json.dumps({"error": f"{run} rc={r.returncode}"}))
+            sys.stderr.write(open(err_path).read()[-3000:])
+            print(json.dumps(
+                {"error": f"{run} rc={r.returncode}", "log": err_path}
+            ))
             sys.exit(1)
         n = sum(1 for _ in open(out))
         results[run] = {
