@@ -97,6 +97,9 @@ def main():
     p.add_argument("--setup-only", action="store_true")
     p.add_argument("--warm-only", action="store_true",
                    help="skip the cold (cache-rebuild) run")
+    p.add_argument("--cold-wall-s", type=float, default=0.0,
+                   help="with --warm-only: merge a previously measured "
+                        "cold wall-clock into the report")
     args = p.parse_args()
 
     tok_dir, comp, img_dir = setup(args.images)
@@ -142,6 +145,15 @@ def main():
         }
         print(f"[{run}] {wall:.0f}s for {n} answers", flush=True)
 
+    if args.warm_only and args.cold_wall_s:
+        # merge a cold run recorded by a previous (interrupted) invocation
+        results["cold"] = {
+            "wall_s": round(args.cold_wall_s, 1),
+            "answers": args.images,
+            "imgs_per_sec_incl_startup": round(
+                args.images / args.cold_wall_s, 3
+            ),
+        }
     print(json.dumps({
         "metric": "chair500_real_pipeline",
         "images": args.images,
@@ -149,8 +161,7 @@ def main():
         "decode_tokens": args.tokens,
         "quant": args.quant,
         "kv_quant": "int8",
-        "cold": results["cold"],
-        "warm": results["warm"],
+        **{k: results[k] for k in ("cold", "warm") if k in results},
         "note": (
             "full evals/cli chair subprocess: checkpoint load + int4 "
             "quantize (cold) / quant-tree cache hit (warm) + JPEG "
