@@ -390,6 +390,9 @@ def cmd_suite(args):
 
 
 def main(argv: Optional[List[str]] = None):
+    from halva_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="halva_tpu.evals")
     sub = p.add_subparsers(dest="cmd", required=True)
 

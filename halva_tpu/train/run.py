@@ -417,6 +417,9 @@ def train(rcfg: RunConfig, tokenizer, dataset: Optional[Any] = None):
 def main(argv=None):
     import argparse
 
+    from halva_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(description="HALVA DPA training (TPU)")
     # argument types derived from annotations (Optional[float] etc.)
     kinds = {

@@ -20,6 +20,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from halva_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--model-path", required=True)
     p.add_argument("--model-base", default=None)
