@@ -44,9 +44,9 @@ from jax.experimental.pallas import tpu as pltpu
 # interpret mode) and one softmax-domain constant set
 from halva_tpu.ops.flash_attention import LOG2E, NEG_INF, _interp
 
-# one (1,1,H,bk,D) int8 block is bk*4KB. 512 (2MB) is the measured
-# ceiling: 1024-row blocks (4MB k + 4MB v + gen + scratch, double-
-# buffered) blow VMEM and fail remote compile
+# sentinel: "auto" — decode_attend_layer sizes blocks from the scoped-
+# VMEM budget and the true prompt length (minimal padding). Passing any
+# other value pins the block row count (rounded to the mode's granule).
 DEFAULT_BLOCK_K = 512
 
 
@@ -77,9 +77,9 @@ def _decode_kernel(
     gvs_ref,
     gv_ref,  # (1, 1, Sg) int32 block of (B, 1, Sg)
     o_ref,  # (1, H, D)
-    acc_s,  # (H, D) f32 scratch
-    m_s,  # (H, L) f32 scratch (lane-replicated)
-    l_s,  # (H, L) f32 scratch
+    acc_s,  # (beams, H, D) f32 scratch
+    m_s,  # (beams, H, L) f32 scratch (lane-replicated)
+    l_s,  # (beams, H, L) f32 scratch
     *,
     scale: float,
     quantized: bool,
@@ -90,20 +90,31 @@ def _decode_kernel(
     block_k: int,
     lanes: int,
     groups: int = 1,
+    beams: int = 1,
 ):
     del li_ref  # consumed by the index maps
     ki = pl.program_id(1)
+    # beams > 1: the grid is (items, kv-blocks, beams) with the BEAM
+    # index innermost, so the K consecutive grid steps of one (item,
+    # block) pair map to the SAME prompt block — Pallas's pipeline
+    # elides re-fetching operand blocks whose index map output did not
+    # change, so the prompt cache streams from HBM ONCE per item
+    # instead of once per beam (the measured ~25% K-fold re-streaming
+    # share of the round-3 beam step, BEAM_ONCHIP.json). Each beam
+    # accumulates softmax state in its own slab of the scratch
+    # (leading-dim indexing — always layout-legal).
+    bj = pl.program_id(2) if beams > 1 else 0
     h, d = q_ref.shape[1], q_ref.shape[2]  # h = QUERY heads
     hk = h // groups  # kv heads (cache-side block dim)
     sg = kg_ref.shape[3]
 
     @pl.when(ki == 0)
     def _init():
-        acc_s[...] = jnp.zeros((h, d), jnp.float32)
+        acc_s[bj] = jnp.zeros((h, d), jnp.float32)
         # finite init below any real logit: a fully-masked block then
         # yields p = exp2(NEG_INF - (-1e29)) = 0, not exp2(0) = 1
-        m_s[...] = jnp.full((h, lanes), -1e29, jnp.float32)
-        l_s[...] = jnp.zeros((h, lanes), jnp.float32)
+        m_s[bj] = jnp.full((h, lanes), -1e29, jnp.float32)
+        l_s[bj] = jnp.zeros((h, lanes), jnp.float32)
 
     q = q_ref[0]  # (H, D)
     # GQA runs grouped: (H, D) -> (KVH, G, D) splits the MAJOR dim only
@@ -128,8 +139,8 @@ def _decode_kernel(
         lp = lp3.reshape(h, cols)  # major-dim merge
         lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
         lp = jnp.where(mask, lp, NEG_INF)
-        m_prev = m_s[...]
-        l_prev = l_s[...]
+        m_prev = m_s[bj]
+        l_prev = l_s[bj]
         m_cur = jnp.max(lp, axis=1, keepdims=True)  # (H, 1)
         m_new = jnp.maximum(m_prev, m_cur)  # (H, L)
         alpha = jnp.exp2(m_prev - m_new)
@@ -143,15 +154,15 @@ def _decode_kernel(
             )
         else:
             pv3 = p.reshape(hk, groups, cols)
-        l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_s[...] = m_new
+        l_s[bj] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_s[bj] = m_new
         step_acc = jax.lax.dot_general(
             pv3.astype(q.dtype),  # (KVH, G, cols)
             vt,
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         ).reshape(h, d)
-        acc_s[...] = acc_s[...] * jnp.broadcast_to(
+        acc_s[bj] = acc_s[bj] * jnp.broadcast_to(
             alpha[:, :1], (h, d)
         ) + step_acc
 
@@ -232,8 +243,8 @@ def _decode_kernel(
         lg = lg3.reshape(h, sg)
         lg = lg * (scale * LOG2E)
         lg = jnp.where(gv_ref[0] != 0, lg, NEG_INF)
-        m_prev2 = m_s[...]
-        l_prev2 = l_s[...]
+        m_prev2 = m_s[bj]
+        l_prev2 = l_s[bj]
         m_cur2 = jnp.max(lg, axis=1, keepdims=True)
         m_fin = jnp.maximum(m_prev2, m_cur2)
         alpha2 = jnp.exp2(m_prev2 - m_fin)
@@ -242,7 +253,7 @@ def _decode_kernel(
         pg3 = pg.reshape(hk, groups, sg)
         if quantized_gen:
             pg3 = pg3 * gvs_ref[0, 0].astype(jnp.float32)[:, None, :]
-        acc_fin = acc_s[...] * jnp.broadcast_to(
+        acc_fin = acc_s[bj] * jnp.broadcast_to(
             alpha2[:, :1], (h, d)
         ) + jax.lax.dot_general(
             pg3.astype(q.dtype),
@@ -276,9 +287,12 @@ def decode_attend_layer(
 
     beam_k > 1 (beam search): q / gen cache / gen_valid carry B*K beam
     rows; the read-only PROMPT operands (cache, scales, seg) stay at B
-    item rows and every prompt index map reads row `bi // beam_k` — the
-    dominant prompt KV is never duplicated in HBM (beams of one item
-    re-stream the same blocks; the index arithmetic is grid-static)."""
+    item rows. The grid becomes (items, kv-blocks, beams) with the beam
+    index innermost and prompt index maps that ignore it, so the prompt
+    KV is neither duplicated in HBM nor re-STREAMED per beam: Pallas
+    skips re-fetching blocks whose index didn't change between
+    consecutive grid steps, and each beam accumulates into its own
+    leading-dim slab of the softmax scratch."""
     quantized4 = "k4" in prompt_cache
     kp = prompt_cache["k4"] if quantized4 else prompt_cache["k"]
     gen_k, gen_v = gen_cache["k"], gen_cache["v"]
@@ -289,8 +303,19 @@ def decode_attend_layer(
         L, bp_rows, hk, sp, d = kp.shape
     b = q.shape[0]  # beam rows (== bp_rows unless beam_k > 1)
     assert bp_rows * beam_k == b, (kp.shape, q.shape, beam_k)
-    # prompt-side index maps address the B-item row space
-    bdiv = (lambda bi: bi) if beam_k == 1 else (lambda bi: bi // beam_k)
+    # Index maps are written over (item, beam_row, kv_block, layer_ref).
+    # beam_k == 1: the grid is (rows, blocks). beam_k > 1: the grid is
+    # (items, blocks, beams) with the beam index INNERMOST, and prompt-
+    # side operands ignore it — consecutive beam steps then present the
+    # same prompt block index and Pallas's pipeline skips the re-fetch,
+    # so the dominant prompt-KV traffic streams once per ITEM, not once
+    # per beam (round-3's measured ~25% K-fold re-streaming share).
+    if beam_k == 1:
+        def adapt(f):
+            return lambda bi, ki, li: f(bi, bi, ki, li)
+    else:
+        def adapt(f):
+            return lambda bi, ki, bj, li: f(bi, bi * beam_k + bj, ki, li)
     sg = gen_k.shape[3]
     dh = q.shape[3]
     h = q.shape[2]  # query heads; GQA: caches carry hk = h // groups
@@ -298,14 +323,32 @@ def decode_attend_layer(
     groups = h // hk
     scale = dh**-0.5
     lanes = 128
-    # block rows must be 8-aligned (Mosaic rejects e.g. bk=623): round
-    # short prompts UP to a 512-multiple; the in-kernel col mask covers
-    # the out-of-bounds tail
-    bk = min(block_k, max(512, -(-sp // 512) * 512))
-    nb = pl.cdiv(sp, bk)
-
     quantized = (not quantized4) and "k_scale" in prompt_cache
     quantized_gen = "k_scale" in gen_cache
+
+    # Block-size choice. Constraints: the scales/seg blocks carry bk on
+    # the LANE dim, so bk must be a 128-multiple (int4: bk/2 on the lane
+    # dim -> 256-multiple). Objective: minimize PADDED rows — rounding
+    # sp=623 up to 512-multiples made every (row, layer) stream 1024
+    # cache rows for 623 real ones, 61% useful KV traffic (the measured
+    # ~1.6x gap of decode attention vs its HBM floor,
+    # scripts/profile_decode.py noattn variant). So: round sp up to the
+    # granule, split into the fewest blocks whose DOUBLE-BUFFERED k+v
+    # (+ resident gen-cache blocks) fit the ~16MB scoped-VMEM stack
+    # (bigger blocks fail remote compile: measured at bk=1024 int8 and
+    # at bk=512 bf16, "exceeded scoped vmem limit").
+    gran = 256 if quantized4 else 128
+    kv_row_bytes = hk * d * (
+        1 if quantized4 else (2 * kp.dtype.itemsize)
+    )  # k+v bytes per cache token in one block (int4: 2 x 0.5 packed)
+    gen_blk_bytes = 2 * 2 * hk * sg * d * gen_k.dtype.itemsize
+    budget = 13 * 2**20 - gen_blk_bytes
+    cap = max(gran, (budget // (2 * kv_row_bytes)) // gran * gran)
+    if block_k != DEFAULT_BLOCK_K:  # explicit caller override
+        cap = max(gran, min(cap, block_k // gran * gran))
+    sp_eff = -(-sp // gran) * gran
+    nb = pl.cdiv(sp_eff, cap)
+    bk = min(cap, -(-(sp_eff // gran) // nb) * gran)
     # NOTE: scalar-prefetch refs arrive AFTER the grid indices in
     # index_map signatures: (bi, ki, li_ref)
     if quantized4:
@@ -314,29 +357,31 @@ def decode_attend_layer(
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
             (1, 1, 2, hk, bk // 2),
-            lambda bi, ki, li: (li[0], bdiv(bi), 0, 0, ki),
+            adapt(lambda it, br, ki, li: (li[0], it, 0, 0, ki)),
         )
     elif quantized:
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
-            (1, 1, hk, bk), lambda bi, ki, li: (li[0], bdiv(bi), 0, ki)
+            (1, 1, hk, bk),
+            adapt(lambda it, br, ki, li: (li[0], it, 0, ki)),
         )
     else:
         ks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
         vs = ks
         s_spec = pl.BlockSpec(
-            (1, 1, hk, 1), lambda bi, ki, li: (0, 0, 0, 0)
+            (1, 1, hk, 1), adapt(lambda it, br, ki, li: (0, 0, 0, 0))
         )
     if quantized_gen:
         gks, gvs = gen_cache["k_scale"], gen_cache["v_scale"]
         gs_spec = pl.BlockSpec(
-            (1, 1, hk, sg), lambda bi, ki, li: (li[0], bi, 0, 0)
+            (1, 1, hk, sg),
+            adapt(lambda it, br, ki, li: (li[0], br, 0, 0)),
         )
     else:
         gks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
         gvs = gks
         gs_spec = pl.BlockSpec(
-            (1, 1, hk, 1), lambda bi, ki, li: (0, 0, 0, 0)
+            (1, 1, hk, 1), adapt(lambda it, br, ki, li: (0, 0, 0, 0))
         )
 
     kernel = functools.partial(
@@ -350,62 +395,73 @@ def decode_attend_layer(
         block_k=bk,
         lanes=lanes,
         groups=groups,
+        beams=beam_k,
     )
     if quantized4:
         kv_spec = pl.BlockSpec(
             (1, 1, hk, bk // 2, d),
-            lambda bi, ki, li: (li[0], bdiv(bi), 0, ki, 0),
+            adapt(lambda it, br, ki, li: (li[0], it, 0, ki, 0)),
         )
         seg_spec = pl.BlockSpec(
-            (1, 2, bk // 2), lambda bi, ki, li: (bdiv(bi), 0, ki)
+            (1, 2, bk // 2), adapt(lambda it, br, ki, li: (it, 0, ki))
         )
         seg_in = seg_even_odd(prompt_seg.astype(jnp.int32))
     else:
         kv_spec = pl.BlockSpec(
             (1, 1, hk, bk, d),
-            lambda bi, ki, li: (li[0], bdiv(bi), 0, ki, 0),
+            adapt(lambda it, br, ki, li: (li[0], it, 0, ki, 0)),
         )
         seg_spec = pl.BlockSpec(
-            (1, 1, bk), lambda bi, ki, li: (bdiv(bi), 0, ki)
+            (1, 1, bk), adapt(lambda it, br, ki, li: (it, 0, ki))
         )
         seg_in = prompt_seg.astype(jnp.int32)[:, None, :]
+    grid = (b, nb) if beam_k == 1 else (bp_rows, nb, beam_k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, nb),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, d), lambda bi, ki, li: (bi, 0, 0)),
+            pl.BlockSpec(
+                (1, h, d), adapt(lambda it, br, ki, li: (br, 0, 0))
+            ),
             kv_spec,
             kv_spec,
             seg_spec,
             s_spec,
             s_spec,
             pl.BlockSpec(
-                (1, 1, hk, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
+                (1, 1, hk, sg, d),
+                adapt(lambda it, br, ki, li: (li[0], br, 0, 0, 0)),
             ),
             pl.BlockSpec(
-                (1, 1, hk, sg, d), lambda bi, ki, li: (li[0], bi, 0, 0, 0)
+                (1, 1, hk, sg, d),
+                adapt(lambda it, br, ki, li: (li[0], br, 0, 0, 0)),
             ),
             gs_spec,
             gs_spec,
-            pl.BlockSpec((1, 1, sg), lambda bi, ki, li: (bi, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, sg), adapt(lambda it, br, ki, li: (br, 0, 0))
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, d), lambda bi, ki, li: (bi, 0, 0)
+            (1, h, d), adapt(lambda it, br, ki, li: (br, 0, 0))
         ),
         scratch_shapes=[
-            pltpu.VMEM((h, d), jnp.float32),
-            pltpu.VMEM((h, lanes), jnp.float32),
-            pltpu.VMEM((h, lanes), jnp.float32),
+            pltpu.VMEM((beam_k, h, d), jnp.float32),
+            pltpu.VMEM((beam_k, h, lanes), jnp.float32),
+            pltpu.VMEM((beam_k, h, lanes), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
-        # batch rows are independent (megacore-parallel); the kv-block
-        # dim accumulates in scratch and must stay sequential
+        # item rows are independent (megacore-parallel); the kv-block
+        # dim accumulates in scratch and must stay sequential, and so
+        # must the beam dim (beams share the block fetch)
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")[
+                : len(grid)
+            ],
         ),
         interpret=_interp(),
     )(

@@ -110,10 +110,11 @@ def main():
             return node
         params = to_nf4(params_i8)
         del params_i8
-    elif args.weights == "int4":
-        params = bench.init_params_host_int4(cfg)
     else:
-        params = bench.init_params_host_int8(cfg)
+        # device-side synthetic tree (bench.synth_params): the host
+        # build costs ~20 min/process on this platform and weight
+        # VALUES are timing-irrelevant
+        params = bench.synth_params(cfg, args.weights)
 
     if args.variant == "nohead":
         # restore nothing: prefill uses the stub too; first-token values
@@ -130,7 +131,7 @@ def main():
     # crosses into another program (the layout-mismatch trap).
     t0 = time.time()
     ft, _, sl, pc, ps = gen_mod._prefill_phase(
-        params, cfg, ids, images, lens, max_new, "auto", True
+        params, cfg, ids, images, lens, max_new, "auto", args.kv
     )
     float(jnp.sum(ft))  # readback fence
     prefill_compile = time.time() - t0
@@ -148,7 +149,7 @@ def main():
     for _ in range(args.iters):
         t0 = time.time()
         ft, _, sl, pc, ps = gen_mod._prefill_phase(
-            params, cfg, ids, images, lens, max_new, "auto", True
+            params, cfg, ids, images, lens, max_new, "auto", args.kv
         )
         float(jnp.sum(ft))
         prefill_times.append(time.time() - t0)
