@@ -40,6 +40,13 @@ def main():
     p.add_argument("--text-len", type=int, default=512)
     p.add_argument("--hlo-out", default="/tmp/train_layout_hlo.txt",
                    help="full optimized HLO dump path")
+    p.add_argument("--transpose-qkv", action="store_true",
+                   help="hypothesis test: present the frozen attn "
+                        "q/k/v int8 stacks to the program TRANSPOSED "
+                        "((L, out, in), swapped back logically inside "
+                        "the step) — if XLA's preferred layout is the "
+                        "transposed one ({1,2,0} copies observed at "
+                        "13B shapes), the copies must disappear")
     args = p.parse_args()
 
     cfg = LlavaConfig(
@@ -61,23 +68,67 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_train7b import build_batch
 
-    params = bench.synth_params(cfg, args.base)
-    params = lora_lib.add_lora(
-        params, jax.random.PRNGKey(1), rank=128, alpha=256.0
-    )
     tcfg = trainer_lib.TrainConfig(
         grad_accum_steps=1, num_train_steps=400, attn_impl="auto",
         remat=True, loss_chunk=256, optim="adamw8bit",
     )
-    trainable, frozen, opt, opt_state = trainer_lib.init_train_state(
-        params, tcfg
-    )
-    step, _ = trainer_lib.dpa_step_fns(cfg, tcfg, opt)
-    step = jax.jit(step, donate_argnums=(0, 3))
 
-    batch = build_batch(cfg, args.batch, args.text_len,
-                        np.random.RandomState(0))
-    lowered = step.lower(trainable, frozen, None, opt_state, batch)
+    # shapes only — the whole state builds under eval_shape so the
+    # probe allocates NOTHING on the chip (a 13B tree is ~12G HBM) and
+    # is safe to run next to live benches
+    def build_state():
+        params = bench.synth_params(cfg, args.base)
+        params = lora_lib.add_lora(
+            params, jax.random.PRNGKey(1), rank=128, alpha=256.0
+        )
+        tr, fr, _opt, ost = trainer_lib.init_train_state(params, tcfg)
+        return tr, fr, ost
+
+    trainable, frozen, opt_state = jax.eval_shape(build_state)
+    opt = trainer_lib.make_optimizer(tcfg, trainable)
+    step, _ = trainer_lib.dpa_step_fns(cfg, tcfg, opt)
+
+    QKV = ("wq", "wk", "wv")
+    if args.transpose_qkv:
+        base_step = step
+
+        def swap(fz):
+            fz = dict(fz)
+            fz["llm"] = dict(fz["llm"])
+            fz["llm"]["layers"] = dict(fz["llm"]["layers"])
+            attn = dict(fz["llm"]["layers"]["attn"])
+            for w in QKV:
+                node = dict(attn[w])
+                node["kernel_q"] = jax.numpy.swapaxes(
+                    node["kernel_q"], 1, 2
+                )
+                attn[w] = node
+            fz["llm"]["layers"]["attn"] = attn
+            return fz
+
+        def step(tr, fz, ref, ost, bt):  # noqa: F811
+            return base_step(tr, swap(fz), ref, ost, bt)
+
+        attn_s = dict(frozen["llm"]["layers"]["attn"])
+        for w in QKV:
+            node = dict(attn_s[w])
+            kq = node["kernel_q"]
+            node["kernel_q"] = jax.ShapeDtypeStruct(
+                (kq.shape[0], kq.shape[2], kq.shape[1]), kq.dtype
+            )
+            attn_s[w] = node
+        frozen = dict(frozen)
+        frozen["llm"] = dict(frozen["llm"])
+        frozen["llm"]["layers"] = dict(frozen["llm"]["layers"])
+        frozen["llm"]["layers"]["attn"] = attn_s
+
+    jstep = jax.jit(step, donate_argnums=(0, 3))
+
+    batch = jax.eval_shape(
+        lambda: build_batch(cfg, args.batch, args.text_len,
+                            np.random.RandomState(0))
+    )
+    lowered = jstep.lower(trainable, frozen, None, opt_state, batch)
     compiled = lowered.compile()
 
     ma = compiled.memory_analysis()

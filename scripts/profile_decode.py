@@ -42,7 +42,8 @@ from halva_tpu.models import llama
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--variant", default="base",
-                   choices=["base", "noattn", "nohead", "sg8", "nf4"])
+                   choices=["base", "noattn", "nohead", "sg8", "nf4",
+                            "novision"])
     p.add_argument("--weights", default="int8", choices=["int8", "int4"])
     p.add_argument("--kv", default="int8", choices=["int8", "int4"],
                    help="prompt-KV cache quantization mode")
@@ -71,6 +72,26 @@ def main():
         from halva_tpu.ops import decode_attention as da_mod
         llama._decode_attend = stub_attend
         da_mod.decode_attend_layer = stub_attend_layer
+    if args.variant == "novision":
+        # vision tower + projector replaced by a zeros stub (with a data
+        # dependence on the pixels so nothing upstream is DCEd) ->
+        # isolates the tower's share of prefill
+        from halva_tpu.models import llava as llava_mod
+
+        def stub_encode(params, c, images):
+            t = (c.vision.image_size // c.vision.patch_size) ** 2
+            z = jnp.sum(images.astype(jnp.float32)) * 0.0
+            return (
+                jnp.zeros(
+                    (images.shape[0], t, c.llm.hidden_size), jnp.bfloat16
+                )
+                + z.astype(jnp.bfloat16)
+            )
+
+        llava_mod.encode_images = stub_encode
+        from halva_tpu.ops import generate as gen_mod0
+
+        gen_mod0.llava.encode_images = stub_encode
     if args.variant == "nohead":
         real_lm_logits = llama.lm_logits
 

@@ -227,7 +227,18 @@ def run_mode(mode):
     # plain int4 run is the on-chip kernel-exactness proof.
     if mode == "int4_xla":
         os.environ["HALVA_DECODE_ATTN"] = "xla"
-    wmode = {"kv4": "int4", "int4_xla": "int4"}.get(mode, mode)
+    # w4a8 = the int4 tree with the W4A8 prefill branch (unpack->int8 +
+    # s8xs8 MXU dot + dynamic per-token int8 activations) instead of the
+    # bf16-dequant matmuls — decode is the same Pallas W4 path either
+    # way, so token/logit drift vs bf16 isolates the activation-quant
+    # cost of the 2x-MXU-rate prefill.
+    if mode == "w4a8":
+        from halva_tpu.ops import quant as _quant
+
+        _quant.set_w4a8(True)
+    wmode = {"kv4": "int4", "int4_xla": "int4", "w4a8": "int4"}.get(
+        mode, mode
+    )
     _prog("quantizing on host")
     quant = quantize_mode(host, wmode)
     _prog("device_put")
@@ -354,7 +365,7 @@ def report():
         np.sum(np.exp(blog - blog.max(-1, keepdims=True)), -1, keepdims=True)
     ) - blog.max(-1, keepdims=True)
     out = {}
-    for mode in ("int8", "int4", "int4g", "nf4", "kv4"):
+    for mode in ("int8", "int4", "int4g", "nf4", "kv4", "w4a8"):
         p = os.path.join(OUT_DIR, f"{mode}.npz")
         if not os.path.exists(p):
             continue
@@ -439,7 +450,7 @@ def main():
     ap.add_argument(
         "--mode",
         choices=["bf16", "int8", "int4", "int4g", "nf4", "kv4",
-                 "int4_xla"],
+                 "int4_xla", "w4a8"],
     )
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--weights-err", action="store_true")
