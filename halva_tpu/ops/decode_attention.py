@@ -32,6 +32,7 @@ cache. MHA is the G == 1 case of the same code path.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -61,25 +62,25 @@ def seg_even_odd(seg: jnp.ndarray) -> jnp.ndarray:
 
 def _decode_kernel(
     li_ref,  # (1,) int32 scalar prefetch — layer index
-    q_ref,  # (1, H, D) bf16
-    kp_ref,  # (1, 1, H, bk, D) int8|bf16 block of (L, B, H, Sp, D);
-    #          int4 mode: (1, 1, H, bk/2, D) int8 nibble-packed block
+    q_ref,  # (R, H, D) bf16
+    kp_ref,  # (1, R, H, bk, D) int8|bf16 block of (L, B, H, Sp, D);
+    #          int4 mode: (1, R, H, bk/2, D) int8 nibble-packed block
     #          of (L, B, H, Sp/2, D)
     vp_ref,
-    seg_ref,  # (1, 1, bk) int32 block of (B, 1, Sp);
-    #           int4 mode: (1, 2, bk/2) block of (B, 2, Sp/2) even/odd
-    ks_ref,  # (1, 1, H, bk) bf16 block of (L, B, H, Sp); dummy if !quant
-    #          int4 mode: (1, 1, 2, H, bk/2) block of (L, B, 2, H, Sp/2)
+    seg_ref,  # (R, 1, bk) int32 block of (B, 1, Sp);
+    #           int4 mode: (R, 2, bk/2) block of (B, 2, Sp/2) even/odd
+    ks_ref,  # (1, R, H, bk) bf16 block of (L, B, H, Sp); dummy if !quant
+    #          int4 mode: (1, R, 2, H, bk/2) block of (L, B, 2, H, Sp/2)
     vs_ref,
-    kg_ref,  # (1, 1, H, Sg, D) bf16|int8 block of (L, B, H, Sg, D)
+    kg_ref,  # (1, R, H, Sg, D) bf16|int8 block of (L, B, H, Sg, D)
     vg_ref,
-    gks_ref,  # (1, 1, H, Sg) bf16 gen scales; dummy if !quantized_gen
+    gks_ref,  # (1, R, H, Sg) bf16 gen scales; dummy if !quantized_gen
     gvs_ref,
-    gv_ref,  # (1, 1, Sg) int32 block of (B, 1, Sg)
-    o_ref,  # (1, H, D)
-    acc_s,  # (beams, H, D) f32 scratch
-    m_s,  # (beams, H, L) f32 scratch (lane-replicated)
-    l_s,  # (beams, H, L) f32 scratch
+    gv_ref,  # (R, 1, Sg) int32 block of (B, 1, Sg)
+    o_ref,  # (R, H, D)
+    acc_s,  # (beams*rows, H, D) f32 scratch
+    m_s,  # (beams*rows, H, L) f32 scratch (lane-replicated)
+    l_s,  # (beams*rows, H, L) f32 scratch
     *,
     scale: float,
     quantized: bool,
@@ -91,6 +92,7 @@ def _decode_kernel(
     lanes: int,
     groups: int = 1,
     beams: int = 1,
+    rows: int = 1,
 ):
     del li_ref  # consumed by the index maps
     ki = pl.program_id(1)
@@ -108,163 +110,178 @@ def _decode_kernel(
     hk = h // groups  # kv heads (cache-side block dim)
     sg = kg_ref.shape[3]
 
-    @pl.when(ki == 0)
-    def _init():
-        acc_s[bj] = jnp.zeros((h, d), jnp.float32)
-        # finite init below any real logit: a fully-masked block then
-        # yields p = exp2(NEG_INF - (-1e29)) = 0, not exp2(0) = 1
-        m_s[bj] = jnp.full((h, lanes), -1e29, jnp.float32)
-        l_s[bj] = jnp.zeros((h, lanes), jnp.float32)
+    # rows > 1: each grid step carries `rows` batch rows of the SAME
+    # kv-block index (blocks gain a leading rows dim; the python loop
+    # below unrolls). Fewer, fatter grid steps amortize the per-step
+    # pipeline overhead that dominates once blocks are padding-free
+    # (measured ~4us/step against a ~6.4us 5.2MB DMA at 7B b24) — at
+    # the cost of rows x the VMEM footprint, so the caller gates it on
+    # a raised --xla_tpu_scoped_vmem_limit_kib budget. Each (beam, row)
+    # accumulates in its own leading-dim scratch slab.
+    for r in range(rows):
+        si = bj * rows + r if beams > 1 else r
 
-    q = q_ref[0]  # (H, D)
-    # GQA runs grouped: (H, D) -> (KVH, G, D) splits the MAJOR dim only
-    # (lane dim D untouched — layout-legal), and the batched dots carry
-    # G query rows per kv head instead of 1. MHA is the G == 1 case of
-    # the same code (the old explicit q[:, None, :] form).
-    q3 = q.reshape(hk, groups, d)
+        @pl.when(ki == 0)
+        def _init(si=si):
+            acc_s[si] = jnp.zeros((h, d), jnp.float32)
+            # finite init below any real logit: a fully-masked block
+            # then yields p = exp2(NEG_INF - (-1e29)) = 0, not 1
+            m_s[si] = jnp.full((h, lanes), -1e29, jnp.float32)
+            l_s[si] = jnp.zeros((h, lanes), jnp.float32)
 
-    def _merge_prompt_block(kt, vt, lp_scale_row, pv_scale_row, mask):
-        """One softmax-merge of `cols` prompt kv rows into the running
-        (m, l, acc) scratch. kt/vt (KVH, cols, D); *_scale_row
-        (KVH, cols) f32 or None; mask (1, cols)."""
-        cols = kt.shape[1]
-        lp3 = jax.lax.dot_general(
-            q3,  # (KVH, G, D) — Mosaic batched form, G rows per head
-            kt,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (KVH, G, cols)
-        if lp_scale_row is not None:
-            lp3 = lp3 * lp_scale_row[:, None, :]
-        lp = lp3.reshape(h, cols)  # major-dim merge
-        lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
-        lp = jnp.where(mask, lp, NEG_INF)
-        m_prev = m_s[bj]
-        l_prev = l_s[bj]
-        m_cur = jnp.max(lp, axis=1, keepdims=True)  # (H, 1)
-        m_new = jnp.maximum(m_prev, m_cur)  # (H, L)
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (h, cols)))
-        if pv_scale_row is not None:
-            # v scales may be garbage past Sp; p is 0 there, 0*NaN=NaN
-            pv3 = jnp.where(
-                mask[None],
-                p.reshape(hk, groups, cols) * pv_scale_row[:, None, :],
-                0.0,
-            )
+        q = q_ref[r]  # (H, D)
+        # GQA runs grouped: (H, D) -> (KVH, G, D) splits the MAJOR dim
+        # only (lane dim D untouched — layout-legal), and the batched
+        # dots carry G query rows per kv head instead of 1. MHA is the
+        # G == 1 case of the same code.
+        q3 = q.reshape(hk, groups, d)
+
+        def _merge_prompt_block(kt, vt, lp_scale_row, pv_scale_row,
+                                mask, q=q, q3=q3, si=si):
+            """One softmax-merge of `cols` prompt kv rows into the
+            running (m, l, acc) scratch slab. kt/vt (KVH, cols, D);
+            *_scale_row (KVH, cols) f32 or None; mask (1, cols)."""
+            cols = kt.shape[1]
+            lp3 = jax.lax.dot_general(
+                q3,  # (KVH, G, D) — Mosaic batched form
+                kt,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (KVH, G, cols)
+            if lp_scale_row is not None:
+                lp3 = lp3 * lp_scale_row[:, None, :]
+            lp = lp3.reshape(h, cols)  # major-dim merge
+            lp = lp * (scale * LOG2E)  # softmax runs in exp2 domain
+            lp = jnp.where(mask, lp, NEG_INF)
+            m_prev = m_s[si]
+            l_prev = l_s[si]
+            m_cur = jnp.max(lp, axis=1, keepdims=True)  # (H, 1)
+            m_new = jnp.maximum(m_prev, m_cur)  # (H, L)
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (h, cols)))
+            if pv_scale_row is not None:
+                # v scales may be garbage past Sp; p is 0 there,
+                # 0*NaN=NaN
+                pv3 = jnp.where(
+                    mask[None],
+                    p.reshape(hk, groups, cols)
+                    * pv_scale_row[:, None, :],
+                    0.0,
+                )
+            else:
+                pv3 = p.reshape(hk, groups, cols)
+            l_s[si] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            m_s[si] = m_new
+            step_acc = jax.lax.dot_general(
+                pv3.astype(q.dtype),  # (KVH, G, cols)
+                vt,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(h, d)
+            acc_s[si] = acc_s[si] * jnp.broadcast_to(
+                alpha[:, :1], (h, d)
+            ) + step_acc
+
+        if quantized4:
+            # nibble-packed token pairs: process the bk-token block as
+            # TWO aligned sub-blocks of bk/2 columns (even, odd).
+            # Unpack with int32 shifts (Mosaic rejects int8 shifts).
+            bk2 = kp_ref.shape[3]
+            kx = kp_ref[0, r].astype(jnp.int32)  # (H, bk2, D)
+            vx = vp_ref[0, r].astype(jnp.int32)
+            k_sub = ((kx << 28) >> 28, kx >> 4)  # even, odd nibbles
+            v_sub = ((vx << 28) >> 28, vx >> 4)
+            seg_eo = seg_ref[r]  # (2, bk2) int32
+            for sub in (0, 1):
+                col_ok = (
+                    2 * jax.lax.broadcasted_iota(jnp.int32, (1, bk2), 1)
+                    + sub + ki * block_k
+                    < sp
+                )
+                mask = col_ok & (seg_eo[sub].reshape(1, bk2) != 0)
+                # even/odd scale planes live on a LEADING block dim
+                # ((1, R, 2, H, bk2)) — leading-dim selection is always
+                # layout-legal, unlike lane/sublane slicing
+                _merge_prompt_block(
+                    k_sub[sub].astype(q.dtype),
+                    v_sub[sub].astype(q.dtype),
+                    ks_ref[0, r, sub].astype(jnp.float32),
+                    vs_ref[0, r, sub].astype(jnp.float32),
+                    mask,
+                )
         else:
-            pv3 = p.reshape(hk, groups, cols)
-        l_s[bj] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        m_s[bj] = m_new
-        step_acc = jax.lax.dot_general(
-            pv3.astype(q.dtype),  # (KVH, G, cols)
-            vt,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(h, d)
-        acc_s[bj] = acc_s[bj] * jnp.broadcast_to(
-            alpha[:, :1], (h, d)
-        ) + step_acc
-
-    if quantized4:
-        # nibble-packed token pairs: process the bk-token block as TWO
-        # aligned sub-blocks of bk/2 columns (even tokens, odd tokens).
-        # Unpack with int32 shifts (Mosaic rejects int8 vector shifts).
-        bk2 = kp_ref.shape[3]
-        kx = kp_ref[0, 0].astype(jnp.int32)  # (H, bk2, D)
-        vx = vp_ref[0, 0].astype(jnp.int32)
-        k_sub = ((kx << 28) >> 28, kx >> 4)  # even, odd nibbles
-        v_sub = ((vx << 28) >> 28, vx >> 4)
-        seg_eo = seg_ref[0]  # (2, bk2) int32
-        for sub in (0, 1):
+            bk = kp_ref.shape[3]
+            kt = kp_ref[0, r].astype(q.dtype)  # (H, bk, D), in-register
+            vt = vp_ref[0, r].astype(q.dtype)
+            # the last block may read past Sp (Sp need not divide
+            # block_k): mask by absolute column AND segment id; select
+            # (not add) so inf/NaN garbage in the out-of-bounds tail
+            # cannot leak through
             col_ok = (
-                2 * jax.lax.broadcasted_iota(jnp.int32, (1, bk2), 1)
-                + sub + ki * block_k
-                < sp
-            )
-            mask = col_ok & (seg_eo[sub].reshape(1, bk2) != 0)
-            # even/odd scale planes live on a LEADING block dim
-            # ((1, 1, 2, H, bk2)) — leading-dim selection is always
-            # layout-legal, unlike lane/sublane slicing
-            _merge_prompt_block(
-                k_sub[sub].astype(q.dtype),
-                v_sub[sub].astype(q.dtype),
-                ks_ref[0, 0, sub].astype(jnp.float32),
-                vs_ref[0, 0, sub].astype(jnp.float32),
-                mask,
-            )
-    else:
-        bk = kp_ref.shape[3]
-        kt = kp_ref[0, 0].astype(q.dtype)  # (H, bk, D), in-register
-        vt = vp_ref[0, 0].astype(q.dtype)
-        # the last block may read past Sp (Sp need not divide block_k):
-        # mask by absolute column AND segment id; select (not add) so
-        # inf/NaN garbage in the out-of-bounds tail cannot leak through
-        col_ok = (
-            jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
-            + ki * block_k
-            < sp
-        )
-        mask = col_ok & (seg_ref[0] != 0)  # (1, bk)
-        if not quantized:
-            # zero garbage V rows past Sp. The (bk, 1) mask must be
-            # built WITHOUT reshaping a 1-bit vector: Mosaic rejects
-            # minor-dim insertion on i1 ("only supported for 32-bit
-            # types") — iota directly in target shape + reshape the
-            # i32 segment block
-            col_ok_t = (
-                jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
                 + ki * block_k
                 < sp
             )
-            seg_t = seg_ref[0].reshape(bk, 1)  # i32 reshape: legal
-            mask_t = col_ok_t & (seg_t != 0)  # (bk, 1), no i1 reshape
-            vt = jnp.where(mask_t, vt, jnp.zeros_like(vt))
-        _merge_prompt_block(
-            kt,
-            vt,
-            ks_ref[0, 0].astype(jnp.float32) if quantized else None,
-            vs_ref[0, 0].astype(jnp.float32) if quantized else None,
-            mask,
-        )
+            mask = col_ok & (seg_ref[r] != 0)  # (1, bk)
+            if not quantized:
+                # zero garbage V rows past Sp. The (bk, 1) mask must be
+                # built WITHOUT reshaping a 1-bit vector: Mosaic rejects
+                # minor-dim insertion on i1 ("only supported for 32-bit
+                # types") — iota directly in target shape + reshape the
+                # i32 segment block
+                col_ok_t = (
+                    jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                    + ki * block_k
+                    < sp
+                )
+                seg_t = seg_ref[r].reshape(bk, 1)  # i32 reshape: legal
+                mask_t = col_ok_t & (seg_t != 0)  # (bk, 1)
+                vt = jnp.where(mask_t, vt, jnp.zeros_like(vt))
+            _merge_prompt_block(
+                kt,
+                vt,
+                ks_ref[0, r].astype(jnp.float32) if quantized else None,
+                vs_ref[0, r].astype(jnp.float32) if quantized else None,
+                mask,
+            )
 
-    @pl.when(ki == nblocks - 1)
-    def _gen_and_finalize():
-        kgt = kg_ref[0, 0].astype(q.dtype)  # (KVH, Sg, D)
-        vgt = vg_ref[0, 0].astype(q.dtype)
-        lg3 = jax.lax.dot_general(
-            q3,
-            kgt,
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (KVH, G, Sg)
-        if quantized_gen:
-            lg3 = lg3 * gks_ref[0, 0].astype(jnp.float32)[:, None, :]
-        lg = lg3.reshape(h, sg)
-        lg = lg * (scale * LOG2E)
-        lg = jnp.where(gv_ref[0] != 0, lg, NEG_INF)
-        m_prev2 = m_s[bj]
-        l_prev2 = l_s[bj]
-        m_cur2 = jnp.max(lg, axis=1, keepdims=True)
-        m_fin = jnp.maximum(m_prev2, m_cur2)
-        alpha2 = jnp.exp2(m_prev2 - m_fin)
-        pg = jnp.exp2(lg - jnp.broadcast_to(m_fin[:, :1], (h, sg)))
-        l_fin = l_prev2 * alpha2 + jnp.sum(pg, axis=1, keepdims=True)
-        pg3 = pg.reshape(hk, groups, sg)
-        if quantized_gen:
-            pg3 = pg3 * gvs_ref[0, 0].astype(jnp.float32)[:, None, :]
-        acc_fin = acc_s[bj] * jnp.broadcast_to(
-            alpha2[:, :1], (h, d)
-        ) + jax.lax.dot_general(
-            pg3.astype(q.dtype),
-            vgt,
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        ).reshape(h, d)
-        l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
-        o_ref[0] = (
-            acc_fin / jnp.broadcast_to(l_safe[:, :1], (h, d))
-        ).astype(o_ref.dtype)
+        @pl.when(ki == nblocks - 1)
+        def _gen_and_finalize(q=q, q3=q3, si=si, r=r):
+            kgt = kg_ref[0, r].astype(q.dtype)  # (KVH, Sg, D)
+            vgt = vg_ref[0, r].astype(q.dtype)
+            lg3 = jax.lax.dot_general(
+                q3,
+                kgt,
+                (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (KVH, G, Sg)
+            if quantized_gen:
+                lg3 = lg3 * gks_ref[0, r].astype(jnp.float32)[:, None, :]
+            lg = lg3.reshape(h, sg)
+            lg = lg * (scale * LOG2E)
+            lg = jnp.where(gv_ref[r] != 0, lg, NEG_INF)
+            m_prev2 = m_s[si]
+            l_prev2 = l_s[si]
+            m_cur2 = jnp.max(lg, axis=1, keepdims=True)
+            m_fin = jnp.maximum(m_prev2, m_cur2)
+            alpha2 = jnp.exp2(m_prev2 - m_fin)
+            pg = jnp.exp2(lg - jnp.broadcast_to(m_fin[:, :1], (h, sg)))
+            l_fin = l_prev2 * alpha2 + jnp.sum(pg, axis=1, keepdims=True)
+            pg3 = pg.reshape(hk, groups, sg)
+            if quantized_gen:
+                pg3 = pg3 * gvs_ref[0, r].astype(jnp.float32)[:, None, :]
+            acc_fin = acc_s[si] * jnp.broadcast_to(
+                alpha2[:, :1], (h, d)
+            ) + jax.lax.dot_general(
+                pg3.astype(q.dtype),
+                vgt,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            ).reshape(h, d)
+            l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+            o_ref[r] = (
+                acc_fin / jnp.broadcast_to(l_safe[:, :1], (h, d))
+            ).astype(o_ref.dtype)
 
 
 def decode_attend_layer(
@@ -341,9 +358,33 @@ def decode_attend_layer(
     kv_row_bytes = hk * d * (
         1 if quantized4 else (2 * kp.dtype.itemsize)
     )  # k+v bytes per cache token in one block (int4: 2 x 0.5 packed)
-    gen_blk_bytes = 2 * 2 * hk * sg * d * gen_k.dtype.itemsize
-    budget = 13 * 2**20 - gen_blk_bytes
-    cap = max(gran, (budget // (2 * kv_row_bytes)) // gran * gran)
+
+    # rows-per-grid-step: fatter steps amortize the per-step pipeline
+    # overhead (see the kernel comment), but multiply the VMEM
+    # footprint; only worth it under a raised scoped-VMEM compile
+    # budget, so it keys off the same env knob the entry points use to
+    # set --xla_tpu_scoped_vmem_limit_kib (HALVA_SCOPED_VMEM_MB). Rows
+    # must divide the batch; beams keep rows=1 (their inner grid dim
+    # already amortizes the prompt fetch).
+    vmem_mb = int(os.environ.get("HALVA_SCOPED_VMEM_MB", "16"))
+    rows = 1
+    if beam_k == 1 and vmem_mb > 16:
+        want = int(os.environ.get("HALVA_DECODE_ROWS", "4"))
+        while want > 1 and b % want:
+            want -= 1
+        rows = max(1, want)
+
+    def plan(rows_):
+        gen_blk = 2 * 2 * rows_ * hk * sg * d * gen_k.dtype.itemsize
+        budget = (vmem_mb - 3) * 2**20 - gen_blk
+        cap_ = (budget // (2 * rows_ * kv_row_bytes)) // gran * gran
+        return cap_
+
+    cap = plan(rows)
+    while rows > 1 and cap < gran:  # rows blow the budget -> shrink
+        rows //= 2
+        cap = plan(rows)
+    cap = max(gran, cap)
     if block_k != DEFAULT_BLOCK_K:  # explicit caller override
         cap = max(gran, min(cap, block_k // gran * gran))
     sp_eff = -(-sp // gran) * gran
@@ -356,13 +397,13 @@ def decode_attend_layer(
         # even/odd plane on a leading dim (L, B, 2, H, S/2)
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
-            (1, 1, 2, hk, bk // 2),
+            (1, rows, 2, hk, bk // 2),
             adapt(lambda it, br, ki, li: (li[0], it, 0, 0, ki)),
         )
     elif quantized:
         ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
         s_spec = pl.BlockSpec(
-            (1, 1, hk, bk),
+            (1, rows, hk, bk),
             adapt(lambda it, br, ki, li: (li[0], it, 0, ki)),
         )
     else:
@@ -374,7 +415,7 @@ def decode_attend_layer(
     if quantized_gen:
         gks, gvs = gen_cache["k_scale"], gen_cache["v_scale"]
         gs_spec = pl.BlockSpec(
-            (1, 1, hk, sg),
+            (1, rows, hk, sg),
             adapt(lambda it, br, ki, li: (li[0], br, 0, 0)),
         )
     else:
@@ -396,32 +437,33 @@ def decode_attend_layer(
         lanes=lanes,
         groups=groups,
         beams=beam_k,
+        rows=rows,
     )
     if quantized4:
         kv_spec = pl.BlockSpec(
-            (1, 1, hk, bk // 2, d),
+            (1, rows, hk, bk // 2, d),
             adapt(lambda it, br, ki, li: (li[0], it, 0, ki, 0)),
         )
         seg_spec = pl.BlockSpec(
-            (1, 2, bk // 2), adapt(lambda it, br, ki, li: (it, 0, ki))
+            (rows, 2, bk // 2), adapt(lambda it, br, ki, li: (it, 0, ki))
         )
         seg_in = seg_even_odd(prompt_seg.astype(jnp.int32))
     else:
         kv_spec = pl.BlockSpec(
-            (1, 1, hk, bk, d),
+            (1, rows, hk, bk, d),
             adapt(lambda it, br, ki, li: (li[0], it, 0, ki, 0)),
         )
         seg_spec = pl.BlockSpec(
-            (1, 1, bk), adapt(lambda it, br, ki, li: (it, 0, ki))
+            (rows, 1, bk), adapt(lambda it, br, ki, li: (it, 0, ki))
         )
         seg_in = prompt_seg.astype(jnp.int32)[:, None, :]
-    grid = (b, nb) if beam_k == 1 else (bp_rows, nb, beam_k)
+    grid = (b // rows, nb) if beam_k == 1 else (bp_rows, nb, beam_k)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, h, d), adapt(lambda it, br, ki, li: (br, 0, 0))
+                (rows, h, d), adapt(lambda it, br, ki, li: (br, 0, 0))
             ),
             kv_spec,
             kv_spec,
@@ -429,26 +471,26 @@ def decode_attend_layer(
             s_spec,
             s_spec,
             pl.BlockSpec(
-                (1, 1, hk, sg, d),
+                (1, rows, hk, sg, d),
                 adapt(lambda it, br, ki, li: (li[0], br, 0, 0, 0)),
             ),
             pl.BlockSpec(
-                (1, 1, hk, sg, d),
+                (1, rows, hk, sg, d),
                 adapt(lambda it, br, ki, li: (li[0], br, 0, 0, 0)),
             ),
             gs_spec,
             gs_spec,
             pl.BlockSpec(
-                (1, 1, sg), adapt(lambda it, br, ki, li: (br, 0, 0))
+                (rows, 1, sg), adapt(lambda it, br, ki, li: (br, 0, 0))
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, h, d), adapt(lambda it, br, ki, li: (br, 0, 0))
+            (rows, h, d), adapt(lambda it, br, ki, li: (br, 0, 0))
         ),
         scratch_shapes=[
-            pltpu.VMEM((beam_k, h, d), jnp.float32),
-            pltpu.VMEM((beam_k, h, lanes), jnp.float32),
-            pltpu.VMEM((beam_k, h, lanes), jnp.float32),
+            pltpu.VMEM((beam_k * rows, h, d), jnp.float32),
+            pltpu.VMEM((beam_k * rows, h, lanes), jnp.float32),
+            pltpu.VMEM((beam_k * rows, h, lanes), jnp.float32),
         ],
     )
     out = pl.pallas_call(

@@ -274,3 +274,55 @@ def test_oracle_beam_k_matches_repeated():
         )
     )()
     _assert_close(got, want, atol=1e-5)
+
+
+def test_rows_parity_all_modes(monkeypatch):
+    """rows > 1 (multi-row grid steps under a raised scoped-VMEM budget,
+    HALVA_SCOPED_VMEM_MB/HALVA_DECODE_ROWS) must match the rows=1 kernel
+    EXACTLY: identical block sizes and merge order per row, only the
+    grid packing changes. Covers bf16 / int8 / int4-packed caches and a
+    rows value that does not divide the batch (falls back toward 1)."""
+    from halva_tpu.models.llama import _quantize_kv4
+
+    q, kp, vp, kg, vg, seg, _ = _setup(b=4, h=8, d=128, sp=384, sg=16)
+    # _setup's gv helper covers b <= 3 rows; build a full (b, sg) mask
+    gv = jnp.asarray(
+        np.arange(kg.shape[3])[None, :]
+        <= np.array([3, 7, 0, 5])[:, None]
+    )
+    gen = {"k": kg, "v": vg}
+    packs8 = [
+        (_quantize_kv(kp[i]), _quantize_kv(vp[i]))
+        for i in range(kp.shape[0])
+    ]
+    pc8 = {
+        "k": jnp.stack([p[0][0] for p in packs8]),
+        "v": jnp.stack([p[1][0] for p in packs8]),
+        "k_scale": jnp.stack([p[0][1] for p in packs8]),
+        "v_scale": jnp.stack([p[1][1] for p in packs8]),
+    }
+    packs4 = [
+        (_quantize_kv4(kp[i]), _quantize_kv4(vp[i]))
+        for i in range(kp.shape[0])
+    ]
+    pc4 = {
+        "k4": jnp.stack([p[0][0] for p in packs4]),
+        "v4": jnp.stack([p[1][0] for p in packs4]),
+        "k_scale": jnp.stack([p[0][1] for p in packs4]),
+        "v_scale": jnp.stack([p[1][1] for p in packs4]),
+    }
+    for pc in (pc8, pc4, {"k": kp, "v": vp}):
+        monkeypatch.delenv("HALVA_SCOPED_VMEM_MB", raising=False)
+        monkeypatch.delenv("HALVA_DECODE_ROWS", raising=False)
+        base = np.asarray(
+            decode_attend_layer(q, pc, seg, gen, gv, jnp.int32(1)),
+            np.float32,
+        )
+        for rows in ("2", "4", "3"):  # 3 does not divide 4 -> rows=1
+            monkeypatch.setenv("HALVA_SCOPED_VMEM_MB", "64")
+            monkeypatch.setenv("HALVA_DECODE_ROWS", rows)
+            got = np.asarray(
+                decode_attend_layer(q, pc, seg, gen, gv, jnp.int32(1)),
+                np.float32,
+            )
+            np.testing.assert_array_equal(got, base)
