@@ -27,6 +27,10 @@ import time
 
 import numpy as np
 
+from halva_tpu.envflags import apply_tpu_env_flags
+
+apply_tpu_env_flags()  # before jax: libtpu snapshots flags at init
+
 import jax
 
 # persistent compilation cache: the remote-compile path in this image is

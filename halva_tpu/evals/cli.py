@@ -25,6 +25,10 @@ import os
 import time
 from typing import List, Optional
 
+from halva_tpu.envflags import apply_tpu_env_flags
+
+apply_tpu_env_flags()  # before jax: libtpu snapshots flags at init
+
 import jax.numpy as jnp
 
 

@@ -27,6 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from halva_tpu.envflags import apply_tpu_env_flags
+
+apply_tpu_env_flags()  # before jax: libtpu snapshots flags at init
+
 os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
 import jax
 
