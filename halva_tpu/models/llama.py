@@ -869,10 +869,25 @@ def decode_step(
     # fused-safe only when the whole cache fits inside it (then the
     # window masks nothing)
     pos_ok = rope and (window is None or sp_true + sg <= window)
+    # scoped-VMEM feasibility: the kernel holds the WHOLE-Sg gen-cache
+    # blocks in VMEM, so a large max_new_tokens (eval CLI default 1024)
+    # cannot compile under the default 16MB budget — fall back to the
+    # XLA oracle instead of dying in the pallas compile, or raise
+    # HALVA_SCOPED_VMEM_MB (see fused_budget_ok)
+    from halva_tpu.ops.decode_attention import fused_budget_ok
+
+    vmem_ok = fused_budget_ok(
+        kvh, gen_cache["k"].shape[3], dh,
+        gen_cache["k"].dtype.itemsize,
+        (prompt_cache["k4"] if quantized4 else prompt_cache["k"])
+        .dtype.itemsize,
+        quantized4,
+    )
     fused = (
         h_ % kvh == 0  # GQA runs grouped in-kernel (MHA: G == 1)
         and lane_ok
         and pos_ok
+        and vmem_ok
         and allow_fused
         and jax.default_backend() == "tpu"
         and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
@@ -888,9 +903,9 @@ def decode_step(
     # manual TP the weights are tp-packed (quantize_params_int4_host
     # tp=...; verified by partition.manual_tp_ready) so each shard's
     # block is self-consistent and the fused scan runs on local heads.
-    if w4 and (h_ % kvh == 0) and lane_ok and pos_ok and allow_fused and (
-        os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
-    ):
+    if w4 and (h_ % kvh == 0) and lane_ok and pos_ok and vmem_ok and (
+        allow_fused
+    ) and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused":
         return _decode_step_w4(
             params, cfg, token_embeds, positions, prompt_cache,
             prompt_seg, gen_cache, step, cos, sin, gen_valid,

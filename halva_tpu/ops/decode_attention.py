@@ -51,6 +51,25 @@ from halva_tpu.ops.flash_attention import LOG2E, NEG_INF, _interp
 DEFAULT_BLOCK_K = 512
 
 
+def fused_budget_ok(
+    hk: int, sg: int, d: int, gen_itemsize: int,
+    kp_itemsize: int, quantized4: bool,
+) -> bool:
+    """Whether the fused kernel's resident blocks fit the scoped-VMEM
+    compile budget at the MINIMUM block size: the (whole-Sg) gen-cache
+    k+v blocks plus one granule of double-buffered prompt k+v. False
+    means a pallas compile would die with "exceeded scoped vmem limit"
+    on real TPU (e.g. the eval CLI's --max-new-tokens 1024 default at
+    7B: 16MB of gen blocks alone) — callers must take the XLA oracle or
+    raise HALVA_SCOPED_VMEM_MB (entry points translate it into
+    --xla_tpu_scoped_vmem_limit_kib, halva_tpu/envflags.py)."""
+    vmem_mb = int(os.environ.get("HALVA_SCOPED_VMEM_MB", "16"))
+    gran = 256 if quantized4 else 128
+    kv_row_bytes = hk * d * (1 if quantized4 else 2 * kp_itemsize)
+    gen_blk = 2 * 2 * hk * sg * d * gen_itemsize
+    return (vmem_mb - 3) * 2**20 - gen_blk >= 2 * gran * kv_row_bytes
+
+
 def seg_even_odd(seg: jnp.ndarray) -> jnp.ndarray:
     """(B, S) segment ids -> (B, 2, ceil(S/2)) de-interleaved even/odd
     planes (odd tail padded with 0 = invalid), matching the int4 packed

@@ -326,3 +326,18 @@ def test_rows_parity_all_modes(monkeypatch):
                 np.float32,
             )
             np.testing.assert_array_equal(got, base)
+
+
+def test_fused_budget_gate(monkeypatch):
+    """The scoped-VMEM feasibility gate: the eval CLI's 1024-token
+    default at 7B shapes (16MB of resident gen blocks) must NOT route
+    to the fused kernel under the default 16MB budget — that pallas
+    compile dies on real TPU — but becomes feasible when
+    HALVA_SCOPED_VMEM_MB raises the compile budget."""
+    from halva_tpu.ops.decode_attention import fused_budget_ok
+
+    monkeypatch.delenv("HALVA_SCOPED_VMEM_MB", raising=False)
+    assert fused_budget_ok(32, 128, 128, 1, 1, False)  # bench config
+    assert not fused_budget_ok(32, 1024, 128, 1, 1, False)  # CLI 1024
+    monkeypatch.setenv("HALVA_SCOPED_VMEM_MB", "64")
+    assert fused_budget_ok(32, 1024, 128, 1, 1, False)
