@@ -14,7 +14,7 @@ token budget including prefill. vs_baseline = our imgs/sec / 0.25.
 
 Env knobs: HALVA_BENCH_PRESET (llava-v1.5-7b | llava-small),
 HALVA_BENCH_BATCH (override adaptive batch), HALVA_BENCH_TOKENS,
-HALVA_BENCH_WEIGHTS (int4 | int8 | bfloat16 — default int4: W4 packed
+HALVA_BENCH_WEIGHTS (int4 | int4g | int8 | bfloat16 — default int4: W4 packed
 weights halve weight HBM, which buys the larger serving batch; the
 JSON reports the mode + batch actually used, and failures re-exec down
 the chain int4 -> int8 -> bf16).
@@ -181,12 +181,19 @@ def _synth_spec(cfg, weights: str):
         if "kernel" in node and len(node["kernel"].shape) in (2, 3):
             shp = tuple(node["kernel"].shape)
             out = {k: rewrite(v) for k, v in node.items() if k != "kernel"}
-            if weights == "int4" and len(shp) == 3:
+            if weights in ("int4", "int4g") and len(shp) == 3:
                 # any random byte is a valid packed nibble pair — no
-                # pack math needed for a throughput-only tree
+                # pack math needed for a throughput-only tree. int4g =
+                # grouped-K scales (K=128, w4_matmul group layout): same
+                # weight bytes, G scale rows instead of 1.
+                ng = (
+                    shp[1] // 128
+                    if weights == "int4g" and shp[1] % 128 == 0
+                    else 1
+                )
                 out["kernel_q4p"] = ("int4p", (shp[0], shp[1], shp[2] // 2))
                 out["kernel_scale4p"] = (
-                    "const", (shp[0], 2, 1, shp[2] // 2), 0.02 / 7, "bf16",
+                    "const", (shp[0], 2, ng, shp[2] // 2), 0.02 / 7, "bf16",
                 )
             else:
                 out["kernel_q"] = ("int8", shp)
@@ -251,6 +258,8 @@ def synth_params(cfg, weights: str, seed: int = 0):
     if weights == "bfloat16":
         return llava.init_params(jax.random.PRNGKey(seed), cfg, jnp.bfloat16)
     if os.environ.get("HALVA_BENCH_PARAM_GEN", "device") == "host":
+        if weights == "int4g":  # grouped scales: device-side gen only
+            return init_params_device(cfg, weights, seed)
         build = (
             init_params_host_int4 if weights == "int4"
             else init_params_host_int8
@@ -341,7 +350,7 @@ def main():
     weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int4")
     _prog(f"building {weights} params for {cfg.llm.num_layers}-layer preset")
     params = synth_params(cfg, weights)
-    if weights == "int4":
+    if weights in ("int4", "int4g"):
         # stacked-int4 LLM layers (ops/w4_matmul serving path): weight
         # HBM halves, buying batch 48-56 (measured 2026-08-17: b32 6.65,
         # b48 7.06, b56 7.10 imgs/s vs int8 b24 6.28). int4 prompt KV
@@ -373,7 +382,7 @@ def main():
             # alloc has crashed the TPU worker before.
             import subprocess
 
-            nxt = "int8" if weights == "int4" else "bfloat16"
+            nxt = "int8" if weights in ("int4", "int4g") else "bfloat16"
             env = dict(os.environ, HALVA_BENCH_WEIGHTS=nxt)
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)], env=env

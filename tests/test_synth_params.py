@@ -44,15 +44,20 @@ def test_device_tree_matches_host_tree(weights, monkeypatch):
         assert a[k] == b[k], (k, a[k], b[k])
 
 
-def test_device_tree_runs_forward():
-    """The device-generated int4 tree must actually drive the serving
-    forward (dense dispatches on leaf names — a mis-keyed tree would
-    fall through to the bf16 branch and KeyError)."""
+@pytest.mark.parametrize("weights", ["int4", "int4g"])
+def test_device_tree_runs_forward(weights):
+    """The device-generated int4/int4g tree must actually drive the
+    serving forward (dense dispatches on leaf names — a mis-keyed tree
+    would fall through to the bf16 branch and KeyError; int4g addition-
+    ally pins the grouped-K scale layout against w4_dense_stacked)."""
     from halva_tpu.models import llava
     from halva_tpu.constants import IMAGE_TOKEN_INDEX
 
     cfg = bench.SMALL
-    params = bench.synth_params(cfg, "int4")
+    params = bench.synth_params(cfg, weights)
+    if weights == "int4g":
+        scales = params["llm"]["layers"]["attn"]["wq"]["kernel_scale4p"]
+        assert scales.shape[2] > 1, "int4g tree must carry grouped scales"
     ids = np.full((1, 8), 5, np.int32)
     ids[:, 1] = IMAGE_TOKEN_INDEX
     imgs = np.zeros((1, 3, cfg.vision.image_size, cfg.vision.image_size),
