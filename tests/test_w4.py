@@ -426,3 +426,52 @@ def test_quantize_params_int4_host_preserves_siblings():
     np.testing.assert_array_equal(
         node["bias"], tree["vision"]["layers"]["attn"]["wq"]["bias"]
     )
+
+
+def test_generate_w4a8_with_int4_kv():
+    """The serving combo the measurement queue runs on-chip (W4A8
+    prefill x nibble-packed int4 prompt KV) must compose at the
+    generate level: the two knobs touch different stages (dense kernels
+    vs cache storage) and a dispatch regression in either silently
+    drops the other. Tokens must match the dequant-branch int4 run —
+    on CPU both routes are exact int4 math at these margins."""
+    import jax
+    import jax.numpy as jnp
+
+    from halva_tpu.config import LLAVA_TINY
+    from halva_tpu.constants import IMAGE_TOKEN_INDEX
+    from halva_tpu.models import llava
+    from halva_tpu.ops import quant
+    from halva_tpu.ops.generate import generate_greedy
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    cfg = LLAVA_TINY
+    params = llava.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params["llm"]["lm_head"]["kernel"] = (
+        params["llm"]["lm_head"]["kernel"] * 100.0
+    )
+    q4 = jax.tree.map(jnp.asarray, quantize_params_int4_host(params))
+
+    b, s = 2, 10
+    rng = np.random.RandomState(3)
+    ids = rng.randint(5, 250, (b, s)).astype(np.int32)
+    ids[:, 1] = IMAGE_TOKEN_INDEX
+    lens = np.full((b,), s, np.int32)
+    imgs = rng.randn(
+        b, 3, cfg.vision.image_size, cfg.vision.image_size
+    ).astype(np.float32)
+    args = (jnp.asarray(ids), jnp.asarray(imgs), jnp.asarray(lens))
+
+    base, _ = generate_greedy(
+        q4, cfg, *args, max_new_tokens=6, eos_id=-1, attn_impl="xla"
+    )
+    try:
+        quant.set_w4a8(True)
+        combo, _ = generate_greedy(
+            q4, cfg, *args, max_new_tokens=6, eos_id=-1, attn_impl="xla",
+            kv_quant="int4",
+        )
+    finally:
+        quant.set_w4a8(False)
+    agree = float(np.mean(np.asarray(base) == np.asarray(combo)))
+    assert agree >= 0.9, f"w4a8+kv4 tokens diverged: agreement={agree}"
