@@ -29,6 +29,12 @@ import numpy as np
 
 from halva_tpu.envflags import apply_tpu_env_flags
 
+# Default the scoped-VMEM budget up so the fused decode kernel packs 4
+# rows per grid step (HALVA_DECODE_ROWS default, gated on this budget).
+# Evidence: scripts/probe_rows_decode.py rc=0 on-chip (int8/int4 exact);
+# b56 int4+int8KV 7.87 -> 7.99 imgs/s (SERVING_LADDER.json). Explicit
+# HALVA_SCOPED_VMEM_MB still wins.
+os.environ.setdefault("HALVA_SCOPED_VMEM_MB", "64")
 apply_tpu_env_flags()  # before jax: libtpu snapshots flags at init
 
 import jax
