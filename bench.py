@@ -286,6 +286,9 @@ def make_inputs(cfg, batch):
     return jnp.asarray(ids), jnp.asarray(images), jnp.asarray(lens)
 
 
+SPEC_STATS = {}  # last run's speculative-decode stats (for the JSON)
+
+
 def run_once(cfg, params, batch, inputs=None):
     # input tensors are prepared outside the timed region: a real eval
     # loop overlaps host image preprocessing with device decode
@@ -295,11 +298,28 @@ def run_once(cfg, params, batch, inputs=None):
     # eos_id=-1 can never be generated (ids are non-negative), so every
     # row decodes the full token budget
     kv_mode = os.environ.get("HALVA_BENCH_KV", "int8")
+    kv_quant = kv_mode if kv_mode in ("int8", "int4") else False
+    spec_k = int(os.environ.get("HALVA_BENCH_SPEC", "0"))
+    if spec_k >= 2:
+        # prompt-lookup speculative greedy decode (ops/speculative.py).
+        # NOTE on this synthetic bench: random-weight models emit cyclic
+        # text, so acceptance here bounds the mechanism's overhead/win
+        # shape, not a real caption workload's rate — the JSON reports
+        # the realized tokens-per-verify-step next to the throughput.
+        from halva_tpu.ops.speculative import generate_speculative
+
+        tokens, num, stats = generate_speculative(
+            params, cfg, ids, images, lens,
+            max_new_tokens=DECODE_TOKENS, eos_id=-1,
+            draft_k=spec_k, kv_quant=kv_quant,
+        )
+        SPEC_STATS.update(stats)
+        return np.asarray(tokens)
     tokens, num = generate_greedy(
         params, cfg, ids, images, lens,
         max_new_tokens=DECODE_TOKENS, eos_id=-1,
         # int8 (default) | int4 (nibble-packed prompt KV) | off
-        kv_quant=kv_mode if kv_mode in ("int8", "int4") else False,
+        kv_quant=kv_quant,
     )
     # NOTE: on the axon relay platform block_until_ready does not actually
     # synchronize; a host readback is the only reliable fence, and it's
@@ -446,6 +466,23 @@ def main():
                         "(int4_xla mode: top-1 1.0)"
                     ),
                     "backend": jax.default_backend(),
+                    **(
+                        {
+                            "speculative": {
+                                "draft_k": int(
+                                    os.environ["HALVA_BENCH_SPEC"]
+                                ),
+                                **SPEC_STATS,
+                                "note": (
+                                    "prompt-lookup speculation on "
+                                    "SYNTHETIC cyclic text; real-"
+                                    "caption acceptance differs"
+                                ),
+                            }
+                        }
+                        if SPEC_STATS
+                        else {}
+                    ),
                 },
             }
         )

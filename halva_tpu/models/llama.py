@@ -1042,6 +1042,249 @@ def _write_gen(gen: Params, k, v, li, step) -> Params:
     return out
 
 
+def _verify_attend(
+    q: jnp.ndarray,  # (B, Kq, H, Dh) roped queries
+    kp: jnp.ndarray,  # (B, KVH, Sp, Dh) prompt keys (bf16/int8 values)
+    vp: jnp.ndarray,
+    kc: jnp.ndarray,  # (B, Kq, KVH, Dh) fresh roped candidate keys
+    vc: jnp.ndarray,
+    prompt_seg: jnp.ndarray,  # (B, Sp) 0 = invalid
+    kg: jnp.ndarray,  # (B, KVH, Sg, Dh) gen cache
+    vg: jnp.ndarray,
+    gen_len: jnp.ndarray,  # (B,) valid gen slots (same for every query)
+    kp_scale: Optional[jnp.ndarray] = None,  # (B, KVH, Sp)
+    vp_scale: Optional[jnp.ndarray] = None,
+    kg_scale: Optional[jnp.ndarray] = None,  # (B, KVH, Sg)
+    vg_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """K-query verify attention: ONE softmax over [prompt | gen |
+    candidates]. Query i attends the full prompt, gen slots < gen_len,
+    and candidates j <= i (the K fresh tokens are causal among
+    themselves and are NOT read from the gen cache — their K/V arrive as
+    in-registers `kc`/`vc`, so rejected drafts never need a cache
+    rollback). The single-query decode oracle (_decode_attend) is the
+    Kq == 1, no-candidate special case of this; numerics (int8 scales
+    folded into logits/probs, fp32 softmax) match it exactly."""
+    b, kq, h, dh = q.shape
+    kvh, sp = kp.shape[1], kp.shape[2]
+    sg = kg.shape[2]
+    g = h // kvh
+    scale = dh**-0.5
+    dt = q.dtype
+    q5 = q.reshape(b, kq, kvh, g, dh)
+    lp = jnp.einsum(
+        "bqngd,bnsd->bqngs", q5, kp.astype(dt),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kp_scale is not None:
+        lp = lp * kp_scale.astype(jnp.float32)[:, None, :, None, :]
+    lg = jnp.einsum(
+        "bqngd,bnsd->bqngs", q5, kg.astype(dt),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if kg_scale is not None:
+        lg = lg * kg_scale.astype(jnp.float32)[:, None, :, None, :]
+    lc = jnp.einsum(
+        "bqngd,bjnd->bqngj", q5, kc.astype(dt),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    lp = jnp.where(prompt_seg[:, None, None, None, :] != 0, lp, -1e30)
+    gen_ok = (
+        jnp.arange(sg, dtype=jnp.int32)[None, :] < gen_len[:, None]
+    )  # (B, Sg)
+    lg = jnp.where(gen_ok[:, None, None, None, :], lg, -1e30)
+    causal = (
+        jnp.arange(kq, dtype=jnp.int32)[:, None]
+        >= jnp.arange(kq, dtype=jnp.int32)[None, :]
+    )  # (Kq, Kc)
+    lc = jnp.where(causal[None, :, None, None, :], lc, -1e30)
+    logits = jnp.concatenate([lp, lg, lc], axis=-1)
+    probs = jax.nn.softmax(logits, axis=-1)
+    pp = probs[..., :sp]
+    pg = probs[..., sp : sp + sg]
+    pc = probs[..., sp + sg :]
+    if vp_scale is not None:
+        pp = pp * vp_scale.astype(jnp.float32)[:, None, :, None, :]
+    if vg_scale is not None:
+        pg = pg * vg_scale.astype(jnp.float32)[:, None, :, None, :]
+    out = jnp.einsum(
+        "bqngs,bnsd->bqngd", pp.astype(dt), vp.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + jnp.einsum(
+        "bqngs,bnsd->bqngd", pg.astype(dt), vg.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    out = out + jnp.einsum(
+        "bqngj,bjnd->bqngd", pc.astype(dt), vc.astype(dt),
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(b, kq, h, dh).astype(q.dtype)
+
+
+def write_gen_candidates(
+    gen: Params,
+    kc: jnp.ndarray,  # (L, B, K, KVH, Dh) roped candidate keys, all layers
+    vc: jnp.ndarray,
+    gen_len: jnp.ndarray,  # (B,) per-row write offset
+) -> Params:
+    """Write all K candidate KVs of every layer at per-row slots
+    gen_len[b]..gen_len[b]+K-1 of the head-major (L, B, KVH, Sg, Dh) gen
+    cache, quantizing when the cache is int8. ONE vectorized write per
+    verify step (vmapped dynamic_update_slice over the batch dim — the
+    layer dim rides along because every layer shares the row's offset),
+    not L per-layer writes. Rejected candidates need no rollback:
+    validity is derived from gen_len, and the next verify step's write
+    window (starting at the advanced gen_len) covers every rejected
+    slot because it advances by at least 1 and writes K slots."""
+    k_hm = kc.transpose(0, 1, 3, 2, 4)  # (L, B, KVH, K, Dh)
+    v_hm = vc.transpose(0, 1, 3, 2, 4)
+    out = dict(gen)
+
+    def wr5(dst, upd, off):  # (L, KVH, Sg, Dh) <- (L, KVH, K, Dh)
+        return jax.lax.dynamic_update_slice(
+            dst, upd.astype(dst.dtype), (0, 0, off, 0)
+        )
+
+    def wr4(dst, upd, off):  # scales (L, KVH, Sg) <- (L, KVH, K)
+        return jax.lax.dynamic_update_slice(
+            dst, upd.astype(dst.dtype), (0, 0, off)
+        )
+
+    w5 = jax.vmap(wr5, in_axes=(1, 1, 0), out_axes=1)
+    w4s = jax.vmap(wr4, in_axes=(1, 1, 0), out_axes=1)
+    if "k_scale" in gen:
+        kq_, ks = _quantize_kv(k_hm)
+        vq_, vs = _quantize_kv(v_hm)
+        out["k"] = w5(gen["k"], kq_, gen_len)
+        out["v"] = w5(gen["v"], vq_, gen_len)
+        out["k_scale"] = w4s(gen["k_scale"], ks, gen_len)
+        out["v_scale"] = w4s(gen["v_scale"], vs, gen_len)
+        return out
+    out["k"] = w5(gen["k"], k_hm, gen_len)
+    out["v"] = w5(gen["v"], v_hm, gen_len)
+    return out
+
+
+def verify_step(
+    params: Params,
+    cfg: LlamaConfig,
+    token_embeds: jnp.ndarray,  # (B, K, D) [cur, draft_1..draft_{K-1}]
+    positions: jnp.ndarray,  # (B,) absolute position of token 0
+    prompt_cache: Params,
+    prompt_seg: jnp.ndarray,  # (B, Sp)
+    gen_cache: Params,
+    gen_len: jnp.ndarray,  # (B,) valid gen-cache slots
+    allow_fused: bool = True,
+) -> Tuple[jnp.ndarray, Params]:
+    """Speculative-verification step: score K candidate tokens per row in
+    ONE pass over the model (ops/speculative.py drives it). Returns
+    (fp32 logits (B, K, V) — position i's next-token logits — and the
+    gen cache with ALL K candidates' KV written at slots
+    gen_len..gen_len+K-1; the caller advances gen_len by the accepted
+    count only).
+
+    The prompt cache streams ONCE for K candidate positions instead of
+    once per token — decode at serving shapes is prompt-KV-bandwidth
+    bound (docs/PERF.md decode attribution), which is where speculative
+    decoding's win lives on TPU.
+
+    RoPE-position models only (no ALiBi/sliding-window: the speculative
+    entry point refuses those configs and callers fall back to plain
+    greedy). Weights go through dense(): int8/int4/NF4/LoRA variants all
+    work; with quant.set_w4a8 the K-token matmuls take the int8-MXU
+    path. Beyond-reference feature: the reference's HF generate has no
+    speculative mode (eval_hall/model_vqa_loader.py:102-111 is plain
+    greedy/sampling)."""
+    b, kq, _ = token_embeds.shape
+    h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    if cfg.position_embedding != "rope" or cfg.sliding_window is not None:
+        raise NotImplementedError(
+            "verify_step supports RoPE, no-sliding-window configs"
+        )
+    del allow_fused  # XLA path; fused (Pallas) verify is dispatched here
+    pos_k = positions[:, None] + jnp.arange(kq, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(
+        pos_k, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
+    )
+    quantized4 = "k4" in prompt_cache
+    quantized = (not quantized4) and "k_scale" in prompt_cache
+    if quantized4:
+        from halva_tpu.ops.decode_attention import seg_even_odd
+
+        bb = prompt_seg.shape[0]
+        seg_eo_flat = seg_even_odd(prompt_seg).reshape(bb, -1)
+
+    def scan_fn(carry, layer_params):
+        x, li = carry  # x (B, K, D)
+        ap, mp = layer_params["attn"], layer_params["mlp"]
+        y = _norm(cfg, x, layer_params["input_norm"]["scale"])
+        q = dense(y, ap["wq"]).reshape(b, kq, h_, dh)
+        k = dense(y, ap["wk"]).reshape(b, kq, kvh, dh)
+        v = dense(y, ap["wv"]).reshape(b, kq, kvh, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if quantized4:
+            kp4 = jax.lax.dynamic_index_in_dim(
+                prompt_cache["k4"], li, 0, False
+            )
+            vp4 = jax.lax.dynamic_index_in_dim(
+                prompt_cache["v4"], li, 0, False
+            )
+            klo, khi = _unpack_kv4(kp4)
+            vlo, vhi = _unpack_kv4(vp4)
+            kp = jnp.concatenate([klo, khi], axis=2).astype(jnp.int8)
+            vp = jnp.concatenate([vlo, vhi], axis=2).astype(jnp.int8)
+            kps4 = jax.lax.dynamic_index_in_dim(
+                prompt_cache["k_scale"], li, 0, False
+            )
+            vps4 = jax.lax.dynamic_index_in_dim(
+                prompt_cache["v_scale"], li, 0, False
+            )
+            kps = jnp.concatenate([kps4[:, 0], kps4[:, 1]], axis=2)
+            vps = jnp.concatenate([vps4[:, 0], vps4[:, 1]], axis=2)
+            seg_for_attend = seg_eo_flat
+        else:
+            kp = jax.lax.dynamic_index_in_dim(prompt_cache["k"], li, 0, False)
+            vp = jax.lax.dynamic_index_in_dim(prompt_cache["v"], li, 0, False)
+            kps = vps = None
+            if quantized:
+                kps = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["k_scale"], li, 0, False
+                )
+                vps = jax.lax.dynamic_index_in_dim(
+                    prompt_cache["v_scale"], li, 0, False
+                )
+            seg_for_attend = prompt_seg
+        gl = {
+            kk: jax.lax.dynamic_index_in_dim(vv, li, 0, False)
+            for kk, vv in gen_cache.items()
+        }
+        attn_out = _verify_attend(
+            q, kp, vp, k, v, seg_for_attend,
+            gl["k"], gl["v"], gen_len,
+            kp_scale=kps, vp_scale=vps,
+            kg_scale=gl.get("k_scale"), vg_scale=gl.get("v_scale"),
+        )
+        x = x + dense(attn_out.reshape(b, kq, h_ * dh), ap["wo"])
+        y = _norm(cfg, x, layer_params["post_attn_norm"]["scale"])
+        if cfg.gated_mlp:
+            gated = _mlp_act(cfg)(dense(y, mp["gate"])) * dense(y, mp["up"])
+            x = x + dense(gated, mp["down"])
+        else:
+            x = x + dense(_mlp_act(cfg)(dense(y, mp["up"])), mp["down"])
+        return (x, li + 1), (k, v)
+
+    (x, _), (kc_all, vc_all) = jax.lax.scan(
+        scan_fn, (token_embeds, jnp.int32(0)), params["layers"]
+    )
+    hidden = _norm(cfg, x, params["final_norm"]["scale"])
+    logits = lm_logits(params, cfg, hidden)  # (B, K, V) fp32
+    new_gen = write_gen_candidates(gen_cache, kc_all, vc_all, gen_len)
+    return logits, new_gen
+
+
 def _decode_step_w4(
     params: Params,
     cfg: LlamaConfig,
