@@ -17,7 +17,12 @@ HALVA_BENCH_BATCH (override adaptive batch), HALVA_BENCH_TOKENS,
 HALVA_BENCH_WEIGHTS (int4 | int4g | int8 | bfloat16 — default int4: W4 packed
 weights halve weight HBM, which buys the larger serving batch; the
 JSON reports the mode + batch actually used, and failures re-exec down
-the chain int4 -> int8 -> bf16).
+the chain int4 -> int8 -> bf16), HALVA_BENCH_KV (int4 default | int8 |
+off — prompt-KV cache dtype), HALVA_W4A8 (default on: int8-activation
+prefill through the int4 weights), HALVA_BENCH_SPEC (K>=2 enables
+prompt-lookup speculative greedy decode, ops/speculative.py).
+Defaults reproduce the measured-best serving point: b80 int4 weights +
+int4 prompt KV + 4-row decode grid + W4A8 prefill (SERVING_LADDER.json).
 """
 
 import json
@@ -35,6 +40,14 @@ from halva_tpu.envflags import apply_tpu_env_flags
 # b56 int4+int8KV 7.87 -> 7.99 imgs/s (SERVING_LADDER.json). Explicit
 # HALVA_SCOPED_VMEM_MB still wins.
 os.environ.setdefault("HALVA_SCOPED_VMEM_MB", "64")
+# W4A8 prefill + int4 prompt-KV are now the bench defaults: quality
+# evidence landed on-chip (QUANT_QUALITY.json: w4a8 top-1 0.999 over
+# 8x128 greedy steps; int4+int4KV 0.999) and the serving ladder measured
+# b80 int4+int4KV rows4+W4A8 = 8.98 imgs/s = 1149 tok/s as the best
+# config (SERVING_LADDER.json, /tmp/chipq/r4g.log 2026-08-20).
+# Explicit env still wins (HALVA_W4A8=0 / HALVA_BENCH_KV=int8).
+os.environ.setdefault("HALVA_W4A8", "1")
+os.environ.setdefault("HALVA_BENCH_KV", "int4")
 apply_tpu_env_flags()  # before jax: libtpu snapshots flags at init
 
 import jax
@@ -384,7 +397,10 @@ def main():
         # the ladder higher.
         batches = [56, 48, 32, 24, 16, 8, 4, 2, 1]
         if os.environ.get("HALVA_BENCH_KV", "int8") == "int4":
-            batches = [96, 80, 64] + batches
+            # b80 measured BEST on the kv4 ladder (8.98 imgs/s vs b96
+            # 8.80, b56 8.55 — rows4+W4A8, SERVING_LADDER.json); the
+            # ladder is preference-ordered, first fit wins
+            batches = [80, 96, 64] + batches
     elif weights == "int8":
         # batch 24 measured optimal on v5e (2026-08-16: b16 4.66, b24
         # 5.26, b32 4.05 imgs/s — W8A8 + int8 prompt-KV)
@@ -463,7 +479,9 @@ def main():
                         "published as ~0.3-0.6 ppl at g128 on 7B "
                         "models, AWQ arXiv 2306.00978); fused-kernel-"
                         "vs-XLA exactness on the same int4 tree "
-                        "(int4_xla mode: top-1 1.0)"
+                        "(int4_xla mode: top-1 1.0); w4a8 prefill "
+                        "top-1 0.999 (QUANT_QUALITY.json w4a8); int4 "
+                        "prompt-KV top-1 0.999 (int4+int4KV row)"
                     ),
                     "backend": jax.default_backend(),
                     **(

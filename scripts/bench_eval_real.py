@@ -94,6 +94,12 @@ def main():
     p.add_argument("--batch", type=int, default=56)
     p.add_argument("--tokens", type=int, default=128)
     p.add_argument("--quant", default="int4")
+    # int4 prompt KV by default: at the fixture's REAL prompt length
+    # (Sp=831 — the char-level tokenizer runs ~200 tokens past real
+    # CHAIR prompts) the b56 int8 prompt KV alone is 2x5.69 GB and the
+    # program OOMs at 18.4 G > 15.75 G (stderr_cold.log 2026-08-20);
+    # int4 KV halves it and matches the bench.py round-4 default.
+    p.add_argument("--kv-quant", default="int4")
     p.add_argument("--setup-only", action="store_true")
     p.add_argument("--warm-only", action="store_true",
                    help="skip the cold (cache-rebuild) run")
@@ -119,7 +125,7 @@ def main():
             "--image-folder", img_dir, "--answers-file", out,
             "--batch-size", str(args.batch),
             "--max-new-tokens", str(args.tokens),
-            "--quant", args.quant, "--kv-quant", "int8",
+            "--quant", args.quant, "--kv-quant", args.kv_quant,
         ]
         env = dict(os.environ, HALVA_QUANT_CACHE=cache_dir)
         print(f"[{run}] {' '.join(cmd)}", flush=True)
@@ -160,7 +166,7 @@ def main():
         "batch": args.batch,
         "decode_tokens": args.tokens,
         "quant": args.quant,
-        "kv_quant": "int8",
+        "kv_quant": args.kv_quant,
         **{k: results[k] for k in ("cold", "warm") if k in results},
         "note": (
             "full evals/cli chair subprocess: checkpoint load + int4 "
