@@ -34,32 +34,63 @@ import numpy as np
 
 from halva_tpu.envflags import apply_tpu_env_flags
 
-# Default the scoped-VMEM budget up so the fused decode kernel packs 4
-# rows per grid step (HALVA_DECODE_ROWS default, gated on this budget).
-# Evidence: scripts/probe_rows_decode.py rc=0 on-chip (int8/int4 exact);
-# b56 int4+int8KV 7.87 -> 7.99 imgs/s (SERVING_LADDER.json). Explicit
-# HALVA_SCOPED_VMEM_MB still wins.
-os.environ.setdefault("HALVA_SCOPED_VMEM_MB", "64")
-# W4A8 prefill + int4 prompt-KV are now the bench defaults: quality
-# evidence landed on-chip (QUANT_QUALITY.json: w4a8 top-1 0.999 over
-# 8x128 greedy steps; int4+int4KV 0.999) and the serving ladder measured
-# b80 int4+int4KV rows4+W4A8 = 8.98 imgs/s = 1149 tok/s as the best
-# config (SERVING_LADDER.json, /tmp/chipq/r4g.log 2026-08-20).
-# Explicit env still wins (HALVA_W4A8=0 / HALVA_BENCH_KV=int8).
-os.environ.setdefault("HALVA_W4A8", "1")
-os.environ.setdefault("HALVA_BENCH_KV", "int4")
-apply_tpu_env_flags()  # before jax: libtpu snapshots flags at init
+
+def setup_bench_env() -> None:
+    """Bench process env defaults. Only the bench ENTRY POINT (and the
+    scripts that deliberately reuse its measured-best serving config)
+    may call this — `import bench` for the synth-tree helpers MUST stay
+    side-effect-free. A module-level setdefault here once leaked
+    HALVA_W4A8=1 into the whole pytest process via test collection
+    (tests/test_synth_params.py imports bench), which silently flipped
+    every int4 dense trace to W4A8 and broke the manual-TP int4 token-
+    parity tests (W4A8's per-shard activation scales are a
+    requantization, not bit-equal to single-device):
+    tests/test_import_purity.py pins the no-side-effects contract.
+
+    Defaults reproduce the measured-best serving point. Scoped-VMEM 64MB
+    lets the fused decode kernel pack 4 rows per grid step
+    (scripts/probe_rows_decode.py rc=0 on-chip; b56 int4+int8KV
+    7.87 -> 7.99 imgs/s, SERVING_LADDER.json). W4A8 prefill + int4
+    prompt KV: quality evidence on-chip (QUANT_QUALITY.json w4a8 top-1
+    0.999 over 8x128 greedy steps; int4+int4KV 0.999), serving ladder
+    b80 rows4+W4A8 = 8.98 imgs/s (SERVING_LADDER.json). Explicit env
+    still wins (HALVA_W4A8=0 / HALVA_BENCH_KV=int8).
+
+    Must run BEFORE jax's first backend init: libtpu snapshots
+    LIBTPU_INIT_ARGS when the PJRT plugin loads."""
+    os.environ.setdefault("HALVA_SCOPED_VMEM_MB", "64")
+    os.environ.setdefault("HALVA_W4A8", "1")
+    os.environ.setdefault("HALVA_BENCH_KV", "int4")
+    apply_tpu_env_flags()
+
+
+if __name__ == "__main__":
+    setup_bench_env()
 
 import jax
 
-# persistent compilation cache: the remote-compile path in this image is
-# slow for large programs; cache hits make reruns cheap
-os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
-try:
-    jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+
+def setup_bench_cache() -> None:
+    """Persistent compilation cache for the bench entry point: the
+    remote-compile path in this image is slow for large programs; cache
+    hits make reruns cheap. NOT run on import — stale cross-machine CPU
+    AOT reuse from a shared cache dir corrupts numerics (see
+    scripts/repro_stale_aot.py; /tmp is container-local and the chip
+    programs are TPU-targeted, so the bench path itself is safe)."""
+    os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/halva_jax_cache"
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 5.0
+        )
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":
+    setup_bench_cache()
 
 import jax.numpy as jnp
 

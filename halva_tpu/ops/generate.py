@@ -558,6 +558,12 @@ def generate(
     key = (
         cfg, max_new_tokens, eos_id, attn_impl, kv_quant, temperature,
         top_p, input_ids.shape, images.shape, mesh, manual_tp,
+        # stamp is read (not traced) by the refusal check above and by
+        # shard-slice layout assumptions: tp=1- and tp=2-packed trees
+        # share a treedef, and their () int leaf never retraces a jit —
+        # without the stamp in the key a packed-for-2 tree could reuse
+        # an executable built for a packed-for-1 tree
+        stamp,
         _params_key(params),
     )
 

@@ -36,6 +36,7 @@ if os.environ.get("HALVA_BENCH_CPU"):  # CPU dry-run of this bench
 import numpy as np
 
 import bench  # repo-root bench.py: synth_params / make_inputs / _prog
+bench.setup_bench_env()  # bench serving-config env defaults (no longer an import side effect)
 from halva_tpu.ops.beam import generate_beam
 from halva_tpu.ops.generate import generate_greedy
 

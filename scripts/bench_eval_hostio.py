@@ -75,6 +75,7 @@ def main():
     args = ap.parse_args()
 
     import bench
+    bench.setup_bench_env()  # bench serving-config env defaults (no longer an import side effect)
     from halva_tpu.evals.runner import BatchedGenerator, EvalRequest
     from halva_tpu.mm_utils import clip_vit_l_336_processor
 

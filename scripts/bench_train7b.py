@@ -167,6 +167,7 @@ def main():
     # (bench.synth_params; HALVA_BENCH_PARAM_GEN=host forces the numpy
     # path) — the host build costs ~20 min/process at 7B on this host
     import bench
+    bench.setup_bench_env()  # bench serving-config env defaults (no longer an import side effect)
 
     params = bench.synth_params(cfg, args.base)
     params = lora_lib.add_lora(

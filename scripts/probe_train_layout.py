@@ -64,6 +64,7 @@ def main():
     quant_lib.set_w8a8(False)
 
     import bench
+    bench.setup_bench_env()  # bench serving-config env defaults (no longer an import side effect)
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from bench_train7b import build_batch

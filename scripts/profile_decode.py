@@ -109,6 +109,7 @@ def main():
         llama.lm_logits = stub_logits
 
     import bench
+    bench.setup_bench_env()  # bench serving-config env defaults (no longer an import side effect)
     from halva_tpu.ops import generate as gen_mod
 
     if args.variant == "nf4":
