@@ -38,16 +38,21 @@ FIX = "/tmp/chair_fixture"
 
 def setup(n_images: int):
     os.makedirs(FIX, exist_ok=True)
-    tok_dir = os.path.join(FIX, "tok")
+    # tok_bpe: the merge-trained fixture (tests/tokutil.py
+    # build_bpe_tokenizer) with llama-like tokens-per-char — the round-4
+    # char-level fixture inflated CHAIR prompts to Sp=831 vs the real
+    # ~630 (verdict item 7) and alone OOM'd the b56 int8-KV config. New
+    # dir name busts the persisted /tmp fixture from round 4.
+    tok_dir = os.path.join(FIX, "tok_bpe")
     comp = os.path.join(FIX, "components")
     img_dir = os.path.join(FIX, "imgs")
 
     if not os.path.exists(os.path.join(tok_dir, "tokenizer_config.json")):
         sys.path.insert(0, os.path.join(REPO, "tests"))
-        from tokutil import build_tiny_tokenizer
+        from tokutil import build_bpe_tokenizer
 
-        build_tiny_tokenizer(tok_dir)
-        print("[setup] tokenizer built", flush=True)
+        build_bpe_tokenizer(tok_dir)
+        print("[setup] BPE tokenizer built", flush=True)
 
     if not os.path.exists(os.path.join(img_dir, ".done")):
         import numpy as np

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
-from tokutil import build_tiny_tokenizer  # noqa: E402
+from tokutil import build_bpe_tokenizer  # noqa: E402
 
 from halva_tpu.config import LLAVA_TINY
 from halva_tpu.models import llava
@@ -31,7 +31,9 @@ from halva_tpu.train import vila as vila_lib
 def setup(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("cli_e2e")
     tok_dir = str(tmp / "tok")
-    build_tiny_tokenizer(tok_dir)
+    # the realistic-density fixture (shared with bench_eval_real):
+    # prompt lengths then match real CHAIR shapes (verdict item 7)
+    build_bpe_tokenizer(tok_dir)
 
     params = llava.init_params(jax.random.PRNGKey(0), LLAVA_TINY)
     comp = str(tmp / "components")
