@@ -79,15 +79,20 @@ def _build_generator(args):
     from halva_tpu.evals.runner import BatchedGenerator
     from halva_tpu.mm_utils import processor_for_vision
     from halva_tpu.models.builder import load_pretrained_model
+    from halva_tpu.utils.phases import phase
 
     tok_src = args.tokenizer or args.model_base or args.model_path
-    try:
-        # the reference loads the slow tokenizer (builder.py use_fast
-        # convention); fast produces identical ids for Llama vocabs and
-        # is the only option for tokenizer dirs without sentencepiece
-        tokenizer = AutoTokenizer.from_pretrained(tok_src, use_fast=False)
-    except Exception:
-        tokenizer = AutoTokenizer.from_pretrained(tok_src)
+    with phase("tokenizer_load"):
+        try:
+            # the reference loads the slow tokenizer (builder.py
+            # use_fast convention); fast produces identical ids for
+            # Llama vocabs and is the only option for tokenizer dirs
+            # without sentencepiece
+            tokenizer = AutoTokenizer.from_pretrained(
+                tok_src, use_fast=False
+            )
+        except Exception:
+            tokenizer = AutoTokenizer.from_pretrained(tok_src)
     # tokenizer passes through the loader so mm_use_im_start_end
     # checkpoints get their token re-add + mean-init embedding resize
     # (reference llava/model/builder.py:89-96)
@@ -114,14 +119,15 @@ def _build_generator(args):
         and _os.environ.get("HALVA_TP_IMPL", "shmap") == "shmap"
     ):
         quant_tp = mesh_model
-    params, cfg = load_pretrained_model(
-        args.model_path,
-        args.model_base,
-        vision_tower_path=args.vision_tower_path,
-        quant=args.quant,
-        tokenizer=tokenizer,
-        quant_tp=quant_tp,
-    )
+    with phase("model_load_total"):
+        params, cfg = load_pretrained_model(
+            args.model_path,
+            args.model_base,
+            vision_tower_path=args.vision_tower_path,
+            quant=args.quant,
+            tokenizer=tokenizer,
+            quant_tp=quant_tp,
+        )
     mesh = None
     if mesh_data:
         from halva_tpu.parallel.mesh import make_mesh
@@ -464,7 +470,13 @@ def main(argv: Optional[List[str]] = None):
     c.set_defaults(fn=cmd_hallusionbench)
 
     args = p.parse_args(argv)
-    args.fn(args)
+    try:
+        args.fn(args)
+    finally:
+        # startup-phase attribution (HALVA_PHASE_JSON, see utils/phases)
+        from halva_tpu.utils.phases import dump
+
+        dump()
 
 
 if __name__ == "__main__":

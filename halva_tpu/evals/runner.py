@@ -255,6 +255,7 @@ class BatchedGenerator:
 
         stop = get_template(self.template).stop_str()
         host_s = device_s = 0.0
+        first_batch_s = None  # batch 0 = jit compile + prefill + decode
         try:
             for bi, (idxs, batch_ids, imgs, lens, bh) in enumerate(it):
                 host_s += bh
@@ -295,7 +296,15 @@ class BatchedGenerator:
                         mesh=self.mesh,
                     )
                 tokens = np.asarray(tokens)  # host readback = fence
-                device_s += time.perf_counter() - t0
+                bdt = time.perf_counter() - t0
+                device_s += bdt
+                if first_batch_s is None:
+                    first_batch_s = bdt
+                    from halva_tpu.utils.phases import record
+
+                    # startup attribution: batch 0 carries the jit
+                    # compile (or compile-cache restore) + warmup
+                    record("first_batch_generate", bdt)
                 texts = decode_tokens(
                     tokens,
                     np.asarray(num),
@@ -316,6 +325,7 @@ class BatchedGenerator:
             "device_ms_per_img": round(device_s / n * 1e3, 2),
             "host_s": round(host_s, 3),
             "device_s": round(device_s, 3),
+            "first_batch_s": round(first_batch_s or 0.0, 3),
             "overlapped": self.prefetch_workers > 0,
         }
         return [r if r is not None else "" for r in results]

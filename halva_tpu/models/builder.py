@@ -261,7 +261,7 @@ def load_pretrained_model(
     from halva_tpu.train import vila as vila_lib
 
     def to_device(p):
-        return jax.tree.map(
+        out = jax.tree.map(
             lambda x: jnp.asarray(x)
             # int8 payloads, bf16 scales, and integer metadata (the
             # w4_pack_tp stamp) keep their dtype; floats go to `dtype`
@@ -269,6 +269,17 @@ def load_pretrained_model(
             else jnp.asarray(x, dtype),
             p,
         )
+        if os.environ.get("HALVA_PHASE_JSON"):
+            # measurement mode: jnp.asarray is async and
+            # block_until_ready is a NO-OP on the relay platform — fence
+            # each transfer with a one-scalar host readback so the
+            # device_put phase reflects real transfer time (plus ~one
+            # relay RTT per leaf, noted in the artifact)
+            for leaf in jax.tree.leaves(out):
+                np.asarray(leaf.ravel()[0])
+        return out
+
+    from halva_tpu.utils.phases import phase
 
     cache_path = None
     if quant in ("int8", "int4", "int4g"):
@@ -287,12 +298,16 @@ def load_pretrained_model(
             )
             cache_path = os.path.join(cdir, f"qtree_{key}.npz")
             if os.path.exists(cache_path):
-                params, cfg = treecache.load_tree(cache_path)
-                return to_device(params), cfg
+                with phase("qtree_cache_npz_load"):
+                    params, cfg = treecache.load_tree(cache_path)
+                with phase("device_put"):
+                    params = to_device(params)
+                return params, cfg
 
     if vila_lib.is_component_checkpoint(model_path):
         cfg = vila_lib.load_component_config(model_path)
-        params = vila_lib.load_components(model_path)
+        with phase("checkpoint_load"):
+            params = vila_lib.load_components(model_path)
         # training saves UNMERGED LoRA factors; eval merges them
         # (merge_and_unload semantics) — the fused w4 decode path reads
         # kernels only, so unmerged adapters would be silently dropped
@@ -367,20 +382,25 @@ def load_pretrained_model(
             eff_tp = quant_tp
             if eff_tp > 1 and not manual_tp_ready(params, cfg, eff_tp):
                 eff_tp = 1
-            params = quantize_params_int4_host(
-                params,
-                group_size=128 if quant == "int4g" else None,
-                tp=eff_tp,
-            )
+            with phase("host_quantize"):
+                params = quantize_params_int4_host(
+                    params,
+                    group_size=128 if quant == "int4g" else None,
+                    tp=eff_tp,
+                )
         else:
             from halva_tpu.ops.quant import quantize_params_host
 
-            params = quantize_params_host(params)
+            with phase("host_quantize"):
+                params = quantize_params_host(params)
         if cache_path is not None:
             from halva_tpu.utils import treecache
 
-            treecache.save_tree(cache_path, params, cfg)
-        params = to_device(params)
+            with phase("qtree_cache_npz_save"):
+                treecache.save_tree(cache_path, params, cfg)
+        with phase("device_put"):
+            params = to_device(params)
     else:
-        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        with phase("device_put"):
+            params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
     return params, cfg

@@ -132,7 +132,12 @@ def main():
             "--max-new-tokens", str(args.tokens),
             "--quant", args.quant, "--kv-quant", args.kv_quant,
         ]
-        env = dict(os.environ, HALVA_QUANT_CACHE=cache_dir)
+        phase_json = os.path.join(FIX, f"phases_{run}.json")
+        env = dict(
+            os.environ,
+            HALVA_QUANT_CACHE=cache_dir,
+            HALVA_PHASE_JSON=phase_json,
+        )
         print(f"[{run}] {' '.join(cmd)}", flush=True)
         t0 = time.time()
         err_path = os.path.join(FIX, f"stderr_{run}.log")
@@ -154,6 +159,12 @@ def main():
             "answers": n,
             "imgs_per_sec_incl_startup": round(n / wall, 3),
         }
+        # verdict item 3: per-phase startup attribution from the
+        # subprocess (utils/phases.py; device_put is fenced per leaf in
+        # this mode, so it includes ~one relay RTT per tree leaf)
+        if os.path.exists(phase_json):
+            with open(phase_json) as pf:
+                results[run]["phases"] = json.load(pf)
         print(f"[{run}] {wall:.0f}s for {n} answers", flush=True)
 
     if args.warm_only and args.cold_wall_s:
