@@ -71,6 +71,11 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--prefetch-workers", type=int, default=4,
                    help="host image-preprocess threads overlapped with "
                         "device decode (0 = serial)")
+    p.add_argument("--continuous", action="store_true",
+                   help="continuous batching: EOS-freed rows refill "
+                        "from the queue (ops/continuous.py) so the "
+                        "longest caption no longer gates the batch; "
+                        "greedy single-device decode")
 
 
 def _build_generator(args):
@@ -158,6 +163,7 @@ def _build_generator(args):
         mesh=mesh,
         prefetch_workers=getattr(args, "prefetch_workers", 0),
         kv_quant=getattr(args, "kv_quant", False),
+        continuous=getattr(args, "continuous", False),
     )
 
 

@@ -108,7 +108,18 @@ class BatchedGenerator:
         mesh=None,
         prefetch_workers: int = 0,
         kv_quant=False,  # False | 'int8' | 'int4'
+        continuous: bool = False,
     ):
+        if continuous and (num_beams > 1 or temperature > 0):
+            raise ValueError(
+                "--continuous is greedy single-beam decode "
+                "(ops/continuous.py); drop --num-beams/--temperature"
+            )
+        if continuous and mesh is not None:
+            raise ValueError(
+                "--continuous currently runs single-device; drop "
+                "--mesh-data/--mesh-model or use --num-chunks fanout"
+            )
         if (
             num_beams > 1
             and mesh is not None
@@ -161,6 +172,7 @@ class BatchedGenerator:
         self.length_penalty = length_penalty
         self.seed = seed
         self.eos_id = tokenizer.eos_token_id
+        self.continuous = continuous
 
     def _tokenize(self, req: EvalRequest):
         prompt = build_prompt(
@@ -215,6 +227,89 @@ class BatchedGenerator:
         host_s = time.perf_counter() - t0
         return idxs, batch_ids, imgs, lens, host_s
 
+    def _run_continuous(self, requests, on_result):
+        """EOS-freed slot refill (ops/continuous.py): the longest
+        caption no longer gates the whole batch — the decode pays
+        ~mean caption length per row instead of the batch max (round-4
+        verdict item 5). Greedy, single-device; token-parity with the
+        one-shot program is pinned by tests/test_continuous.py."""
+        import os as _os
+
+        from halva_tpu.ops.continuous import ContinuousEngine, Request
+
+        t_all = time.perf_counter()
+        ids_all = [self._tokenize(r) for r in requests]
+        max_len = max((len(x) for x in ids_all), default=1)
+        pad = -(-max_len // self.bucket) * self.bucket
+
+        pool = None
+        futures = {}
+        if self.prefetch_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pool = ThreadPoolExecutor(max_workers=self.prefetch_workers)
+            ahead = 2 * self.batch_size
+
+            def image_for(i):
+                # serve from the lookahead window; top it up as we go
+                for j in range(i, min(i + ahead, len(requests))):
+                    if j not in futures:
+                        futures[j] = pool.submit(
+                            self._load_image, requests[j]
+                        )
+                return futures.pop(i).result()
+
+            for j in range(min(ahead, len(requests))):
+                futures[j] = pool.submit(self._load_image, requests[j])
+        else:
+
+            def image_for(i):
+                return self._load_image(requests[i])
+
+        engine = ContinuousEngine(
+            self.params,
+            self.cfg,
+            batch=self.batch_size,
+            max_new_tokens=self.max_new_tokens,
+            eos_id=self.eos_id,
+            prompt_pad=pad,
+            chunk=int(_os.environ.get("HALVA_CB_CHUNK", "16")),
+            kv_quant=self.kv_quant,
+            attn_impl=self.attn_impl,
+        )
+        reqs = [
+            Request(
+                ids=np.asarray(ids_all[i], np.int32),
+                image=(lambda i=i: image_for(i)),
+                budget=self.max_new_tokens,
+            )
+            for i in range(len(requests))
+        ]
+        try:
+            out = engine.run(reqs)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
+        stop = get_template(self.template).stop_str()
+        results = []
+        for i, (toks, n) in enumerate(out):
+            toks = toks.copy()
+            toks[n:] = self.eos_id  # budget exits carry no eos marker
+            text = decode_tokens(
+                toks[None], np.asarray([n]), self.tok, self.eos_id,
+                stop_strs=(stop,),
+            )[0]
+            results.append(text)
+            if on_result:
+                on_result(requests[i], text)
+        wall = time.perf_counter() - t_all
+        self.last_stats = {
+            "continuous": True,
+            "wall_s": round(wall, 3),
+            **engine.stats,
+        }
+        return results
+
     def run(
         self,
         requests: Sequence[EvalRequest],
@@ -229,6 +324,9 @@ class BatchedGenerator:
         import jax as _jax
 
         from halva_tpu.utils.prefetch import prefetch
+
+        if self.continuous:
+            return self._run_continuous(requests, on_result)
 
         # tokenization is cheap and the length sort needs every length
         # up front; image decode (the expensive part) stays per-batch

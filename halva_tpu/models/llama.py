@@ -754,10 +754,20 @@ def decode_step(
     tp: int = 1,
     tp_axis: Optional[str] = None,
     beam_k: int = 1,
+    gen_valid_override: Optional[jnp.ndarray] = None,
+    write_slot: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Params]:
     """One decode step over the split cache: returns (fp32 logits (B, V),
     updated gen cache). The new token is written at gen slot `step`
     (lockstep across rows); its RoPE position is per-row `positions`.
+
+    gen_valid_override (B, Sg) / write_slot (): the continuous-batching
+    engine (ops/continuous.py) runs rows at PER-ROW local steps over a
+    ring-buffered gen cache — the write column stays a single scalar
+    (global_step % Sg, so the hot-loop write op is unchanged) while
+    validity becomes per-row ring arithmetic computed by the caller.
+    The fused Pallas kernel consumes gen_valid either way; rope-only
+    (window/ALiBi key positions still assume lockstep slots).
 
     beam_k > 1 (ops/beam.py): token_embeds/positions/gen_cache carry
     B*K beam rows while the read-only prompt cache + prompt_seg stay at
@@ -796,9 +806,20 @@ def decode_step(
     cos, sin = rope_cos_sin(
         positions[:, None], cfg.head_size, cfg.rope_theta, cfg.rope_scaling
     )
-    gen_valid = (
-        jnp.arange(sg, dtype=jnp.int32)[None, :] <= step
-    ) & jnp.ones((b, 1), bool)
+    if gen_valid_override is not None:
+        if cfg.position_embedding != "rope" or cfg.sliding_window:
+            raise NotImplementedError(
+                "per-row gen validity (continuous batching) supports "
+                "rope-only, no sliding window — window/ALiBi key "
+                "positions assume lockstep gen slots"
+            )
+        gen_valid = gen_valid_override
+    else:
+        gen_valid = (
+            jnp.arange(sg, dtype=jnp.int32)[None, :] <= step
+        ) & jnp.ones((b, 1), bool)
+    if write_slot is None:
+        write_slot = step
 
     quantized4 = "k4" in prompt_cache
     quantized = (not quantized4) and "k_scale" in prompt_cache
@@ -908,7 +929,7 @@ def decode_step(
     ) and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused":
         return _decode_step_w4(
             params, cfg, token_embeds, positions, prompt_cache,
-            prompt_seg, gen_cache, step, cos, sin, gen_valid,
+            prompt_seg, gen_cache, write_slot, cos, sin, gen_valid,
             tp=tp, tp_axis=tp_axis, beam_k=beam_k,
         )
 
@@ -923,7 +944,7 @@ def decode_step(
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
 
-        gen = _write_gen(gen, k, v, li, step)
+        gen = _write_gen(gen, k, v, li, write_slot)
 
         if fused:
             from halva_tpu.ops.decode_attention import decode_attend_layer

@@ -137,3 +137,54 @@ def test_batched_generator_beams(tmp_path):
         BatchedGenerator(
             params, LLAVA_TINY, num_beams=2, temperature=0.7, **common
         )
+
+
+def test_batched_generator_continuous_matches_drain(tmp_path):
+    """--continuous must produce the same texts as the bucketed-drain
+    path for the same requests (greedy, no EOS ambiguity at tiny
+    scale: budget exits only)."""
+    rng = np.random.RandomState(1)
+    img_paths = []
+    for i in range(10):
+        p = tmp_path / f"cimg{i}.png"
+        Image.fromarray(
+            rng.randint(0, 255, (32, 40, 3), dtype=np.uint8)
+        ).save(p)
+        img_paths.append(str(p))
+    reqs = [
+        EvalRequest(
+            question_id=i,
+            text=f"Describe item number {i} in detail." * (1 + i % 3),
+            image_path=img_paths[i],
+        )
+        for i in range(10)
+    ]
+    params = llava.init_params(jax.random.PRNGKey(0), LLAVA_TINY)
+    common = dict(
+        tokenizer=SPTok(),
+        image_processor=ImageProcessor(size=28, crop_size=28),
+        batch_size=8,
+        max_new_tokens=6,
+        prompt_bucket=16,
+        attn_impl="xla",
+    )
+    drain = BatchedGenerator(params, LLAVA_TINY, **common)
+    cont = BatchedGenerator(
+        params, LLAVA_TINY, continuous=True, prefetch_workers=2,
+        **common,
+    )
+    t_drain = drain.run(reqs)
+    t_cont = cont.run(reqs)
+    assert t_cont == t_drain
+    assert cont.last_stats["continuous"] is True
+    assert cont.last_stats["refills"] >= 1
+
+
+def test_continuous_guards():
+    params = llava.init_params(jax.random.PRNGKey(1), LLAVA_TINY)
+    with pytest.raises(ValueError, match="continuous"):
+        BatchedGenerator(
+            params, LLAVA_TINY, SPTok(),
+            ImageProcessor(size=28, crop_size=28),
+            continuous=True, num_beams=2,
+        )
