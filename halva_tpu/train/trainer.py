@@ -359,11 +359,14 @@ def dpa_step_fns(
             )
         return parts.total, parts
 
-    def train_step(trainable, frozen, ref_params, opt_state, batch):
-        # frozen reference model forward — independent of the trainable
-        # leaves, computed once outside the grad. ref_params may be None
-        # (derive fully from `frozen` — the zero-copy default), a partial
-        # overrides dict, or a full tree (legacy; see ref_model_tree)
+    def loss_and_grads(trainable, frozen, ref_params, batch):
+        """The exact quantity train_step differentiates, exposed for
+        diagnostics (scripts/quant_quality_train.py measures frozen-
+        base-quantization damage to this gradient). frozen reference
+        model forward is independent of the trainable leaves — computed
+        once outside the grad; ref_params may be None (derive fully
+        from `frozen` — the zero-copy default), a partial overrides
+        dict, or a full tree (legacy; see ref_model_tree)."""
         frozen_ref_out, ref_labels_spliced = ref_forward(
             ref_model_tree(frozen, ref_params), batch
         )
@@ -375,6 +378,12 @@ def dpa_step_fns(
             frozen_ref_out,
             ref_labels_spliced,
             batch,
+        )
+        return loss, parts, grads
+
+    def train_step(trainable, frozen, ref_params, opt_state, batch):
+        loss, parts, grads = loss_and_grads(
+            trainable, frozen, ref_params, batch
         )
         updates, new_opt_state = optimizer.update(
             grads, opt_state, trainable
@@ -402,6 +411,8 @@ def dpa_step_fns(
             loss, parts.alignment, parts.divergence, jnp.zeros(())
         )
 
+    # non-breaking diagnostics hook (see loss_and_grads docstring)
+    train_step.loss_and_grads = loss_and_grads
     return train_step, eval_loss
 
 

@@ -105,6 +105,9 @@ def main():
     # program OOMs at 18.4 G > 15.75 G (stderr_cold.log 2026-08-20);
     # int4 KV halves it and matches the bench.py round-4 default.
     p.add_argument("--kv-quant", default="int4")
+    p.add_argument("--continuous", action="store_true",
+                   help="pass --continuous to the eval CLI (EOS-freed "
+                        "slot refill, ops/continuous.py)")
     p.add_argument("--setup-only", action="store_true")
     p.add_argument("--warm-only", action="store_true",
                    help="skip the cold (cache-rebuild) run")
@@ -132,6 +135,8 @@ def main():
             "--max-new-tokens", str(args.tokens),
             "--quant", args.quant, "--kv-quant", args.kv_quant,
         ]
+        if args.continuous:
+            cmd.append("--continuous")
         phase_json = os.path.join(FIX, f"phases_{run}.json")
         env = dict(
             os.environ,
@@ -183,6 +188,7 @@ def main():
         "decode_tokens": args.tokens,
         "quant": args.quant,
         "kv_quant": args.kv_quant,
+        "continuous": args.continuous,
         **{k: results[k] for k in ("cold", "warm") if k in results},
         "note": (
             "full evals/cli chair subprocess: checkpoint load + int4 "
