@@ -76,6 +76,11 @@ def _add_model_args(p: argparse.ArgumentParser):
                         "from the queue (ops/continuous.py) so the "
                         "longest caption no longer gates the batch; "
                         "greedy single-device decode")
+    p.add_argument("--spec", type=int, default=0, metavar="K",
+                   help="speculative greedy decode: prompt-lookup "
+                        "drafts verified K tokens per model pass "
+                        "(ops/speculative.py; token-exact vs greedy). "
+                        "Single-device, greedy only")
 
 
 def _build_generator(args):
@@ -164,6 +169,7 @@ def _build_generator(args):
         prefetch_workers=getattr(args, "prefetch_workers", 0),
         kv_quant=getattr(args, "kv_quant", False),
         continuous=getattr(args, "continuous", False),
+        spec_k=getattr(args, "spec", 0),
     )
 
 

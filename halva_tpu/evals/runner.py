@@ -109,7 +109,17 @@ class BatchedGenerator:
         prefetch_workers: int = 0,
         kv_quant=False,  # False | 'int8' | 'int4'
         continuous: bool = False,
+        spec_k: int = 0,  # >= 2: speculative greedy decode
     ):
+        if spec_k >= 2 and (
+            num_beams > 1 or temperature > 0 or continuous
+            or mesh is not None
+        ):
+            raise ValueError(
+                "--spec is single-device greedy decode "
+                "(ops/speculative.py); drop --num-beams/--temperature/"
+                "--continuous/--mesh-*"
+            )
         if continuous and (num_beams > 1 or temperature > 0):
             raise ValueError(
                 "--continuous is greedy single-beam decode "
@@ -173,6 +183,7 @@ class BatchedGenerator:
         self.seed = seed
         self.eos_id = tokenizer.eos_token_id
         self.continuous = continuous
+        self.spec_k = spec_k
 
     def _tokenize(self, req: EvalRequest):
         prompt = build_prompt(
@@ -354,11 +365,31 @@ class BatchedGenerator:
         stop = get_template(self.template).stop_str()
         host_s = device_s = 0.0
         first_batch_s = None  # batch 0 = jit compile + prefill + decode
+        spec_steps = spec_emitted = 0
         try:
             for bi, (idxs, batch_ids, imgs, lens, bh) in enumerate(it):
                 host_s += bh
                 t0 = time.perf_counter()
-                if self.num_beams > 1:
+                if self.spec_k >= 2:
+                    from halva_tpu.ops.speculative import (
+                        generate_speculative,
+                    )
+
+                    tokens, num, sstats = generate_speculative(
+                        self.params,
+                        self.cfg,
+                        jnp.asarray(batch_ids),
+                        jnp.asarray(imgs),
+                        jnp.asarray(lens),
+                        max_new_tokens=self.max_new_tokens,
+                        eos_id=self.eos_id,
+                        draft_k=self.spec_k,
+                        attn_impl=self.attn_impl,
+                        kv_quant=self.kv_quant,
+                    )
+                    spec_steps += sstats["verify_steps"]
+                    spec_emitted += sstats["emitted_tokens"]
+                elif self.num_beams > 1:
                     from halva_tpu.ops.beam import generate_beam
 
                     tokens, num = generate_beam(
@@ -426,6 +457,9 @@ class BatchedGenerator:
             "first_batch_s": round(first_batch_s or 0.0, 3),
             "overlapped": self.prefetch_workers > 0,
         }
+        if self.spec_k >= 2:
+            self.last_stats["spec_verify_steps"] = spec_steps
+            self.last_stats["spec_emitted_tokens"] = spec_emitted
         return [r if r is not None else "" for r in results]
 
 

@@ -1187,6 +1187,96 @@ def write_gen_candidates(
     return out
 
 
+def _verify_step_w4(
+    params: Params,
+    cfg: LlamaConfig,
+    token_embeds: jnp.ndarray,  # (B, K, D)
+    positions: jnp.ndarray,  # (B,) absolute position of token 0
+    prompt_cache: Params,
+    prompt_seg: jnp.ndarray,
+    gen_cache: Params,
+    gen_len: jnp.ndarray,  # (B,)
+) -> Tuple[jnp.ndarray, Params]:
+    """verify_step body for stacked-int4 serving weights — the fused
+    counterpart of the XLA verify scan, built exactly like
+    _decode_step_w4: every matmul streams int4 blocks of the stacked
+    weights (w4_dense_stacked, B*K activation rows — weight streaming,
+    the dominant term, is UNCHANGED vs a 1-token decode step) and
+    attention runs the folded Pallas kernel
+    (ops/decode_attention.py:fold_attend_layer shared_gen mode): the K
+    candidate queries of each row ride ONE batched dot against the
+    whole stacked prompt cache, the shared gen cache masks by gen_len,
+    and the fresh candidate KVs merge causally. This removes the two
+    costs that made the round-4 XLA verify ~3x a fused decode step
+    (BENCH_spec_r04.json): per-layer dynamic-slice materialization of
+    the prompt cache and XLA dequant copies of its int8/int4 values."""
+    from halva_tpu.ops.decode_attention import fold_attend_layer
+    from halva_tpu.ops.w4_matmul import w4_dense_stacked
+
+    b, kq, dm = token_embeds.shape
+    h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
+    sg = gen_cache["k"].shape[3]
+    pos_k = positions[:, None] + jnp.arange(kq, dtype=jnp.int32)[None, :]
+    cos, sin = rope_cos_sin(
+        pos_k, cfg.head_size, cfg.rope_theta, cfg.rope_scaling
+    )
+    gen_valid = (
+        jnp.arange(sg, dtype=jnp.int32)[None, :] < gen_len[:, None]
+    )
+    lyr = params["layers"]
+
+    def idx(a, li):
+        return jax.lax.dynamic_index_in_dim(a, li, 0, False)
+
+    def scan_fn(carry, _):
+        x, li = carry  # (B, K, D)
+        y = _norm(cfg, x, idx(lyr["input_norm"]["scale"], li))
+        y2 = y.reshape(b * kq, dm)
+        q = w4_dense_stacked(y2, lyr["attn"]["wq"], li).reshape(
+            b, kq, h_, dh
+        )
+        k = w4_dense_stacked(y2, lyr["attn"]["wk"], li).reshape(
+            b, kq, kvh, dh
+        )
+        v = w4_dense_stacked(y2, lyr["attn"]["wv"], li).reshape(
+            b, kq, kvh, dh
+        )
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        attn = fold_attend_layer(
+            q, prompt_cache, prompt_seg, gen_cache, gen_valid, li,
+            fold_k=kq, shared_gen=True, candidates=(k, v),
+        )
+        x = x + w4_dense_stacked(
+            attn.reshape(b * kq, h_ * dh), lyr["attn"]["wo"], li
+        ).reshape(b, kq, dm)
+        y = _norm(cfg, x, idx(lyr["post_attn_norm"]["scale"], li))
+        y2 = y.reshape(b * kq, dm)
+        if cfg.gated_mlp:
+            gated = _mlp_act(cfg)(
+                w4_dense_stacked(y2, lyr["mlp"]["gate"], li)
+            ) * w4_dense_stacked(y2, lyr["mlp"]["up"], li)
+            x = x + w4_dense_stacked(
+                gated, lyr["mlp"]["down"], li
+            ).reshape(b, kq, dm)
+        else:
+            x = x + w4_dense_stacked(
+                _mlp_act(cfg)(w4_dense_stacked(y2, lyr["mlp"]["up"], li)),
+                lyr["mlp"]["down"],
+                li,
+            ).reshape(b, kq, dm)
+        return (x, li + 1), (k, v)
+
+    (x, _), (kc_all, vc_all) = jax.lax.scan(
+        scan_fn, (token_embeds, jnp.int32(0)), None,
+        length=cfg.num_layers,
+    )
+    hidden = _norm(cfg, x, params["final_norm"]["scale"])
+    logits = lm_logits(params, cfg, hidden)  # (B, K, V) fp32
+    new_gen = write_gen_candidates(gen_cache, kc_all, vc_all, gen_len)
+    return logits, new_gen
+
+
 def verify_step(
     params: Params,
     cfg: LlamaConfig,
@@ -1217,13 +1307,42 @@ def verify_step(
     path. Beyond-reference feature: the reference's HF generate has no
     speculative mode (eval_hall/model_vqa_loader.py:102-111 is plain
     greedy/sampling)."""
+    import os
+
     b, kq, _ = token_embeds.shape
     h_, kvh, dh = cfg.num_heads, cfg.kv_heads, cfg.head_size
     if cfg.position_embedding != "rope" or cfg.sliding_window is not None:
         raise NotImplementedError(
             "verify_step supports RoPE, no-sliding-window configs"
         )
-    del allow_fused  # XLA path; fused (Pallas) verify is dispatched here
+    # W4 serving trees take the fused verify (folded Pallas attention +
+    # stacked-int4 matmul streaming) under the same feasibility gates as
+    # decode_step's w4 dispatch; everything else stays on the XLA scan
+    # below (the CPU/parity oracle).
+    from halva_tpu.ops.decode_attention import fold_budget_ok
+
+    sg_ = gen_cache["k"].shape[3]
+    quantized4_ = "k4" in prompt_cache
+    w4 = "kernel_q4p" in params["layers"]["attn"]["wq"]
+    lane_ok = dh % 128 == 0 and sg_ % 128 == 0
+    if (
+        w4
+        and allow_fused
+        and h_ % kvh == 0
+        and lane_ok
+        and fold_budget_ok(
+            kvh, sg_, dh, gen_cache["k"].dtype.itemsize,
+            (prompt_cache["k4"] if quantized4_ else prompt_cache["k"])
+            .dtype.itemsize,
+            quantized4_, 1,
+        )
+        and jax.default_backend() == "tpu"
+        and os.environ.get("HALVA_DECODE_ATTN", "fused") == "fused"
+    ):
+        return _verify_step_w4(
+            params, cfg, token_embeds, positions, prompt_cache,
+            prompt_seg, gen_cache, gen_len,
+        )
     pos_k = positions[:, None] + jnp.arange(kq, dtype=jnp.int32)[None, :]
     cos, sin = rope_cos_sin(
         pos_k, cfg.head_size, cfg.rope_theta, cfg.rope_scaling

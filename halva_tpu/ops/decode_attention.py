@@ -303,6 +303,450 @@ def _decode_kernel(
             ).astype(o_ref.dtype)
 
 
+def _fold_kernel(
+    li_ref,  # (1,) int32 scalar prefetch — layer index
+    q_ref,  # (1, KVH, K*G, D) bf16 — folded queries, row = sub*G + g
+    kp_ref,  # (1, 1, KVH, bk, D) prompt block (int4: (1, 1, KVH, bk/2, D))
+    vp_ref,
+    seg_ref,  # (1, 1, bk) int32 (int4: (1, 2, bk/2) even/odd planes)
+    ks_ref,  # (1, 1, KVH, bk) scales (int4: (1, 1, 2, KVH, bk/2)); dummy
+    vs_ref,
+    kg_ref,  # (1, GB, KVH, Sg, D) gen blocks — GB = K (per-beam caches)
+    #          or 1 (shared_gen: speculative verify)
+    vg_ref,
+    gks_ref,  # (1, GB, KVH, Sg) gen scales; dummy if !quantized_gen
+    gvs_ref,
+    gv_ref,  # (GB, 1, Sg) int32 validity
+    kc_ref,  # (1, KVH, NCP, D) fresh candidate keys, lane-padded; dummy
+    vc_ref,
+    o_ref,  # (K, H, D)
+    acc_s,  # (KVH*K*G, D) f32 scratch
+    m_s,  # (KVH*K*G, L) f32 scratch (lane-replicated)
+    l_s,  # (KVH*K*G, L) f32 scratch
+    *,
+    scale: float,
+    quantized: bool,
+    quantized4: bool,
+    quantized_gen: bool,
+    nblocks: int,
+    sp: int,
+    block_k: int,
+    lanes: int,
+    groups: int,
+    fold_k: int,
+    shared_gen: bool,
+    n_cand: int,
+):
+    """Beams/candidates FOLDED into the batched dot's row dimension.
+
+    The round-4 beam kernel put the beam index on an (innermost) grid
+    dimension: prompt blocks were elided across consecutive beam steps,
+    but every dot still carried only G query rows per kv head — at MHA
+    (G == 1) Mosaic pads a 1-row dot to a full 8-sublane MXU pass, so K
+    beams paid K MXU passes for work one pass can do. Here ALL fold_k
+    query rows of an item ride ONE dot: lhs (KVH, K*G, D), so K <= 8
+    beams cost the same MXU time as one, and the grid loses the beam
+    dimension entirely (K x fewer grid steps).
+
+    Two gen-stage modes:
+    - per-beam (shared_gen=False, beam search): gen blocks carry the K
+      beams' caches; each beam's block merges under a row mask that
+      NEG_INF-masks the other beams' query rows (a fully-masked merge
+      is an exact no-op: alpha=1, p=0).
+    - shared (shared_gen=True, speculative verify): ONE gen cache per
+      item, one merge, per-item validity. The K fresh candidate KVs
+      arrive via kc/vc (never from the cache — rejected drafts need no
+      rollback, models/llama.py:_verify_attend) and merge under the
+      intra-candidate causal mask row_sub >= col (query i attends
+      candidates j <= i)."""
+    del li_ref  # consumed by the index maps
+    ki = pl.program_id(1)
+    hk = q_ref.shape[1]
+    kgd = q_ref.shape[2]  # fold_k * groups
+    d = q_ref.shape[3]
+    h = hk * groups
+    hkr = hk * kgd  # total scratch rows
+    sg = kg_ref.shape[3]
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_s[...] = jnp.zeros((hkr, d), jnp.float32)
+        m_s[...] = jnp.full((hkr, lanes), -1e29, jnp.float32)
+        l_s[...] = jnp.zeros((hkr, lanes), jnp.float32)
+
+    q3 = q_ref[0]  # (KVH, K*G, D)
+
+    def _merge(kt, vt, k_scale_row, v_scale_row, mask3):
+        """Softmax-merge `cols` kv rows into the running scratch.
+        kt/vt (KVH, cols, D); scales (KVH, cols) f32 or None; mask3
+        broadcastable to (KVH, K*G, cols). Same exp2-domain math as
+        _decode_kernel's merge, with K*G query rows per kv head."""
+        cols = kt.shape[1]
+        lp3 = jax.lax.dot_general(
+            q3, kt, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (KVH, K*G, cols)
+        if k_scale_row is not None:
+            lp3 = lp3 * k_scale_row[:, None, :]
+        lp3 = lp3 * (scale * LOG2E)
+        lp3 = jnp.where(mask3, lp3, NEG_INF)
+        lp = lp3.reshape(hkr, cols)
+        m_prev = m_s[...]
+        l_prev = l_s[...]
+        m_cur = jnp.max(lp, axis=1, keepdims=True)  # (hkr, 1)
+        m_new = jnp.maximum(m_prev, m_cur)  # (hkr, L)
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(lp - jnp.broadcast_to(m_new[:, :1], (hkr, cols)))
+        p3 = p.reshape(hk, kgd, cols)
+        if v_scale_row is not None:
+            # v scales may be garbage at masked slots; p is 0 there,
+            # 0*NaN=NaN — select through the same mask
+            pv3 = jnp.where(mask3, p3 * v_scale_row[:, None, :], 0.0)
+        else:
+            pv3 = p3
+        l_s[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        m_s[...] = m_new
+        step_acc = jax.lax.dot_general(
+            pv3.astype(q3.dtype), vt, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ).reshape(hkr, d)
+        acc_s[...] = acc_s[...] * jnp.broadcast_to(
+            alpha[:, :1], (hkr, d)
+        ) + step_acc
+
+    # ---- prompt blocks (identical masking rules to _decode_kernel)
+    if quantized4:
+        bk2 = kp_ref.shape[3]
+        kx = kp_ref[0, 0].astype(jnp.int32)  # (KVH, bk2, D)
+        vx = vp_ref[0, 0].astype(jnp.int32)
+        k_sub = ((kx << 28) >> 28, kx >> 4)  # even, odd nibbles
+        v_sub = ((vx << 28) >> 28, vx >> 4)
+        seg_eo = seg_ref[0]  # (2, bk2)
+        for sub in (0, 1):
+            col_ok = (
+                2 * jax.lax.broadcasted_iota(jnp.int32, (1, bk2), 1)
+                + sub + ki * block_k
+                < sp
+            )
+            mask = col_ok & (seg_eo[sub].reshape(1, bk2) != 0)
+            _merge(
+                k_sub[sub].astype(q3.dtype),
+                v_sub[sub].astype(q3.dtype),
+                ks_ref[0, 0, sub].astype(jnp.float32),
+                vs_ref[0, 0, sub].astype(jnp.float32),
+                mask[None],
+            )
+    else:
+        bk = kp_ref.shape[3]
+        kt = kp_ref[0, 0].astype(q3.dtype)
+        vt = vp_ref[0, 0].astype(q3.dtype)
+        col_ok = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+            + ki * block_k
+            < sp
+        )
+        mask = col_ok & (seg_ref[0, 0].reshape(1, bk) != 0)
+        if not quantized:
+            col_ok_t = (
+                jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+                + ki * block_k
+                < sp
+            )
+            seg_t = seg_ref[0, 0].reshape(bk, 1)
+            mask_t = col_ok_t & (seg_t != 0)
+            vt = jnp.where(mask_t, vt, jnp.zeros_like(vt))
+        _merge(
+            kt,
+            vt,
+            ks_ref[0, 0].astype(jnp.float32) if quantized else None,
+            vs_ref[0, 0].astype(jnp.float32) if quantized else None,
+            mask[None],
+        )
+
+    @pl.when(ki == nblocks - 1)
+    def _gen_cand_finalize():
+        if shared_gen:
+            mask3 = (gv_ref[0] != 0)[None]  # (1, 1, Sg)
+            _merge(
+                kg_ref[0, 0].astype(q3.dtype),
+                vg_ref[0, 0].astype(q3.dtype),
+                gks_ref[0, 0].astype(jnp.float32)
+                if quantized_gen else None,
+                gvs_ref[0, 0].astype(jnp.float32)
+                if quantized_gen else None,
+                mask3,
+            )
+        else:
+            row_sub = (
+                jax.lax.broadcasted_iota(jnp.int32, (kgd, 1), 0) // groups
+            )
+            for sub in range(fold_k):
+                mask2 = (row_sub == sub) & (gv_ref[sub] != 0)  # (KG, Sg)
+                _merge(
+                    kg_ref[0, sub].astype(q3.dtype),
+                    vg_ref[0, sub].astype(q3.dtype),
+                    gks_ref[0, sub].astype(jnp.float32)
+                    if quantized_gen else None,
+                    gvs_ref[0, sub].astype(jnp.float32)
+                    if quantized_gen else None,
+                    mask2[None],
+                )
+        if n_cand:
+            kct = kc_ref[0].astype(q3.dtype)  # (KVH, NCP, D)
+            vct = vc_ref[0].astype(q3.dtype)
+            ncp = kct.shape[1]
+            row_q = (
+                jax.lax.broadcasted_iota(jnp.int32, (kgd, ncp), 0)
+                // groups
+            )
+            col_j = jax.lax.broadcasted_iota(jnp.int32, (kgd, ncp), 1)
+            cmask = (row_q >= col_j) & (col_j < n_cand)
+            _merge(kct, vct, None, None, cmask[None])
+        l_fin = l_s[...]
+        l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+        accn = acc_s[...] / jnp.broadcast_to(l_safe[:, :1], (hkr, d))
+        # un-fold (KVH, K, G, D) -> (K, KVH, G, D) = (K, H, D): a tiny
+        # (<=64KB f32) leading-dim transpose, once per item per layer
+        o4 = jnp.transpose(accn.reshape(hk, fold_k, groups, d),
+                           (1, 0, 2, 3))
+        o_ref[...] = o4.reshape(fold_k, h, d).astype(o_ref.dtype)
+
+
+def fold_budget_ok(
+    hk: int, sg: int, d: int, gen_itemsize: int,
+    kp_itemsize: int, quantized4: bool, gen_blocks: int,
+) -> bool:
+    """Scoped-VMEM feasibility for the folded kernel: like
+    fused_budget_ok but the resident gen blocks carry `gen_blocks` rows
+    (fold_k per-beam caches, or 1 when shared)."""
+    vmem_mb = int(os.environ.get("HALVA_SCOPED_VMEM_MB", "16"))
+    gran = 256 if quantized4 else 128
+    kv_row_bytes = hk * d * (1 if quantized4 else 2 * kp_itemsize)
+    gen_blk = 2 * 2 * gen_blocks * hk * sg * d * gen_itemsize
+    return (vmem_mb - 3) * 2**20 - gen_blk >= 2 * gran * kv_row_bytes
+
+
+def fold_attend_layer(
+    q: jnp.ndarray,  # (B, K, H, Dh) — beams or verify candidates
+    prompt_cache,  # as decode_attend_layer (B item rows)
+    prompt_seg: jnp.ndarray,  # (B, Sp)
+    gen_cache,  # rows B*K (per-beam) or B (shared_gen)
+    gen_valid: jnp.ndarray,  # (B*K, Sg) or (B, Sg)
+    layer: jnp.ndarray,  # () int32
+    fold_k: int,
+    shared_gen: bool = False,
+    candidates=None,  # (kc, vc) each (B, K, KVH, Dh) fresh roped KVs
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Folded multi-query decode attention: the K queries of each item
+    ride ONE batched dot against the item's prompt/gen caches (see
+    _fold_kernel). Returns (B, K, H, Dh).
+
+    Beam search (shared_gen=False): row (b, k) attends item b's prompt
+    plus beam row b*K+k's gen cache under its own gen_valid — the
+    round-4 beam-grid kernel's semantics row-for-row, same block
+    sequence and merge order; only dot-reduction-order rounding may
+    differ (<= 1 bf16 ulp,
+    tests/test_decode_attention.py::test_fold_matches_grid_beams).
+
+    Speculative verify (shared_gen=True, candidates=(kc, vc)): row
+    (b, k) attends item b's prompt, the SHARED gen cache under item b's
+    gen_valid, and candidates j <= k — the fused counterpart of the XLA
+    oracle models/llama.py:_verify_attend."""
+    quantized4 = "k4" in prompt_cache
+    kp = prompt_cache["k4"] if quantized4 else prompt_cache["k"]
+    gen_k, gen_v = gen_cache["k"], gen_cache["v"]
+    if quantized4:
+        L, bb, hk, _s2, d = kp.shape
+        sp = prompt_seg.shape[1]
+    else:
+        L, bb, hk, sp, d = kp.shape
+    b, k_, h, dh = q.shape
+    assert b == bb and k_ == fold_k, (q.shape, kp.shape, fold_k)
+    assert h % hk == 0, (h, hk)
+    groups = h // hk
+    gb = 1 if shared_gen else fold_k
+    assert gen_k.shape[1] == bb * gb, (gen_k.shape, bb, gb)
+    assert gen_valid.shape[0] == bb * gb
+    sg = gen_k.shape[3]
+    scale = dh**-0.5
+    lanes = 128
+    quantized = (not quantized4) and "k_scale" in prompt_cache
+    quantized_gen = "k_scale" in gen_cache
+
+    # fold the queries: (B, K, H, D) -> (B, KVH, K*G, D), row = sub*G+g
+    qf = jnp.transpose(
+        q.reshape(bb, fold_k, hk, groups, dh), (0, 2, 1, 3, 4)
+    ).reshape(bb, hk, fold_k * groups, dh)
+
+    # block-size plan: as decode_attend_layer, with the gen blocks gb x
+    # and the (small) q/candidate blocks charged to the budget
+    gran = 256 if quantized4 else 128
+    kv_row_bytes = hk * d * (
+        1 if quantized4 else (2 * kp.dtype.itemsize)
+    )
+    vmem_mb = int(os.environ.get("HALVA_SCOPED_VMEM_MB", "16"))
+    gen_blk = 2 * 2 * gb * hk * sg * d * gen_k.dtype.itemsize
+    extra = (
+        2 * hk * fold_k * groups * dh * 2  # q block (bf16)
+        + (2 * 2 * hk * lanes * dh * 2 if candidates is not None else 0)
+    )
+    budget = (vmem_mb - 3) * 2**20 - gen_blk - extra
+    cap = max(gran, (budget // (2 * kv_row_bytes)) // gran * gran)
+    if block_k != DEFAULT_BLOCK_K:
+        cap = max(gran, min(cap, block_k // gran * gran))
+    sp_eff = -(-sp // gran) * gran
+    nb = pl.cdiv(sp_eff, cap)
+    bk = min(cap, -(-(sp_eff // gran) // nb) * gran)
+
+    if quantized4:
+        ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
+        s_spec = pl.BlockSpec(
+            (1, 1, 2, hk, bk // 2),
+            lambda it, ki, li: (li[0], it, 0, 0, ki),
+        )
+        kv_spec = pl.BlockSpec(
+            (1, 1, hk, bk // 2, d),
+            lambda it, ki, li: (li[0], it, 0, ki, 0),
+        )
+        seg_spec = pl.BlockSpec(
+            (1, 2, bk // 2), lambda it, ki, li: (it, 0, ki)
+        )
+        seg_in = seg_even_odd(prompt_seg.astype(jnp.int32))
+    else:
+        if quantized:
+            ks, vs = prompt_cache["k_scale"], prompt_cache["v_scale"]
+            s_spec = pl.BlockSpec(
+                (1, 1, hk, bk), lambda it, ki, li: (li[0], it, 0, ki)
+            )
+        else:
+            ks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
+            vs = ks
+            s_spec = pl.BlockSpec(
+                (1, 1, hk, 1), lambda it, ki, li: (0, 0, 0, 0)
+            )
+        kv_spec = pl.BlockSpec(
+            (1, 1, hk, bk, d), lambda it, ki, li: (li[0], it, 0, ki, 0)
+        )
+        seg_spec = pl.BlockSpec(
+            (1, 1, bk), lambda it, ki, li: (it, 0, ki)
+        )
+        seg_in = prompt_seg.astype(jnp.int32)[:, None, :]
+    if quantized_gen:
+        gks, gvs = gen_cache["k_scale"], gen_cache["v_scale"]
+        gs_spec = pl.BlockSpec(
+            (1, gb, hk, sg), lambda it, ki, li: (li[0], it, 0, 0)
+        )
+    else:
+        gks = jnp.ones((1, 1, hk, 1), jnp.bfloat16)
+        gvs = gks
+        gs_spec = pl.BlockSpec(
+            (1, 1, hk, 1), lambda it, ki, li: (0, 0, 0, 0)
+        )
+    n_cand = 0
+    if candidates is not None:
+        kc, vc = candidates
+        n_cand = fold_k
+        # lane-pad the candidate columns: a 128-multiple minor dim keeps
+        # every in-kernel op on the candidate block layout-legal
+        ncp = lanes
+        assert fold_k <= ncp, fold_k
+        kc_t = jnp.zeros((bb, hk, ncp, dh), q.dtype).at[
+            :, :, :fold_k
+        ].set(jnp.transpose(kc, (0, 2, 1, 3)).astype(q.dtype))
+        vc_t = jnp.zeros((bb, hk, ncp, dh), q.dtype).at[
+            :, :, :fold_k
+        ].set(jnp.transpose(vc, (0, 2, 1, 3)).astype(q.dtype))
+        c_spec = pl.BlockSpec(
+            (1, hk, ncp, d), lambda it, ki, li: (it, 0, 0, 0)
+        )
+    else:
+        kc_t = jnp.zeros((1, hk, 1, dh), q.dtype)
+        vc_t = kc_t
+        c_spec = pl.BlockSpec(
+            (1, hk, 1, d), lambda it, ki, li: (0, 0, 0, 0)
+        )
+
+    kernel = functools.partial(
+        _fold_kernel,
+        scale=scale,
+        quantized=quantized,
+        quantized4=quantized4,
+        quantized_gen=quantized_gen,
+        nblocks=nb,
+        sp=sp,
+        block_k=bk,
+        lanes=lanes,
+        groups=groups,
+        fold_k=fold_k,
+        shared_gen=shared_gen,
+        n_cand=n_cand,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bb, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, hk, fold_k * groups, d),
+                lambda it, ki, li: (it, 0, 0, 0),
+            ),
+            kv_spec,
+            kv_spec,
+            seg_spec,
+            s_spec,
+            s_spec,
+            pl.BlockSpec(
+                (1, gb, hk, sg, d),
+                lambda it, ki, li: (li[0], it, 0, 0, 0),
+            ),
+            pl.BlockSpec(
+                (1, gb, hk, sg, d),
+                lambda it, ki, li: (li[0], it, 0, 0, 0),
+            ),
+            gs_spec,
+            gs_spec,
+            pl.BlockSpec(
+                (gb, 1, sg), lambda it, ki, li: (it, 0, 0)
+            ),
+            c_spec,
+            c_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (fold_k, h, d), lambda it, ki, li: (it, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((hk * fold_k * groups, d), jnp.float32),
+            pltpu.VMEM((hk * fold_k * groups, lanes), jnp.float32),
+            pltpu.VMEM((hk * fold_k * groups, lanes), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bb * fold_k, h, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interp(),
+    )(
+        jnp.reshape(layer.astype(jnp.int32), (1,)),
+        qf,
+        kp,
+        prompt_cache["v4"] if quantized4 else prompt_cache["v"],
+        seg_in,
+        ks,
+        vs,
+        gen_k,
+        gen_v,
+        gks,
+        gvs,
+        gen_valid.astype(jnp.int32)[:, None, :],
+        kc_t,
+        vc_t,
+    )
+    return out.reshape(bb, fold_k, h, d)
+
+
 def decode_attend_layer(
     q: jnp.ndarray,  # (B, 1, H, Dh)
     prompt_cache,  # {k, v: (L, B, H, Sp, Dh) int8|bf16,
@@ -339,6 +783,25 @@ def decode_attend_layer(
         L, bp_rows, hk, sp, d = kp.shape
     b = q.shape[0]  # beam rows (== bp_rows unless beam_k > 1)
     assert bp_rows * beam_k == b, (kp.shape, q.shape, beam_k)
+    if (
+        beam_k > 1
+        and os.environ.get("HALVA_BEAM_DOT", "fold") == "fold"
+        and fold_budget_ok(
+            hk, gen_k.shape[3], q.shape[3], gen_k.dtype.itemsize,
+            kp.dtype.itemsize, quantized4, beam_k,
+        )
+    ):
+        # fold the K beams into the batched dot's row dimension — one
+        # MXU pass per (item, block) instead of K (see _fold_kernel).
+        # Same block sequence and merge order as the beam-grid path
+        # below; only dot-reduction-order rounding can differ (<= 1
+        # bf16 ulp). HALVA_BEAM_DOT=grid keeps the old path for A/B.
+        out = fold_attend_layer(
+            q[:, 0].reshape(bp_rows, beam_k, q.shape[2], q.shape[3]),
+            prompt_cache, prompt_seg, gen_cache, gen_valid, layer,
+            fold_k=beam_k, block_k=block_k,
+        )
+        return out.reshape(b, 1, q.shape[2], q.shape[3])
     # Index maps are written over (item, beam_row, kv_block, layer_ref).
     # beam_k == 1: the grid is (rows, blocks). beam_k > 1: the grid is
     # (items, blocks, beams) with the beam index INNERMOST, and prompt-

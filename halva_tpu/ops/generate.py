@@ -124,15 +124,25 @@ def _params_key(params) -> Any:
     built executable bakes in besides leaf shapes/dtypes (which jit
     retraces on): the pytree STRUCTURE (a bf16 tree and an int8/int4
     tree at the same batch shapes must not share a shard_map fn whose
-    in_specs were derived from the other tree) and the trace-time quant
+    in_specs were derived from the other tree), the trace-time quant
     routing globals (set_w8a8/set_w4a8 flip which dense kernel the
-    trace embeds, invisible to shapes)."""
+    trace embeds, invisible to shapes), and the decode env knobs the
+    kernels read at TRACE time (attention route, multi-row grid,
+    scoped-VMEM block planning, beam dot-fold) — a process that flips
+    one of these between calls at identical shapes must not reuse the
+    stale executable (the round-4 flaky-TP-parity bug class)."""
+    import os
+
     from halva_tpu.ops import quant
 
     return (
         jax.tree_util.tree_structure(params),
         quant.w8a8_enabled(),
         quant.w4a8_enabled(),
+        os.environ.get("HALVA_DECODE_ATTN", "fused"),
+        os.environ.get("HALVA_DECODE_ROWS", "4"),
+        os.environ.get("HALVA_SCOPED_VMEM_MB", "16"),
+        os.environ.get("HALVA_BEAM_DOT", "fold"),
     )
 
 

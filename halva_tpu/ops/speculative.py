@@ -114,7 +114,12 @@ def _spec_decode_impl(
     b, s = input_ids.shape
     kq = draft_k  # tokens verified per step = 1 (cur) + (K-1) drafts
     out_pad = max_new_tokens + kq
-    gen_cache = init_gen_cache_like(cfg.llm, b, out_pad, prompt_cache)
+    # cache rows rounded to a 128-multiple: the fused verify kernel
+    # (llama._verify_step_w4) carries the whole-Sg gen blocks on the
+    # lane-constrained block dims; validity derives from gen_len, so
+    # over-allocation is correctness-neutral
+    cache_pad = -(-out_pad // 128) * 128
+    gen_cache = init_gen_cache_like(cfg.llm, b, cache_pad, prompt_cache)
 
     init = SpecState(
         out=jnp.full((b, out_pad), jnp.int32(eos_id)),

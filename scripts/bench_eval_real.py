@@ -108,6 +108,9 @@ def main():
     p.add_argument("--continuous", action="store_true",
                    help="pass --continuous to the eval CLI (EOS-freed "
                         "slot refill, ops/continuous.py)")
+    p.add_argument("--spec", type=int, default=0,
+                   help="pass --spec K to the eval CLI (prompt-lookup "
+                        "speculative greedy decode, ops/speculative.py)")
     p.add_argument("--setup-only", action="store_true")
     p.add_argument("--warm-only", action="store_true",
                    help="skip the cold (cache-rebuild) run")
@@ -137,6 +140,8 @@ def main():
         ]
         if args.continuous:
             cmd.append("--continuous")
+        if args.spec >= 2:
+            cmd.extend(["--spec", str(args.spec)])
         phase_json = os.path.join(FIX, f"phases_{run}.json")
         env = dict(
             os.environ,
@@ -189,6 +194,7 @@ def main():
         "quant": args.quant,
         "kv_quant": args.kv_quant,
         "continuous": args.continuous,
+        "spec": args.spec,
         **{k: results[k] for k in ("cold", "warm") if k in results},
         "note": (
             "full evals/cli chair subprocess: checkpoint load + int4 "

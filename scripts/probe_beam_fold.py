@@ -18,6 +18,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
+# this probe pins the BEAM-GRID path (its oracle is exact-match against
+# the same kernel at beam_k=1); the round-5 dot-fold path has its own
+# probe with a ulp tolerance (scripts/probe_fold.py)
+os.environ["HALVA_BEAM_DOT"] = "grid"
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")

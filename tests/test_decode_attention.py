@@ -276,6 +276,137 @@ def test_oracle_beam_k_matches_repeated():
     _assert_close(got, want, atol=1e-5)
 
 
+def test_fold_matches_grid_beams(monkeypatch):
+    """Beams folded into the batched dot's row dimension
+    (fold_attend_layer / HALVA_BEAM_DOT=fold) must reproduce the
+    beam-grid kernel row-for-row: identical block sequence and merge
+    order, only the dot batches K query rows — the only tolerated
+    difference is dot-reduction-order rounding (<= 1 bf16 ulp; the
+    fatter lhs changes the BLAS/MXU accumulation tiling). bf16 / int8 /
+    int4 prompt caches, int8 gen, GQA."""
+    from halva_tpu.models.llama import _quantize_kv4
+
+    k = 4
+    for h, kvh, quant in (
+        (8, 8, "bf16"), (8, 8, "int8"), (8, 8, "int4"),
+        (8, 2, "bf16"), (8, 4, "int8"),
+    ):
+        q, kp, vp, kg, vg, seg, gv = _setup_gqa(
+            seed=11, b=2, h=h, kvh=kvh, sp=300, d=128, sg=16
+        )
+        b = 2
+        rng = np.random.RandomState(12)
+        qk = jnp.asarray(
+            rng.randn(b * k, 1, h, 128), jnp.float32
+        ).astype(jnp.bfloat16)
+        kgk = jnp.repeat(kg, k, axis=1)
+        vgk = jnp.repeat(vg, k, axis=1) * 1.5
+        gvk = jnp.asarray(
+            np.arange(kg.shape[3])[None, :]
+            < np.array([3, 7, 1, 5, 2, 16, 0, 9])[:, None]
+        )
+        gen = {"k": kgk, "v": vgk}
+        if quant == "int8":
+            kq_, ks_ = _quantize_kv(kp)
+            vq_, vs_ = _quantize_kv(vp)
+            pc = {"k": kq_, "v": vq_, "k_scale": ks_, "v_scale": vs_}
+            gkq, gks = _quantize_kv(kgk)
+            gvq, gvs = _quantize_kv(vgk)
+            gen = {"k": gkq, "v": gvq, "k_scale": gks, "v_scale": gvs}
+        elif quant == "int4":
+            packs = [
+                (_quantize_kv4(kp[i]), _quantize_kv4(vp[i]))
+                for i in range(kp.shape[0])
+            ]
+            pc = {
+                "k4": jnp.stack([p[0][0] for p in packs]),
+                "v4": jnp.stack([p[1][0] for p in packs]),
+                "k_scale": jnp.stack([p[0][1] for p in packs]),
+                "v_scale": jnp.stack([p[1][1] for p in packs]),
+            }
+        else:
+            pc = {"k": kp, "v": vp}
+        monkeypatch.setenv("HALVA_BEAM_DOT", "grid")
+        grid = np.asarray(
+            decode_attend_layer(
+                qk, pc, seg, gen, gvk, jnp.int32(1), beam_k=k
+            ),
+            np.float32,
+        )
+        monkeypatch.setenv("HALVA_BEAM_DOT", "fold")
+        monkeypatch.setenv("HALVA_SCOPED_VMEM_MB", "64")
+        fold = np.asarray(
+            decode_attend_layer(
+                qk, pc, seg, gen, gvk, jnp.int32(1), beam_k=k
+            ),
+            np.float32,
+        )
+        np.testing.assert_allclose(
+            fold, grid, atol=2e-3, err_msg=str((h, kvh, quant))
+        )
+
+
+def test_fold_verify_matches_oracle():
+    """Speculative-verify mode (shared gen cache + fresh causal
+    candidates) vs the XLA oracle models/llama.py:_verify_attend:
+    bf16 and int8 prompt caches, int8 gen cache, GQA, per-item
+    gen_len."""
+    from halva_tpu.models.llama import _verify_attend
+    from halva_tpu.ops.decode_attention import fold_attend_layer
+
+    kq = 4
+    for h, kvh, quant in ((8, 8, "bf16"), (8, 2, "int8")):
+        _, kp, vp, kg, vg, seg, _ = _setup_gqa(
+            seed=21, b=2, h=h, kvh=kvh, sp=300, d=128, sg=16
+        )
+        b, d, sg = 2, 128, kg.shape[3]
+        rng = np.random.RandomState(22)
+        q = jnp.asarray(rng.randn(b, kq, h, d), jnp.float32).astype(
+            jnp.bfloat16
+        )
+        kc = jnp.asarray(
+            rng.randn(b, kq, kvh, d), jnp.float32
+        ).astype(jnp.bfloat16)
+        vc = jnp.asarray(
+            rng.randn(b, kq, kvh, d), jnp.float32
+        ).astype(jnp.bfloat16)
+        gen_len = jnp.asarray(np.array([3, 9]), jnp.int32)
+        gv = jnp.asarray(
+            np.arange(sg)[None, :] < np.array([3, 9])[:, None]
+        )
+        li = 1
+        gen = {"k": kg, "v": vg}
+        gkw, gvw = kg[li], vg[li]
+        gksw = gvsw = None
+        if quant == "int8":
+            kq8, ks8 = _quantize_kv(kp)
+            vq8, vs8 = _quantize_kv(vp)
+            pc = {"k": kq8, "v": vq8, "k_scale": ks8, "v_scale": vs8}
+            gk8, gks8 = _quantize_kv(kg)
+            gv8, gvs8 = _quantize_kv(vg)
+            gen = {"k": gk8, "v": gv8, "k_scale": gks8, "v_scale": gvs8}
+            kpw, vpw = kq8[li], vq8[li]
+            kpsw, vpsw = ks8[li], vs8[li]
+            gkw, gvw = gk8[li], gv8[li]
+            gksw, gvsw = gks8[li], gvs8[li]
+        else:
+            pc = {"k": kp, "v": vp}
+            kpw, vpw = kp[li], vp[li]
+            kpsw = vpsw = None
+        got = fold_attend_layer(
+            q, pc, seg, gen, gv, jnp.int32(li),
+            fold_k=kq, shared_gen=True, candidates=(kc, vc),
+        )
+        want = jax.jit(
+            lambda: _verify_attend(
+                q, kpw, vpw, kc, vc, seg, gkw, gvw, gen_len,
+                kp_scale=kpsw, vp_scale=vpsw,
+                kg_scale=gksw, vg_scale=gvsw,
+            )
+        )()
+        _assert_close(got, want, atol=8e-3)
+
+
 def test_rows_parity_all_modes(monkeypatch):
     """rows > 1 (multi-row grid steps under a raised scoped-VMEM budget,
     HALVA_SCOPED_VMEM_MB/HALVA_DECODE_ROWS) must match the rows=1 kernel

@@ -188,3 +188,50 @@ def test_continuous_guards():
             ImageProcessor(size=28, crop_size=28),
             continuous=True, num_beams=2,
         )
+
+
+def test_batched_generator_spec_matches_greedy(tmp_path):
+    """--spec K must produce the same texts as the default greedy path
+    (speculative decode is token-exact by construction,
+    ops/speculative.py) and report verify-step stats."""
+    rng = np.random.RandomState(2)
+    img_paths = []
+    for i in range(6):
+        p = tmp_path / f"simg{i}.png"
+        Image.fromarray(
+            rng.randint(0, 255, (32, 40, 3), dtype=np.uint8)
+        ).save(p)
+        img_paths.append(str(p))
+    reqs = [
+        EvalRequest(
+            question_id=i,
+            text=f"Describe item number {i}.",
+            image_path=img_paths[i],
+        )
+        for i in range(6)
+    ]
+    params = llava.init_params(jax.random.PRNGKey(0), LLAVA_TINY)
+    common = dict(
+        tokenizer=SPTok(),
+        image_processor=ImageProcessor(size=28, crop_size=28),
+        batch_size=6,
+        max_new_tokens=6,
+        prompt_bucket=16,
+        attn_impl="xla",
+    )
+    greedy = BatchedGenerator(params, LLAVA_TINY, **common)
+    spec = BatchedGenerator(params, LLAVA_TINY, spec_k=3, **common)
+    t_greedy = greedy.run(reqs)
+    t_spec = spec.run(reqs)
+    assert t_spec == t_greedy
+    assert spec.last_stats["spec_verify_steps"] >= 1
+    assert (
+        spec.last_stats["spec_emitted_tokens"]
+        >= spec.last_stats["spec_verify_steps"]
+    )
+    with pytest.raises(ValueError, match="spec"):
+        BatchedGenerator(
+            params, LLAVA_TINY, SPTok(),
+            ImageProcessor(size=28, crop_size=28),
+            spec_k=4, num_beams=2,
+        )

@@ -110,6 +110,91 @@ def test_spec_acceptance_wins_on_repetitive_output():
     assert stats["emitted_tokens"] > stats["verify_steps"]
 
 
+def test_verify_step_w4_matches_xla():
+    """Fused w4 verify (llama._verify_step_w4: folded Pallas attention +
+    stacked-int4 matmul streaming) vs the XLA verify scan on the same
+    int4 tree, at fused-eligible shapes (head 128, Sg 128): logits
+    argmax-identical and close, candidate KV writes identical."""
+    from halva_tpu.config import LlamaConfig
+    from halva_tpu.models import llama
+    from halva_tpu.ops.w4_matmul import quantize_params_int4_host
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=320,
+        num_layers=2, num_heads=2, max_position_embeddings=512,
+    )
+    params = llama.init_params(jax.random.PRNGKey(3), cfg)
+    p4 = jax.tree.map(
+        jnp.asarray,
+        quantize_params_int4_host(jax.tree.map(np.asarray, params)),
+    )
+    b, s, kq, sg = 2, 40, 4, 128
+    rng = np.random.RandomState(7)
+    seg = np.ones((b, s), np.int32)
+    seg[1, 30:] = 0
+    seg = jnp.asarray(seg)
+    pos = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    # f32 activations: XLA:CPU's DotThunk rejects bf16 x bf16 -> f32
+    # batched dots; numerics paths are dtype-generic
+    embeds = jnp.asarray(rng.randn(b, s, 256), jnp.float32)
+    for cache_mode in ("int8", "int4"):
+        _, pc = jax.jit(
+            lambda e: llama.prefill(
+                p4, cfg, e, seg, pos, attn_impl="xla",
+                quantize_cache=cache_mode,
+            )
+        )(embeds)
+        gen = llama.init_gen_cache(cfg, b, sg, quantized=True)
+        te = jnp.asarray(rng.randn(b, kq, 256), jnp.float32)
+        pos0 = jnp.asarray([40, 30], jnp.int32)
+        gen_len = jnp.asarray([0, 0], jnp.int32)
+        lx, gx = jax.jit(
+            lambda: llama.verify_step(
+                p4, cfg, te, pos0, pc, seg, gen, gen_len,
+                allow_fused=False,
+            )
+        )()
+        lf, gf = jax.jit(
+            lambda: llama._verify_step_w4(
+                p4, cfg, te, pos0, pc, seg, gen, gen_len
+            )
+        )()
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(lx), -1), np.argmax(np.asarray(lf), -1),
+            err_msg=cache_mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lx), np.asarray(lf), atol=0.08, err_msg=cache_mode
+        )
+        for kk in gx:
+            np.testing.assert_array_equal(
+                np.asarray(gx[kk]), np.asarray(gf[kk]), err_msg=kk
+            )
+        # a second step with nonzero, per-row gen_len (filled cache)
+        gen_len2 = jnp.asarray([3, 1], jnp.int32)
+        pos2 = pos0 + gen_len2
+        lx2, _ = jax.jit(
+            lambda: llama.verify_step(
+                p4, cfg, te, pos2, pc, seg, gx, gen_len2,
+                allow_fused=False,
+            )
+        )()
+        lf2, _ = jax.jit(
+            lambda: llama._verify_step_w4(
+                p4, cfg, te, pos2, pc, seg, gf, gen_len2
+            )
+        )()
+        np.testing.assert_array_equal(
+            np.argmax(np.asarray(lx2), -1),
+            np.argmax(np.asarray(lf2), -1),
+            err_msg=cache_mode,
+        )
+        np.testing.assert_allclose(
+            np.asarray(lx2), np.asarray(lf2), atol=0.08,
+            err_msg=cache_mode,
+        )
+
+
 def test_ngram_draft_finds_latest_continuation():
     hist = jnp.asarray(
         [[7, 8, 9, 3, 7, 8, 4, 5, 0, 7, 8]], dtype=jnp.int32
