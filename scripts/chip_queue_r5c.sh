@@ -56,6 +56,10 @@ else
   log "spec sweep skipped: probe_fold not green"
 fi
 
+# 4b) decode-rows ladder at the headline config: rows=8 halves the
+#     per-step pipeline overhead again IF the scoped-VMEM plan admits it
+run bench_rows8 5400 "env HALVA_SCOPED_VMEM_MB=96 HALVA_DECODE_ROWS=8 python bench.py > $Q/bench_rows8.json.tmp && mv $Q/bench_rows8.json.tmp $Q/bench_rows8.json"
+
 # 5) training-signal quantization evidence (verdict item 6): each base
 #    mode in its own process; bf16 first (the oracle)
 QT_ENV="HALVA_QQT_DIR=/tmp/halva_qq_train"
