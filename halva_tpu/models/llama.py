@@ -66,10 +66,10 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
         from halva_tpu.ops.w4_matmul import unpack_int4, w4a8_dense
 
         ng = p["kernel_scale4p"].shape[1]  # scale groups along K (1 = per-channel)
-        if quant.w4a8_enabled() and ng == 1:
+        if quant.w4a8_enabled():
             # unpack to int8 + s8xs8 MXU dot (2x bf16 MXU rate) with
-            # dynamic per-token int8 activations (per-channel scales
-            # only: grouped-K scales cannot fold past the int32 dot)
+            # dynamic per-token int8 activations; grouped-K scales run
+            # as G batched dots with per-group rescale (w4a8_dense)
             y = w4a8_dense(x, p["kernel_q4p"], p["kernel_scale4p"])
         else:
             # materialized bf16 dequant; the copy amortizes over the

@@ -252,27 +252,49 @@ def w4a8_dense(x: jnp.ndarray, kernel_q4p: jnp.ndarray,
     untouched either way (the Pallas W4 GEMV path) — only the prompt
     pass (and therefore the first sampled token) changes numerics,
     bounded by tests/test_w4.py::test_w4a8_matches_dequant_branch.
-    """
-    assert kernel_scale4p.shape[1] == 1, (
-        "w4a8_dense needs per-channel scales (post-dot fold); grouped-K "
-        "int4 prefill uses the bf16-dequant branch in models/llama.dense"
-    )
+
+    Grouped-K scales (kernel_scale4p G > 1, the int4g serving
+    quantizer): a per-channel scale cannot fold past the int32 dot, so
+    the dot runs as G batched s8 x s8 -> s32 dots of K/G rows each
+    (same MAC count, the MXU tiles the K dim either way) and each
+    group's weight scale folds into its partial accumulator before the
+    group sum. Activations keep ONE per-token int8 scale over the full
+    K (the flat-W4A8 scheme) — round-5 addition so the quality-clean
+    int4g default keeps the int8-MXU prefill rate
+    (QUANT_QUALITY_v2.json: flat int4 first_token_agreement 0.9688 at
+    n=32 vs int4g 1.0)."""
+    ng = kernel_scale4p.shape[1]
     lo, hi = unpack_int4(kernel_q4p)
     wq = jnp.concatenate(
         [lo.astype(jnp.int8), hi.astype(jnp.int8)], axis=-1
     )  # (K, N), values in [-8, 7]
     sw = jnp.concatenate(
         [kernel_scale4p[0], kernel_scale4p[1]], axis=-1
-    ).astype(jnp.float32)  # (1, N)
+    ).astype(jnp.float32)  # (G, N)
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     sx = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
     xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    if ng == 1:
+        acc = jax.lax.dot_general(
+            xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = acc.astype(jnp.float32) * sx * sw
+        return y.astype(x.dtype)
+    k, n = wq.shape
+    gs = k // ng
+    lead = xq.shape[:-1]
+    xg = xq.reshape((-1, ng, gs))  # (B*, G, gs)
+    wg = wq.reshape(ng, gs, n)
     acc = jax.lax.dot_general(
-        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        xg, wg, (((2,), (1,)), ((1,), (0,))),
         preferred_element_type=jnp.int32,
-    )
-    y = acc.astype(jnp.float32) * sx * sw
+    )  # (G, B*, N)
+    y = jnp.sum(
+        acc.astype(jnp.float32) * sw[:, None, :], axis=0
+    )  # (B*, N)
+    y = y.reshape(lead + (n,)) * sx
     return y.astype(x.dtype)
 
 

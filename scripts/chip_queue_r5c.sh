@@ -30,6 +30,20 @@ run() { # run <name> <timeout_s> <cmd...>
   return $rc
 }
 
+# 0) continuous-vs-drain retry at b64 (the b80 attempt in queue B
+#    compile-OOM'd: engine programs + resident tree hit 18.24G; b64
+#    trims the activation/state footprint while keeping the length
+#    distribution, requests = 4 full batches)
+run cb_bench64 5400 "env HALVA_SCOPED_VMEM_MB=64 HALVA_DECODE_ROWS=4 HALVA_W4A8=1 HALVA_BENCH_KV=int4 python scripts/bench_continuous.py --batch 64 --requests 256 --cap 128 --chunk 16"
+if [ -f "$Q/r5c.cb_bench64.done" ]; then
+  grep '"metric": "continuous_vs_drain"' "$Q/r5c.cb_bench64.out" | tail -1 \
+    > /root/repo/BENCH_CONTINUOUS.json.tmp \
+    && [ -s /root/repo/BENCH_CONTINUOUS.json.tmp ] \
+    && mv /root/repo/BENCH_CONTINUOUS.json.tmp /root/repo/BENCH_CONTINUOUS.json \
+    && log "BENCH_CONTINUOUS.json landed" \
+    || rm -f /root/repo/BENCH_CONTINUOUS.json.tmp
+fi
+
 # 1) fold-kernel exactness on real Mosaic (beams dot-fold vs grid,
 #    verify mode vs XLA oracle, fused verify step argmax parity)
 run probe_fold 3600 "python scripts/probe_fold.py"
@@ -56,7 +70,26 @@ else
   log "spec sweep skipped: probe_fold not green"
 fi
 
-# 4b) decode-rows ladder at the headline config: rows=8 halves the
+# 4b) the round-5 proposed DEFAULT: int4g weights + int4 prompt KV +
+#     grouped W4A8 (w4a8_dense ng>1) — throughput at the headline shape
+run bench_int4g_w4a8 5400 "env HALVA_BENCH_WEIGHTS=int4g HALVA_BENCH_BATCH=80 python bench.py > $Q/bench_int4g_w4a8.json.tmp && mv $Q/bench_int4g_w4a8.json.tmp $Q/bench_int4g_w4a8.json"
+
+# 4c) quality of that default at n=32 x 256 (the verdict-2 bar:
+#     first_token_agreement 1.0) — grouped W4A8 changes prefill
+#     numerics, so the int4g_kv4 (w4a8-off) row cannot stand in
+run qq_headline_g 5400 "env HALVA_QQ_DIR=/tmp/halva_qq_v3 HALVA_QQ_PROMPTS=32 HALVA_QQ_TOKENS=256 HALVA_QQ_BATCH=8 HALVA_SCOPED_VMEM_MB=64 HALVA_DECODE_ROWS=4 python scripts/quant_quality.py --mode headline_g"
+if [ -f "$Q/r5c.qq_headline_g.done" ]; then
+  if env HALVA_QQ_DIR=/tmp/halva_qq_v3 HALVA_QQ_PROMPTS=32 HALVA_QQ_TOKENS=256 python scripts/quant_quality.py --report \
+      > "$Q/qq_v3_report.json" 2>>"$Q/r5c.log"; then
+    if [ -s "$Q/qq_v3_report.json" ]; then
+      cp "$Q/qq_v3_report.json" /root/repo/QUANT_QUALITY_v2.json.tmp \
+        && mv /root/repo/QUANT_QUALITY_v2.json.tmp /root/repo/QUANT_QUALITY_v2.json
+      log "QUANT_QUALITY_v2.json refreshed with headline_g"
+    fi
+  fi
+fi
+
+# 4d) decode-rows ladder at the headline config: rows=8 halves the
 #     per-step pipeline overhead again IF the scoped-VMEM plan admits it
 run bench_rows8 5400 "env HALVA_SCOPED_VMEM_MB=96 HALVA_DECODE_ROWS=8 python bench.py > $Q/bench_rows8.json.tmp && mv $Q/bench_rows8.json.tmp $Q/bench_rows8.json"
 

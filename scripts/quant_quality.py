@@ -242,15 +242,17 @@ def run_mode(mode):
     # an env of the launching queue; it changes scheduling, not math —
     # scripts/probe_rows_decode.py pins exactness separately).
     # int4g_kv4 / nf4_kv4 = the candidate default flips at the same KV
-    # config (their grouped/code scales skip the w4a8 branch by
-    # construction — dense() requires per-channel scales for it).
-    if mode in ("w4a8", "headline"):
+    # config (w4a8 off). headline_g = the round-5 proposed default:
+    # int4g + int4 KV + GROUPED W4A8 (w4_matmul.w4a8_dense ng > 1 —
+    # G batched s8xs8 dots with per-group rescale).
+    if mode in ("w4a8", "headline", "headline_g"):
         from halva_tpu.ops import quant as _quant
 
         _quant.set_w4a8(True)
     wmode = {
         "kv4": "int4", "int4_xla": "int4", "w4a8": "int4",
         "headline": "int4", "int4g_kv4": "int4g", "nf4_kv4": "nf4",
+        "headline_g": "int4g",
     }.get(mode, mode)
     _prog("quantizing on host")
     quant = quantize_mode(host, wmode)
@@ -271,7 +273,8 @@ def run_mode(mode):
         all_logits.append(np.asarray(fl, np.float32))
         del ft, fl, pc, ps
         _prog(f"prompts {s}..{s + batch}: prefill logits done")
-        kv4_modes = ("kv4", "headline", "int4g_kv4", "nf4_kv4")
+        kv4_modes = ("kv4", "headline", "int4g_kv4", "nf4_kv4",
+                     "headline_g")
         toks, _ = gen_mod.generate_greedy(
             params, cfg, bi, bim, bl,
             max_new_tokens=DECODE_TOKENS, eos_id=-1,
@@ -380,7 +383,7 @@ def report():
     ) - blog.max(-1, keepdims=True)
     out = {}
     for mode in ("int8", "int4", "int4g", "nf4", "kv4", "w4a8",
-                 "headline", "int4g_kv4", "nf4_kv4"):
+                 "headline", "int4g_kv4", "nf4_kv4", "headline_g"):
         p = os.path.join(OUT_DIR, f"{mode}.npz")
         if not os.path.exists(p):
             continue
@@ -474,7 +477,7 @@ def main():
         "--mode",
         choices=["bf16", "int8", "int4", "int4g", "nf4", "kv4",
                  "int4_xla", "w4a8", "headline", "int4g_kv4",
-                 "nf4_kv4"],
+                 "nf4_kv4", "headline_g"],
     )
     ap.add_argument("--report", action="store_true")
     ap.add_argument("--weights-err", action="store_true")

@@ -219,6 +219,39 @@ def test_w4a8_matches_dequant_branch():
         assert err < 0.015, err
 
 
+def test_w4a8_grouped_matches_dequant_branch():
+    """Grouped-K W4A8 (G batched s8xs8 dots + per-group rescale,
+    round-5) vs the bf16-dequant branch over the SAME int4g weights:
+    the only extra error is per-token int8 activation quantization.
+    Also covers 3D activations (prefill (B, S, K) shape)."""
+    from halva_tpu.ops.w4_matmul import w4a8_dense
+
+    rng = np.random.RandomState(9)
+    L, K, N, B = 2, 256, 128, 8
+    w = jnp.asarray(rng.randn(L, K, N), jnp.float32)
+    q = quantize_kernel_int4_stacked(w, group_size=64)
+    assert q["kernel_scale4p"].shape[2] == K // 64
+    for li in range(L):
+        q4p, s4p = q["kernel_q4p"][li], q["kernel_scale4p"][li]
+        lo, hi = unpack_int4(q4p)
+        s = s4p.astype(jnp.float32)  # (2, G, N/2)
+        ng = s.shape[1]
+        se = jnp.repeat(s, K // ng, axis=1)  # (2, K, N/2)
+        w_deq = jnp.concatenate(
+            [lo.astype(jnp.float32) * se[0],
+             hi.astype(jnp.float32) * se[1]],
+            axis=-1,
+        )
+        for shape in ((B, K), (2, 4, K)):
+            x = jnp.asarray(rng.randn(*shape), jnp.float32)
+            ref = x @ w_deq
+            got = w4a8_dense(x, q4p, s4p)
+            assert got.shape == ref.shape
+            denom = float(jnp.max(jnp.abs(ref))) + 1e-9
+            err = float(jnp.max(jnp.abs(got - ref))) / denom
+            assert err < 0.015, (li, shape, err)
+
+
 def test_w4a8_env_dispatch_in_dense():
     """llama.dense routes kernel_q4p through w4a8_dense when the flag is
     set, and both routes stay close to the float matmul."""
