@@ -260,23 +260,30 @@ def load_pretrained_model(
     """
     from halva_tpu.train import vila as vila_lib
 
-    def to_device(p):
-        out = jax.tree.map(
-            lambda x: jnp.asarray(x)
-            # int8 payloads, bf16 scales, and integer metadata (the
-            # w4_pack_tp stamp) keep their dtype; floats go to `dtype`
-            if x.dtype in (np.int8, np.int32, jnp.bfloat16)
-            else jnp.asarray(x, dtype),
-            p,
+    def put_leaf(x):
+        # int8 payloads, bf16 scales, and integer metadata (the
+        # w4_pack_tp stamp) keep their dtype; floats go to `dtype`
+        if x.dtype in (np.int8, np.int32, jnp.bfloat16):
+            return jnp.asarray(x)
+        return jnp.asarray(x, dtype)
+
+    def fence_tree(p):
+        # jnp.asarray is async and block_until_ready is a NO-OP on the
+        # relay platform — fence with ONE host readback of a canary
+        # that data-depends on every leaf (a per-leaf readback costs
+        # ~one relay RTT each; at a 7B tree's leaf count that alone
+        # was ~90 s of EVAL_REAL_v2's measured device_put phase)
+        if not os.environ.get("HALVA_PHASE_JSON"):
+            return
+        canary = jnp.stack(
+            [x.ravel()[0].astype(jnp.float32)
+             for x in jax.tree.leaves(p)]
         )
-        if os.environ.get("HALVA_PHASE_JSON"):
-            # measurement mode: jnp.asarray is async and
-            # block_until_ready is a NO-OP on the relay platform — fence
-            # each transfer with a one-scalar host readback so the
-            # device_put phase reflects real transfer time (plus ~one
-            # relay RTT per leaf, noted in the artifact)
-            for leaf in jax.tree.leaves(out):
-                np.asarray(leaf.ravel()[0])
+        np.asarray(canary)
+
+    def to_device(p):
+        out = jax.tree.map(put_leaf, p)
+        fence_tree(out)
         return out
 
     from halva_tpu.utils.phases import phase
@@ -298,10 +305,15 @@ def load_pretrained_model(
             )
             cache_path = os.path.join(cdir, f"qtree_{key}.npz")
             if os.path.exists(cache_path):
-                with phase("qtree_cache_npz_load"):
-                    params, cfg = treecache.load_tree(cache_path)
-                with phase("device_put"):
-                    params = to_device(params)
+                # streaming warm start: each leaf's async host->device
+                # transfer is enqueued right after its npz entry is
+                # read, so disk IO and relay transfer overlap; one
+                # canary readback fences the lot (treecache.load_tree)
+                with phase("qtree_stream_to_device"):
+                    params, cfg = treecache.load_tree(
+                        cache_path, put=put_leaf
+                    )
+                    fence_tree(params)
                 return params, cfg
 
     if vila_lib.is_component_checkpoint(model_path):

@@ -137,7 +137,14 @@ def save_tree(path: str, params, cfg: LlavaConfig) -> None:
     os.replace(tmp, path)
 
 
-def load_tree(path: str) -> Tuple[Any, LlavaConfig]:
+def load_tree(path: str, put=None) -> Tuple[Any, LlavaConfig]:
+    """Rebuild the cached tree. With `put` (leaf -> device array), each
+    leaf is handed to it RIGHT AFTER its npz entry is read, so the
+    (async) host->device transfer of leaf i overlaps the disk read of
+    leaf i+1 — on the axon relay this collapses the serial
+    npz_load-then-device_put startup phases into ~max(IO, transfer)
+    (EVAL_REAL_v2.json warm: 60.5 s + 153.7 s serial before this).
+    The caller fences once at the end (builder._fence_tree)."""
     with np.load(path) as z:
         meta = json.loads(bytes(z["__meta__"]).decode())
         if meta.get("schema") != SCHEMA:
@@ -147,7 +154,7 @@ def load_tree(path: str) -> Tuple[Any, LlavaConfig]:
             a = z[f"a{i}"]
             if dt == "bfloat16":
                 a = a.view(jnp.bfloat16)
-            leaves.append(a)
+            leaves.append(put(a) if put is not None else a)
     params = _rebuild(meta["skeleton"], leaves)
     return params, llava_config_from_dict(meta["config"])
 
