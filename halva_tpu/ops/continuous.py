@@ -38,6 +38,7 @@ tests/test_continuous.py.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -220,6 +221,7 @@ class ContinuousEngine:
         chunk: int = 16,
         kv_quant=False,
         attn_impl: str = "auto",
+        max_refill: Optional[int] = None,
     ):
         if batch % 8:
             raise ValueError("batch must divide into refill buckets of 8")
@@ -228,8 +230,20 @@ class ContinuousEngine:
         self.eos, self.chunk = eos_id, chunk
         self.kv_quant, self.attn_impl = kv_quant, attn_impl
         self.prompt_pad = prompt_pad  # token pad length for prompts
+        # refill bucket cap: an R-row refill prefill's output cache is
+        # co-resident with the FULL engine state while the scatter
+        # writes it in — at 7B serving shapes a whole-batch (f=1.0)
+        # refill OOM'd the chip (b56 Sp~640 int4: ~5 G state + ~3.6 G
+        # tree + ~5 G refill cache > 15.75 G). Capping R bounds the
+        # transient at ~R/B of the state size; the initial fill just
+        # runs as ceil(B/R) prefill calls (each still a fat matmul).
+        if max_refill is None:
+            max_refill = int(os.environ.get("HALVA_CB_REFILL", "16"))
         self.refill_sizes = sorted(
-            {max(8, int(batch * f)) for f in self.REFILL_FRACS},
+            {
+                max(8, min(max_refill, int(batch * f)))
+                for f in self.REFILL_FRACS
+            },
             reverse=True,
         )
         # state template from the prefill's own cache structure: the

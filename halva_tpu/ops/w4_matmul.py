@@ -27,6 +27,7 @@ dequant copy amortizes over a 2048-token forward).
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -285,16 +286,27 @@ def w4a8_dense(x: jnp.ndarray, kernel_q4p: jnp.ndarray,
     k, n = wq.shape
     gs = k // ng
     lead = xq.shape[:-1]
-    xg = xq.reshape((-1, ng, gs))  # (B*, G, gs)
-    wg = wq.reshape(ng, gs, n)
-    acc = jax.lax.dot_general(
-        xg, wg, (((2,), (1,)), ((1,), (0,))),
-        preferred_element_type=jnp.int32,
-    )  # (G, B*, N)
-    y = jnp.sum(
-        acc.astype(jnp.float32) * sw[:, None, :], axis=0
-    )  # (B*, N)
-    y = y.reshape(lead + (n,)) * sx
+    x2 = xq.reshape((-1, k))
+    m = x2.shape[0]
+
+    # one f32 (M, N) accumulator, G sequential int8 dots of gs K-rows
+    # each with the group's weight scale folded in before the add — a
+    # single batched dot with a G dimension would materialize a
+    # (G, M, N) int32 accumulator (terabytes at 7B prefill shapes)
+    def body(g, acc):
+        xs = jax.lax.dynamic_slice_in_dim(x2, g * gs, gs, axis=1)
+        ws = jax.lax.dynamic_slice_in_dim(wq, g * gs, gs, axis=0)
+        d = jax.lax.dot_general(
+            xs, ws, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        swg = jax.lax.dynamic_index_in_dim(sw, g, 0, False)  # (N,)
+        return acc + d.astype(jnp.float32) * swg[None, :]
+
+    acc = jax.lax.fori_loop(
+        0, ng, body, jnp.zeros((m, n), jnp.float32)
+    )
+    y = acc.reshape(lead + (n,)) * sx
     return y.astype(x.dtype)
 
 
@@ -391,3 +403,104 @@ def w4_dense_stacked(
         stacked["kernel_scale4p"],
     )
     return jnp.concatenate([out[0], out[1]], axis=-1)  # (B, N)
+
+
+def w4_gemm(
+    x: jnp.ndarray,  # (..., K) bf16/f32 activations (prefill M rows)
+    kernel_q4p: jnp.ndarray,  # (K, N/2) packed int4
+    kernel_scale4p: jnp.ndarray,  # (2, G, N/2)
+    block_m: int = 256,
+    block_np: int = DEFAULT_BLOCK_NP,
+) -> jnp.ndarray:
+    """Prefill GEMM over packed-int4 weights: the M-blocked
+    generalization of the decode GEMV (_w4_kernel — same in-VMEM
+    nibble unpack, grouped-scale expand, and half-split dots), so HBM
+    streams only the packed int4 bytes and the dot runs the full-K
+    bf16 MXU rate. Built because the grouped-K prefill otherwise loses
+    either way at 7B shapes (M=4096, K=11008, N=4096 microbench,
+    real v5e): the XLA dequant branch materializes a bf16 weight copy
+    through HBM (72.5 TF/s) and the fori_loop grouped W4A8 pays
+    128-deep MXU dots (56.3 TF/s). Flat (G=1) trees keep the
+    per-channel W4A8 int8-MXU path (93.3 TF/s) — this kernel is the
+    grouped-K answer.
+
+    Off-TPU falls back to the XLA dequant branch (numerics twin)."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    np_ = kernel_q4p.shape[1]
+    ng = kernel_scale4p.shape[1]
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+
+    if jax.default_backend() != "tpu" or _interp():
+        lo, hi = unpack_int4(kernel_q4p)
+        s = kernel_scale4p.astype(x.dtype)
+        if ng > 1:
+            s = jnp.repeat(s, k // ng, axis=1)
+        w = jnp.concatenate(
+            [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
+            axis=-1,
+        )
+        return jnp.dot(x2, w).reshape(*lead, 2 * np_)
+
+    # block plan under the scoped-VMEM compile budget: double-buffered
+    # x (bm, K) bf16 + packed w (K, bnp) int8 blocks, plus the
+    # in-kernel unpack/scale temps (~(4+4+2)·K·bnp per half when
+    # grouped — int32 nibble planes + the expanded f32 scale plane;
+    # measured 19.3M at bm=128, bnp=256, K=11008 under the default
+    # 16MB limit). Entry points raise the budget via
+    # HALVA_SCOPED_VMEM_MB (halva_tpu/envflags.py).
+    vmem = int(os.environ.get("HALVA_SCOPED_VMEM_MB", "16")) * 2**20
+    bnp = min(block_np, np_)
+    bm = min(block_m, max(8, m))
+    temp_per = (8 + (4 if ng > 1 else 0))
+
+    def stack_est(bm_, bnp_):
+        return (
+            2 * bm_ * k * x2.dtype.itemsize
+            + 2 * k * bnp_
+            + temp_per * k * bnp_
+            + 2 * 2 * bm_ * bnp_ * x2.dtype.itemsize
+        )
+
+    while bm > 8 and stack_est(bm, bnp) > vmem - 2 * 2**20:
+        bm //= 2
+    while bnp > 128 and stack_est(bm, bnp) > vmem - 2 * 2**20:
+        bnp //= 2
+    nb = pl.cdiv(np_, bnp)
+    pad = (-m) % bm
+    if pad:
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    mp = x2.shape[0]
+
+    out = pl.pallas_call(
+        _w4_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(mp // bm, nb),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda mi, ni, li: (mi, 0)),
+                pl.BlockSpec(
+                    (1, k, bnp), lambda mi, ni, li: (0, 0, ni)
+                ),
+                pl.BlockSpec(
+                    (1, 2, ng, bnp), lambda mi, ni, li: (0, 0, 0, ni)
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (2, bm, bnp), lambda mi, ni, li: (0, mi, ni)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((2, mp, np_), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interp(),
+    )(
+        jnp.zeros((1,), jnp.int32),
+        x2,
+        kernel_q4p[None],
+        kernel_scale4p[None],
+    )
+    y = jnp.concatenate([out[0], out[1]], axis=-1)[:m]
+    return y.reshape(*lead, 2 * np_)

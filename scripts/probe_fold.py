@@ -26,6 +26,11 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.makedirs("/tmp/halva_jax_cache", exist_ok=True)
 os.environ.setdefault("HALVA_SCOPED_VMEM_MB", "64")
+# the env knob only drives BLOCK PLANNING — the actual compile budget
+# must reach libtpu before the PJRT plugin snapshots LIBTPU_INIT_ARGS
+from halva_tpu.envflags import apply_tpu_env_flags  # noqa: E402
+
+apply_tpu_env_flags()
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/halva_jax_cache")
