@@ -204,9 +204,23 @@ def compare(base_npz, z):
 
 
 def report():
-    base = np.load(os.path.join(OUT_DIR, "base_bf16.npz"))
+    # reference base: bf16 when it ran; else int8. The bf16 base CANNOT
+    # run at 7B on one 15.75G chip (13.4G weights + DPA activations
+    # measured 17.57G — r5c qt_bf16 OOM), so the on-chip artifact
+    # compares int4/int4g against the int8 base, whose own fidelity to
+    # bf16 is pinned two ways: per-matmul rel err 1.25% / serving top-1
+    # 1.0 (QUANT_QUALITY.json) and the tiny-scale CPU bf16-vs-int8
+    # gradient-cosine oracle (tests/test_quant_quality_train.py).
+    ref_mode = "bf16"
+    ref_p = os.path.join(OUT_DIR, "base_bf16.npz")
+    if not os.path.exists(ref_p):
+        ref_mode = "int8"
+        ref_p = os.path.join(OUT_DIR, "base_int8.npz")
+    base = np.load(ref_p)
     out = {}
     for mode in ("int8", "int4", "int4g"):
+        if mode == ref_mode:
+            continue
         p = os.path.join(OUT_DIR, f"base_{mode}.npz")
         if not os.path.exists(p):
             continue
@@ -218,14 +232,27 @@ def report():
                 float(z["_alignment"]), float(base["_alignment"])
             ],
             "kl": [float(z["_kl"]), float(base["_kl"])],
-            "grad_cosine_vs_bf16": round(cos, 5),
-            "grad_rel_l2_vs_bf16": round(rel, 5),
+            f"grad_cosine_vs_{ref_mode}": round(cos, 5),
+            f"grad_rel_l2_vs_{ref_mode}": round(rel, 5),
         }
     result = {
         "metric": "dpa_train_quant_quality",
         "seq": SEQ,
         "lora_rank": RANK,
-        "modes_vs_bf16_base": out,
+        "reference_base": ref_mode,
+        **(
+            {
+                "reference_note": (
+                    "bf16 base does not fit one chip at 7B (17.57G "
+                    "vs 15.75G); int8 stands in, itself bounded vs "
+                    "bf16 by QUANT_QUALITY.json per-matmul 1.25% and "
+                    "the CPU oracle test at tiny scale"
+                )
+            }
+            if ref_mode != "bf16"
+            else {}
+        ),
+        f"modes_vs_{ref_mode}_base": out,
         "note": (
             "same seeded 7B host weights + LoRA factors + DPA batch per "
             "mode; KL ref logits from the SAME quantized base "
