@@ -424,7 +424,44 @@ def w4_gemm(
     per-channel W4A8 int8-MXU path (93.3 TF/s) — this kernel is the
     grouped-K answer.
 
-    Off-TPU falls back to the XLA dequant branch (numerics twin)."""
+    Off-TPU falls back to the XLA dequant branch (numerics twin).
+
+    Differentiable wrt x (training forwards on a frozen int4 base need
+    the activation gradient THROUGH the frozen dense — the LoRA params
+    upstream depend on it): custom VJP with dx = g @ dequant(W)^T, the
+    same materialize-for-backward convention as quant.w8_dense. The
+    packed weights themselves are non-differentiable."""
+
+    def _dequant(dt):
+        lo, hi = unpack_int4(kernel_q4p)
+        s = kernel_scale4p.astype(dt)
+        if kernel_scale4p.shape[1] > 1:
+            s = jnp.repeat(
+                s, kernel_q4p.shape[0] // kernel_scale4p.shape[1], axis=1
+            )
+        return jnp.concatenate(
+            [lo.astype(dt) * s[0], hi.astype(dt) * s[1]], axis=-1
+        )
+
+    @jax.custom_vjp
+    def f(x):
+        return _w4_gemm_impl(
+            x, kernel_q4p, kernel_scale4p, block_m, block_np, _dequant
+        )
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, g):
+        wd = _dequant(g.dtype)
+        return (jnp.dot(g, wd.T),)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
+
+
+def _w4_gemm_impl(x, kernel_q4p, kernel_scale4p, block_m, block_np,
+                  dequant):
     lead = x.shape[:-1]
     k = x.shape[-1]
     np_ = kernel_q4p.shape[1]
@@ -433,15 +470,7 @@ def w4_gemm(
     m = x2.shape[0]
 
     if jax.default_backend() != "tpu" or _interp():
-        lo, hi = unpack_int4(kernel_q4p)
-        s = kernel_scale4p.astype(x.dtype)
-        if ng > 1:
-            s = jnp.repeat(s, k // ng, axis=1)
-        w = jnp.concatenate(
-            [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
-            axis=-1,
-        )
-        return jnp.dot(x2, w).reshape(*lead, 2 * np_)
+        return jnp.dot(x2, dequant(x.dtype)).reshape(*lead, 2 * np_)
 
     # block plan under the scoped-VMEM compile budget: double-buffered
     # x (bm, K) bf16 + packed w (K, bnp) int8 blocks, plus the

@@ -53,6 +53,23 @@ else
   log "spec/beam skipped: probe_fold not green"
 fi
 
+# 4e) qt int4/int4g reruns: the queue-C attempts died on pallas_call's
+#     missing JVP (w4_gemm pre-custom-vjp); int8 base succeeded and is
+#     the report reference (bf16 cannot fit — see quant_quality_train)
+for BASE in int4 int4g; do
+  run qt_$BASE 5400 "env HALVA_QQT_DIR=/tmp/halva_qq_train python scripts/quant_quality_train.py --base $BASE"
+done
+if [ -f "$Q/r5e.qt_int4.done" ]; then
+  if env HALVA_QQT_DIR=/tmp/halva_qq_train python scripts/quant_quality_train.py --report \
+      > "$Q/qt_report.out" 2>>"$Q/r5e.log"; then
+    if [ -s /tmp/halva_qq_train/report.json ]; then
+      cp /tmp/halva_qq_train/report.json /root/repo/QUANT_TRAIN.json.tmp \
+        && mv /root/repo/QUANT_TRAIN.json.tmp /root/repo/QUANT_TRAIN.json
+      log "QUANT_TRAIN.json landed"
+    fi
+  fi
+fi
+
 # 5) continuous-vs-drain with the refill-bucket cap
 run cb_bench64 5400 "env HALVA_SCOPED_VMEM_MB=64 HALVA_DECODE_ROWS=4 HALVA_W4A8=1 HALVA_BENCH_KV=int4 python scripts/bench_continuous.py --batch 64 --requests 256 --cap 128 --chunk 16"
 if [ -f "$Q/r5e.cb_bench64.done" ]; then

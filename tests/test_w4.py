@@ -252,6 +252,46 @@ def test_w4a8_grouped_matches_dequant_branch():
             assert err < 0.015, (li, shape, err)
 
 
+def test_w4_gemm_matches_dequant_and_differentiates():
+    """w4_gemm (the Pallas prefill GEMM, XLA-dequant twin off-TPU) must
+    match the dequant matmul exactly on CPU AND be differentiable wrt
+    activations — a frozen-int4-base TRAINING forward needs the
+    activation gradient through the frozen dense (the r5c qt_int4 run
+    died on pallas_call's missing JVP before the custom VJP)."""
+    from halva_tpu.ops.w4_matmul import w4_gemm
+
+    rng = np.random.RandomState(13)
+    K, N, M = 256, 128, 8
+    w = jnp.asarray(rng.randn(1, K, N).astype(np.float32) * 0.1)
+    for gs in (None, 64):
+        q = quantize_kernel_int4_stacked(w, group_size=gs)
+        lo, hi = unpack_int4(q["kernel_q4p"][0])
+        s = q["kernel_scale4p"][0].astype(jnp.float32)
+        ng = s.shape[1]
+        se = jnp.repeat(s, K // ng, axis=1)
+        wd = jnp.concatenate(
+            [lo.astype(jnp.float32) * se[0],
+             hi.astype(jnp.float32) * se[1]],
+            axis=-1,
+        )
+        x = jnp.asarray(rng.randn(M, K).astype(np.float32))
+        got = w4_gemm(x, q["kernel_q4p"][0], q["kernel_scale4p"][0])
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(x @ wd), rtol=1e-6
+        )
+        g = jax.grad(
+            lambda x: jnp.sum(
+                w4_gemm(
+                    x, q["kernel_q4p"][0], q["kernel_scale4p"][0]
+                ) ** 2
+            )
+        )(x)
+        gref = jax.grad(lambda x: jnp.sum((x @ wd) ** 2))(x)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(gref), rtol=1e-6
+        )
+
+
 def test_w4a8_env_dispatch_in_dense():
     """llama.dense routes kernel_q4p through w4a8_dense when the flag is
     set, and both routes stay close to the float matmul."""
