@@ -14,15 +14,21 @@ token budget including prefill. vs_baseline = our imgs/sec / 0.25.
 
 Env knobs: HALVA_BENCH_PRESET (llava-v1.5-7b | llava-small),
 HALVA_BENCH_BATCH (override adaptive batch), HALVA_BENCH_TOKENS,
-HALVA_BENCH_WEIGHTS (int4 | int4g | int8 | bfloat16 — default int4: W4 packed
+HALVA_BENCH_WEIGHTS (int4g default | int4 | int8 | bfloat16 — W4 packed
 weights halve weight HBM, which buys the larger serving batch; the
 JSON reports the mode + batch actually used, and failures re-exec down
-the chain int4 -> int8 -> bf16), HALVA_BENCH_KV (int4 default | int8 |
-off — prompt-KV cache dtype), HALVA_W4A8 (default on: int8-activation
-prefill through the int4 weights), HALVA_BENCH_SPEC (K>=2 enables
-prompt-lookup speculative greedy decode, ops/speculative.py).
-Defaults reproduce the measured-best serving point: b80 int4 weights +
-int4 prompt KV + 4-row decode grid + W4A8 prefill (SERVING_LADDER.json).
+the chain int4g/int4 -> int8 -> bf16), HALVA_BENCH_KV (int4 default |
+int8 | off — prompt-KV cache dtype), HALVA_W4A8 (default on; takes
+effect on per-channel-scale trees — int4g prefill uses the bf16
+dequant branch), HALVA_BENCH_SPEC (K>=2 enables prompt-lookup
+speculative greedy decode, ops/speculative.py).
+Default = the QUALITY-CLEAN serving point (round-5 flip): b80 int4g
+(grouped-K) weights + int4 prompt KV + 4-row decode grid —
+QUANT_QUALITY_v2.json first_token_agreement 1.0 / top-1 1.0 at n=32,
+where the round-4 flat-int4 default measured 0.9688 on the FIRST
+greedy token. Flat int4 + W4A8 remains the documented fast mode
+(8.98 imgs/s vs int4g 7.88 at b80) for workloads that accept its
+first-token row.
 """
 
 import json
@@ -417,7 +423,7 @@ def main():
     # the production path for llava-7b on a single 16GB v5e chip. bf16
     # single-chip decode is weights-bound at batch 1 (measured 0.36
     # imgs/s = 1.45x baseline on this chip, 2026-08-16).
-    weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int4")
+    weights = os.environ.get("HALVA_BENCH_WEIGHTS", "int4g")
     _prog(f"building {weights} params for {cfg.llm.num_layers}-layer preset")
     params = synth_params(cfg, weights)
     if weights in ("int4", "int4g"):

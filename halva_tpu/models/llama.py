@@ -63,23 +63,34 @@ def dense(x: jnp.ndarray, p: Params) -> jnp.ndarray:
         # This XLA branch serves prefill/full-forward; the decode scan
         # dispatches to the stacked Pallas kernel instead.
         from halva_tpu.ops import quant
-        from halva_tpu.ops.w4_matmul import w4_gemm, w4a8_dense
+        from halva_tpu.ops.w4_matmul import unpack_int4, w4a8_dense
 
         ng = p["kernel_scale4p"].shape[1]  # scale groups along K (1 = per-channel)
-        # Measured at the 7B MLP shape (M=4096, K=11008, N=4096, real
-        # v5e): per-channel W4A8 (int8-MXU dot, per-token int8
-        # activations) 93.3 TF/s; the Pallas in-VMEM-dequant GEMM
-        # (w4_gemm — HBM streams only packed int4, full-K bf16 dot)
-        # 82.3 flat / 79.3 grouped; the old XLA dequant branch (bf16
-        # weight copy through HBM) 57.7 flat / 72.5 grouped; a
-        # fori_loop grouped W4A8 (128-deep MXU dots) 56.3. Routing:
-        # flat + HALVA_W4A8 -> w4a8_dense; everything else on TPU ->
-        # w4_gemm (which itself falls back to the XLA dequant math
-        # off-TPU/interpret — the numerics twin).
         if quant.w4a8_enabled() and ng == 1:
+            # per-channel W4A8: unpack to int8 + s8xs8 MXU dot with
+            # dynamic per-token int8 activations — ~350 TF/s effective
+            # at the b80 prefill M (~50k rows); grouped-K scales cannot
+            # fold past the int32 dot
             y = w4a8_dense(x, p["kernel_q4p"], p["kernel_scale4p"])
         else:
-            y = w4_gemm(x, p["kernel_q4p"], p["kernel_scale4p"])
+            # materialized bf16 dequant: the copy amortizes over the
+            # whole sequence (measured ~226 TF/s effective at b80
+            # prefill M). NOTE measured negative result: routing this
+            # through the Pallas in-VMEM-dequant GEMM (w4_gemm) wins
+            # the M=4096 microbench (79.3 vs 72.5 TF/s) but LOSES at
+            # serving prefill M (~128 TF/s, b80 bench 8.91 -> 12.18 s
+            # step) — XLA's dequant copy amortizes with M, the
+            # kernel's W re-streaming per M-block does not. w4_gemm
+            # stays available for small-M callers.
+            lo, hi = unpack_int4(p["kernel_q4p"])
+            s = p["kernel_scale4p"].astype(x.dtype)  # (2, G, N/2)
+            if ng > 1:
+                s = jnp.repeat(s, lo.shape[0] // ng, axis=1)  # (2, K, N/2)
+            w = jnp.concatenate(
+                [lo.astype(x.dtype) * s[0], hi.astype(x.dtype) * s[1]],
+                axis=-1,
+            )
+            y = jnp.dot(x, w)
     elif "kernel_q4" in p:
         from halva_tpu.ops import quant
 
