@@ -59,17 +59,33 @@ def _load(name):
 
 
 def test_readme_headline_serving_matches_artifact():
+    """Round-5 README carries TWO serving points: the quality-clean
+    int4g default and the flat-int4+W4A8 fast mode — each must equal
+    its committed SERVING_LADDER.json row."""
     readme = open(os.path.join(REPO, "README.md")).read()
-    m = re.search(r"batch (\d+): \*\*([\d.]+) imgs/s = (\d+) tok/s", readme)
-    assert m, "README headline serving line not found"
-    batch, imgs, toks = int(m.group(1)), float(m.group(2)), int(m.group(3))
-    art = _load("BENCH_r04.json")
-    # driver bench artifacts wrap the bench JSON under "parsed"
-    art = art.get("parsed", art)
-    # the README quotes the most recent committed bench artifact
-    assert art["detail"]["batch"] == batch
-    assert abs(art["value"] - imgs) < 0.05, (art["value"], imgs)
-    assert abs(art["detail"]["tokens_per_sec"] - toks) < 2
+    lad = _load("SERVING_LADDER.json")
+    m = re.search(
+        r"default \(quality-clean\): int4g[\s\S]{0,80}?"
+        r"([\d.]+) imgs/s =\s+(\d+) tok/s",
+        readme,
+    )
+    assert m, "README default serving line not found"
+    row = lad["7b_int4g_int4kv_b80_rows4_DEFAULT"]
+    assert abs(row["value"] - float(m.group(1))) < 0.05
+    assert abs(row["detail"]["tokens_per_sec"] - int(m.group(2))) < 2
+    m = re.search(
+        r"fast mode: flat int4 \+ W4A8[\s\S]{0,80}?"
+        r"([\d.]+)\s+imgs/s =\s+(\d+) tok/s",
+        readme,
+    )
+    assert m, "README fast-mode serving line not found"
+    row = lad["7b_int4_int4kv_b80_rows4_w4a8_fastmode_r5confirm"]
+    assert abs(row["value"] - float(m.group(1))) < 0.05
+    assert abs(row["detail"]["tokens_per_sec"] - int(m.group(2))) < 2
+    # the quality claims behind the flip
+    qq = _load("QUANT_QUALITY_v2.json")
+    assert qq["int4g_kv4"]["first_token_agreement"] == 1.0
+    assert qq["headline"]["first_token_agreement"] < 1.0
 
 
 def test_readme_13b_serving_matches_artifact():
