@@ -269,17 +269,20 @@ def load_pretrained_model(
 
     def fence_tree(p):
         # jnp.asarray is async and block_until_ready is a NO-OP on the
-        # relay platform — fence with ONE host readback of a canary
-        # that data-depends on every leaf (a per-leaf readback costs
-        # ~one relay RTT each; at a 7B tree's leaf count that alone
-        # was ~90 s of EVAL_REAL_v2's measured device_put phase)
+        # relay platform. Fencing evolution (EVAL_REAL_v2 vs _v3):
+        # per-leaf readbacks cost ~a relay RTT each (~90 s at a 7B
+        # tree's leaf count); a stacked canary over every leaf was
+        # WORSE (each eager slice op pays a tiny relay compile —
+        # +25 s). v3 also showed the transfers are effectively SERIAL
+        # on this relay (stream-overlapped load ~= the serial phases:
+        # ~23 MB/s infra floor), so one readback of the last leaf is
+        # an adequate fence for attribution; the first batch
+        # data-depends on every leaf and absorbs any residue.
         if not os.environ.get("HALVA_PHASE_JSON"):
             return
-        canary = jnp.stack(
-            [x.ravel()[0].astype(jnp.float32)
-             for x in jax.tree.leaves(p)]
-        )
-        np.asarray(canary)
+        leaves = jax.tree.leaves(p)
+        if leaves:
+            np.asarray(leaves[-1].ravel()[0])
 
     def to_device(p):
         out = jax.tree.map(put_leaf, p)

@@ -146,13 +146,18 @@ def _seq_pad(cache: Params, like: Params) -> Params:
     """Pad a smaller-Sp prompt cache up to the resident cache's
     sequence dims (bf16/int8 values+scales and nibble-packed int4
     variants — the seq dim index differs per leaf kind, so pad every
-    dim to `like`'s; only the seq dim ever differs). Padded slots stay
-    masked by segment 0; scales pad with 1."""
+    dim to `like`'s EXCEPT the batch dim (dim 1): a sub-batch refill
+    keeps its R rows, the scatter writes them into `slots`. Padding the
+    batch dim too was the latent bug the refill-bucket cap exposed —
+    the CPU suite's tiny batches only ever produced full-batch
+    refills). Padded seq slots stay masked by segment 0; scales pad
+    with 1."""
     out = {}
     for k, v in cache.items():
         tgt = like[k].shape
         assert len(tgt) == v.ndim, (k, v.shape, tgt)
         widths = [(0, t - s) for s, t in zip(v.shape, tgt)]
+        widths[1] = (0, 0)  # batch dim: scatter handles the rows
         assert all(w >= 0 for _, w in widths), (k, v.shape, tgt)
         if any(w for _, w in widths):
             v = jnp.pad(

@@ -430,7 +430,13 @@ def w4_gemm(
     the activation gradient THROUGH the frozen dense — the LoRA params
     upstream depend on it): custom VJP with dx = g @ dequant(W)^T, the
     same materialize-for-backward convention as quant.w8_dense. The
-    packed weights themselves are non-differentiable."""
+    packed weights themselves are non-differentiable.
+
+    TRACED weights (e.g. a lax.scan over stacked layers) cannot ride
+    the custom-VJP closure (the residual would leak the tracer —
+    measured as the r5e qt_int4 UnexpectedTracerError): those callers
+    get the XLA dequant math, which is fully differentiable and is the
+    in-model routing anyway (models/llama.dense)."""
 
     def _dequant(dt):
         lo, hi = unpack_int4(kernel_q4p)
@@ -442,6 +448,14 @@ def w4_gemm(
         return jnp.concatenate(
             [lo.astype(dt) * s[0], hi.astype(dt) * s[1]], axis=-1
         )
+
+    if isinstance(kernel_q4p, jax.core.Tracer) or isinstance(
+        kernel_scale4p, jax.core.Tracer
+    ):
+        lead = x.shape[:-1]
+        return jnp.dot(
+            x.reshape(-1, x.shape[-1]), _dequant(x.dtype)
+        ).reshape(*lead, 2 * kernel_q4p.shape[1])
 
     @jax.custom_vjp
     def f(x):

@@ -78,6 +78,28 @@ def test_token_parity_with_refills(params):
     assert eng.stats["steps"] < 22 * MAX_NEW
 
 
+def test_token_parity_sub_batch_refills(params):
+    """max_refill below the batch (the serving memory cap that keeps a
+    whole-batch refill prefill from sitting next to the full state —
+    the b56 eval_real_cont OOM): refills arrive in R-row buckets and
+    the scatter must write ONLY the R rows (the _seq_pad batch-dim
+    padding bug this exposed on-chip). Token parity across buckets."""
+    reqs = _requests(20, seed=3)
+    eng = ContinuousEngine(
+        params, CFG, batch=16, max_new_tokens=MAX_NEW, eos_id=-1,
+        prompt_pad=PAD, chunk=4, attn_impl="xla", max_refill=8,
+    )
+    assert max(eng.refill_sizes) == 8 < eng.b
+    out = eng.run(reqs)
+    assert all(r is not None for r in out)
+    for i, (toks, n) in enumerate(out):
+        assert n == reqs[i].budget, (i, n, reqs[i].budget)
+        np.testing.assert_array_equal(
+            toks[:n], _oneshot(params, reqs[i]), err_msg=f"req {i}"
+        )
+    assert eng.stats["refills"] >= 2
+
+
 def test_eos_exit_frees_slots(params):
     # pick an eos that actually occurs: run one-shot for request 0 and
     # use its 3rd generated token as the eos id
